@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run graft.Verify, then run each
+oracle SQL in DuckDB over the same parquet tables and value-compare.
+
+Usage: python3 tools/verify_local.py [sfdir] [--skip-spark] [--only q01,q02]
+"""
+import json, math, subprocess, sys, os, glob
+import duckdb
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only"):
+        ONLY = set(a.split("=", 1)[1].split(","))
+
+if "--skip-spark" not in sys.argv:
+    cp = subprocess.run(["bash", "-c",
+        "cd /root/repo && ls target/scala-2.13/*.jar >/dev/null 2>&1 || sbt -batch package"],
+        capture_output=True, text=True)
+    jar = glob.glob("/root/repo/target/scala-2.13/*.jar")[0]
+    opens = " ".join(f"--add-opens {p}=ALL-UNNAMED" for p in [
+        "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+        "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+        "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
+        "java.base/sun.util.calendar"])
+    cmd = (f"java {opens} -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC "
+           f"-cp {jar}:/opt/spark/jars/* graft.Verify {SFDIR} {OUT}")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(["bash", "-c", cmd], capture_output=True, text=True, env=env)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line: print(line)
+
+con = duckdb.connect()
+for p in glob.glob(f"{SFDIR}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return str(v)
+
+fails = 0
+for name in sorted(oracle):
+    if ONLY and name not in ONLY: continue
+    res_dir = f"{OUT}/{name}"
+    if not os.path.isdir(res_dir):
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
+        gcols = [d[0] for d in con.description]
+        exp = con.execute(oracle[name]).fetchall()
+        ecols = [d[0] for d in con.description]
+    except Exception as e:
+        print(f"FAIL {name}: {str(e)[:300]}"); fails += 1; continue
+    if sorted(gcols) != sorted(ecols):
+        print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}"); fails += 1; continue
+    # driver sorts columns by name before hashing values
+    gi = [gcols.index(c) for c in sorted(gcols)]
+    ei = [ecols.index(c) for c in sorted(ecols)]
+    g = [tuple(norm(row[i]) for i in gi) for row in got]
+    e = [tuple(norm(row[i]) for i in ei) for row in exp]
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}"); fails += 1; continue
+    if g != e:
+        # also try sorted compare to distinguish order-only mismatch
+        tag = "VALUES" if sorted(g) != sorted(e) else "ORDER-ONLY"
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b][:5]
+        print(f"FAIL {name} ({tag}): first diffs: {diffs}")
+        fails += 1; continue
+    print(f"OK   {name}: {len(g)} rows")
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
