@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion & warehouse-write primitives.
+  *
+  * Reference surface (SURVEY.md §2.1):
+  *  - S2  CSV read + batch-timestamp stamping (examples/shared.py:3-18) —
+  *    the reference re-emits tab-separated text purely because Postgres COPY
+  *    wants tabs; on Spark the normalize step collapses to a column append.
+  *  - S3/S5 bulk load + truncate-and-reload → SaveMode.Overwrite.
+  *  - S6  append insert → SaveMode.Append.
+  *  - S7  ON CONFLICT DO NOTHING → left-anti join on the key, then append.
+  *
+  * Scale notes: `stamp` adds a literal column (no shuffle); `appendIfAbsent`
+  * shuffles only on the conflict key and broadcasts nothing by default —
+  * at 100 TB the existing-keys side is read with column pruning (key columns
+  * only), which is the dominant cost saver.
+  */
+object Ingest {
+
+  /** S2: read a headered CSV with an explicit schema and stamp the batch
+    * timestamp, exactly like normalize_csv appends `ts` to every row. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType, batchTs: String): DataFrame =
+    stamp(spark.read.option("header", "true").schema(schema).csv(path), batchTs)
+
+  /** Append the batch `processed_time` column (shared.py:16). */
+  def stamp(df: DataFrame, batchTs: String): DataFrame =
+    df.withColumn("processed_time", to_timestamp(lit(batchTs)))
+
+  /** S5+S3: truncate-and-reload a staging location. */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S7: idempotent append — insert only rows whose key is absent from the
+    * existing table (ON CONFLICT … DO NOTHING, process_orders_sqls.py:146).
+    * Within the incoming batch, first-wins is the caller's job (use a
+    * row_number window before calling). */
+  def appendIfAbsent(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Read-modify-overwrite swap for SCD rewrites (SURVEY.md §7.4.3): parquet
+    * can't be overwritten while being read, so land the new version beside
+    * the old one and swap atomically via rename. */
+  def overwriteSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + ".swap"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("readCsv reads the reference sample products CSV and stamps processed_time") {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("title", StringType),
+      StructField("category", StringType), StructField("price", DecimalType(18, 2))))
+    val df = Ingest.readCsv(spark, "/root/reference/sample-data/products_2019-01-01.csv",
+      schema, "2019-01-01 00:00:00")
+    assert(df.count() == 9) // FIXTURES.md §A: 9 data rows
+    assert(df.schema.fieldNames.last == "processed_time")
+    assert(df.where(col("processed_time") === to_timestamp(lit("2019-01-01 00:00:00"))).count() == 9)
+    // quoted CJK titles with commas survive CSV parsing
+    assert(df.where(col("id") === "1000").head().getAs[String]("title").contains("8t"))
+  }
+
+  test("appendIfAbsent drops rows whose key already exists (ON CONFLICT DO NOTHING)") {
+    val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    val incoming = Seq(("b", 99), ("c", 3)).toDF("k", "v")
+    val out = Ingest.appendIfAbsent(incoming, existing, Seq("k"))
+    assertSameRows(out.select(col("k"), col("v").cast("string")), Seq(Seq("c", "3")))
+  }
+
+  test("overwriteSwap atomically replaces a parquet path") {
+    val dir = java.nio.file.Files.createTempDirectory("swap").toString + "/t"
+    Seq(1, 2, 3).toDF("x").write.parquet(dir)
+    val v2 = spark.read.parquet(dir).withColumn("x", col("x") * 10)
+    Ingest.overwriteSwap(spark, v2, dir)
+    assert(spark.read.parquet(dir).agg(sum("x")).head().getLong(0) == 60)
+  }
+}
