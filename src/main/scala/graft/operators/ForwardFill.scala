@@ -11,25 +11,33 @@ import org.apache.spark.sql.functions._
   * needs every (entity, day) cell filled with the last known value.
   *
   * Semantics: for each entity and scaffold day D, value = the latest
-  * snapshot with snapshot_date <= D (within a day, the latest by
-  * (event_time, tiebreak)); entities with no snapshot on or before D
-  * contribute nothing (SURVEY.md §7.4.1).
+  * snapshot assigned to a slot <= D. Callers map each snapshot to its
+  * scaffold slot (`snap_date`) BEFORE calling — e.g. clamp pre-window
+  * snapshots to the first scaffold day, or roll daily snapshots up to
+  * month-ends — so the scaffold never needs to extend back to the first
+  * snapshot in history. Within a slot the winner is the row with the
+  * highest `tiebreaks` tuple (descending lexicographic); include the
+  * original snapshot date as the first tiebreak so "latest observation
+  * wins" survives the slot mapping. Entities with no snapshot on or
+  * before D contribute nothing (SURVEY.md §7.4.1).
   *
-  * Scale: the scaffold is entities × days — built by cross-joining the
-  * (small, broadcast) day range onto the DISTINCT entity set, so the
-  * blow-up factor is bounded by the window length, not data size. The fill
-  * itself is one window per entity (single shuffle on entity), using
-  * `last(ignoreNulls)` with an unbounded-preceding row frame.
+  * Scale: the scaffold is entities × scaffold-days — built by
+  * cross-joining the (small, broadcast) slot list onto the DISTINCT
+  * entity set, so the blow-up is bounded by the window length, not by
+  * history size. The fill itself is one window per entity (single
+  * shuffle on entity) using `last(ignoreNulls)` over an
+  * unbounded-preceding row frame.
   */
 object ForwardFill {
-  /** snapshots columns: entity, snap_date (date), value, tiebreak.
+  /** snapshots columns: entity, snap_date (slot date), value, tiebreaks...
     * days: single-column `datum` date scaffold (broadcast-sized).
-    * Returns (entity, datum, value) with value forward-filled, rows with
-    * no value yet dropped. */
-  def fill(snapshots: DataFrame, days: DataFrame): DataFrame = {
-    // Collapse to one snapshot per (entity, day): the latest within the day.
+    * Returns (entity, datum, value) with value forward-filled; rows with
+    * no value yet are dropped. */
+  def fill(snapshots: DataFrame, days: DataFrame,
+           tiebreaks: Seq[String] = Seq("tiebreak")): DataFrame = {
+    // Collapse to one snapshot per (entity, slot): highest tiebreak wins.
     val byEntityDay = Window.partitionBy(col("entity"), col("snap_date"))
-      .orderBy(col("tiebreak").desc)
+      .orderBy(tiebreaks.map(col(_).desc): _*)
     val daily = snapshots
       .withColumn("rn", row_number().over(byEntityDay)).where(col("rn") === 1)
       .select(col("entity"), col("snap_date"), col("value"))
