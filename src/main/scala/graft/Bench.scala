@@ -1,24 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark harness — one JSON line on stdout AND written to
+  * `BENCH.json` (path overridable via SPARK_GRAFT_BENCH_OUT), so the
+  * driver can parse it even if a logger decorates stdout.
+  *
+  * Each query is fully materialized through the `noop` sink (forces every
+  * operator to run, unlike `count()` which lets Catalyst prune work).
+  * Failures are reported per-query in an `errors` map instead of being
+  * swallowed — a broken query must never masquerade as a fast one.
+  * An optional warmup pass at a small sf (SPARK_GRAFT_WARM_DIR, default
+  * sf0.001 if present) triggers codegen/JIT so the measured numbers
+  * reflect steady-state execution, not JVM warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Some("/root/testdata/sf0.001").filter(d => Files.isDirectory(Paths.get(d))))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(dir: String, name: String): Option[String] =
+      try { SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); None }
+      catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+
+    warmDir.foreach(w => SparkEntry.queries.keys.foreach(run(w, _)))
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = run(sfDir, name)
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${q(sfDir)}}"""
+    println(json)
+    Files.writeString(Paths.get(benchOut), json + "\n")
     spark.stop()
   }
 }

@@ -26,7 +26,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_dim_dates" -> ((s, _) => DimDates.build(s).orderBy("datum")),
-    "q07_orders_per_quarter" -> ((s, d) => Metrics.ordersPerQuarter(s, d)),
+    "q02_orders_per_quarter" -> ((s, d) => Metrics.ordersPerQuarter(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,7 +45,7 @@ object SparkEntry {
         |FROM (SELECT CAST(r AS DATE) AS d
         |      FROM generate_series(DATE '1970-01-01', DATE '2049-12-31', INTERVAL 1 DAY) t(r))
         |ORDER BY datum""".stripMargin,
-    "q07_orders_per_quarter" ->
+    "q02_orders_per_quarter" ->
       """SELECT CAST(year(o_orderdate) AS VARCHAR) || '_' || CAST(quarter(o_orderdate) AS VARCHAR)
         |    AS year_quarter,
         |  count(*) AS order_count

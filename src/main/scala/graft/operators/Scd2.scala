@@ -44,17 +44,24 @@ object Scd2 {
     val stgRenamed = stg.select((col("id").as("stg_id") +: attrs.map(a => col(a).as(s"stg_$a"))): _*)
 
     val isCurrent = ts >= col("start_time") && ts < col("end_time")
-    val joined = dim.join(stgRenamed, col("id") === col("stg_id"), "left")
-    val closeCond = isCurrent && col("stg_id").isNotNull && changed
-    val updated = joined
-      .withColumn("end_time", when(closeCond, ts).otherwise(col("end_time")))
+
+    // The close set is computed ONCE on a narrow (id + tracked attrs)
+    // projection and reused by both steps — round-1 review flagged that
+    // deriving still-current from the updated frame re-evaluated the full
+    // wide dim⨝stg join.
+    val closeIds = dim.where(isCurrent)
+      .join(stgRenamed, col("id") === col("stg_id"))
+      .where(changed)
+      .select(col("id")).distinct()
+
+    val updated = dim.join(closeIds.withColumn("closing", lit(true)), Seq("id"), "left")
+      .withColumn("end_time", when(isCurrent && col("closing"), ts).otherwise(col("end_time")))
       .select(dim.columns.map(col): _*)
 
     // Versions still current AFTER the close step (load-bearing ordering,
-    // process_orders_sqls.py:37-39): rows closed above now fail ts < end_time.
-    val stillCurrent = updated
-      .where(ts >= col("start_time") && ts < col("end_time"))
-      .select(col("id"))
+    // process_orders_sqls.py:37-39): current-before minus just-closed ids.
+    val stillCurrent = dim.where(isCurrent).select(col("id"))
+      .join(closeIds, Seq("id"), "left_anti")
     val inserts = stg.join(stillCurrent, Seq("id"), "left_anti")
       .withColumn("start_time", ts)
       .withColumn("end_time", sentinel)
@@ -85,8 +92,16 @@ object Scd2 {
     *  3. idempotence guard the reference lacks: anti-join the new version
     *     rows against existing (order_id, start_time) keys before appending
     *     (its UNIQUE constraint would have raised instead).
+    *
+    * If `events` has no `tiebreak` column one is synthesized as a
+    * deterministic md5-derived hash of the whole row (round-1 review: no
+    * corpus table ships a column literally named `tiebreak`).
     */
-  def eventsMerge(dim: DataFrame, events: DataFrame, batchTs: String): DataFrame = {
+  def eventsMerge(dim: DataFrame, events0: DataFrame, batchTs: String): DataFrame = {
+    val events =
+      if (events0.columns.contains("tiebreak")) events0
+      else events0.withColumn("tiebreak", graft.functions.PortableHash.h60(
+        concat_ws("", events0.columns.map(c => col(c).cast("string")): _*)))
     val ts = to_timestamp(lit(batchTs))
     val sentinel = to_timestamp(lit(Sentinel))
 
