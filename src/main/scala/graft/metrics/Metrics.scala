@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dims.DimDates
+import graft.warehouse.Warehouse
 
 /** The reference's declared analytic queries (SURVEY.md §2.8, Q1–Q7),
   * re-expressed over the driver corpus (FIXTURES.md §B mapping).
@@ -16,6 +17,126 @@ import graft.dims.DimDates
   * literal `asOf` so runs are deterministic and oracle-comparable.
   */
 object Metrics {
+
+  /** Timestamp render format shared with every DuckDB oracle (strftime
+    * `%Y-%m-%d %H:%M:%S.%f`) — results carry timestamps as strings so the
+    * hash compare never trips on tz/precision annotations. */
+  val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Q1 (README.md:45, postgresql.md:104-108): current order count by
+    * status — the as-of (J2) read of dim_orders at an injected `asOf`
+    * (reference uses CURRENT_TIMESTAMP; injected for determinism). */
+  def currentOrdersByStatus(spark: SparkSession, sfDir: String,
+                            asOf: String = "2024-01-15 00:00:00"): DataFrame = {
+    val at = to_timestamp(lit(asOf))
+    Warehouse.dimOrders(spark, sfDir)
+      .where(at >= col("start_time") && at < col("end_time"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("status")
+  }
+
+  /** Q3 (README.md:47, postgresql.md:124-134): orders per quarter ×
+    * product category. The fact (lineitem) joins dim_products AS-OF the
+    * ship time (J2: equi key + validity band) — versions straddle the
+    * 1998 snapshot boundary so both v1 and v2 categories appear — and the
+    * date dim (J1, broadcast) supplies year/quarter.
+    *
+    * Scale: both dims are broadcast; the fact side never shuffles before
+    * the aggregation, and the agg itself is a partial+final hash agg on a
+    * low-cardinality key. */
+  def ordersQuarterCategory(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"), col("l_shipdate"))
+    val dim = Warehouse.dimParts(spark, sfDir)
+    val dates = DimDates.build(spark)
+    li.join(broadcast(dim),
+        li("l_partkey") === dim("id") &&
+        li("l_shipdate") >= dim("start_time") && li("l_shipdate") < dim("end_time"))
+      .join(broadcast(dates), to_date(col("l_shipdate")) === dates("datum"))
+      .groupBy(
+        concat(col("year").cast("string"), lit("_"), col("quarter").cast("string"))
+          .as("year_quarter"),
+        col("category"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("year_quarter", "category")
+  }
+
+  /** Q4 (README.md:48, postgresql.md:138-146): retained orders — created
+    * before the month of `asOf` (P4 range predicate) and still not
+    * completed ("purchase" in corpus terms) at `asOf` (J2 as-of). Global
+    * count (A4). */
+  def retainedNotCompleted(spark: SparkSession, sfDir: String,
+                           asOf: String = "2024-02-15 00:00:00"): DataFrame = {
+    val at = to_timestamp(lit(asOf))
+    val fact = Warehouse.factOrders(spark, sfDir)
+    val dim = Warehouse.dimOrders(spark, sfDir)
+    fact.join(dim,
+        fact("order_id") === dim("order_id") &&
+        at >= dim("start_time") && at < dim("end_time"))
+      .where(dim("status") =!= lit("purchase") &&
+             fact("created_time") < date_trunc("month", at))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q5 (README.md:49, spec only): per bucket ("month" faithful to the
+    * spec, "day" for finer granularity over the one-month corpus): orders
+    * created in the bucket that were NOT completed (no purchase version
+    * starting) within the same bucket. Completion times come from the
+    * dim_orders version history, bucket boundaries from dim_dates
+    * (first_day_of_next_month — create_dim_dates.py:44). */
+  def createdNotCompleted(spark: SparkSession, sfDir: String,
+                          bucket: String = "month"): DataFrame = {
+    val fact = Warehouse.factOrders(spark, sfDir).select(col("order_id"), col("created_time"))
+    val purchases = Warehouse.dimOrders(spark, sfDir)
+      .where(col("status") === lit("purchase"))
+      .groupBy(col("order_id"))
+      .agg(min(col("start_time")).as("purchase_time"))
+    val dates = DimDates.build(spark)
+    val joined = fact.join(purchases, Seq("order_id"), "left")
+      .join(broadcast(dates), to_date(col("created_time")) === dates("datum"))
+    val (label, bucketEnd) = bucket match {
+      case "month" => (
+        concat(col("year").cast("string"), lit("_"), lpad(col("month").cast("string"), 2, "0")),
+        col("first_day_of_next_month").cast("timestamp"))
+      case "day" => (
+        date_format(col("datum"), "yyyy-MM-dd"),
+        date_add(col("datum"), 1).cast("timestamp"))
+      case other => throw new IllegalArgumentException(s"bucket: $other")
+    }
+    joined.groupBy(label.as("bucket"))
+      .agg(
+        count(lit(1)).as("created_count"),
+        count(when(col("purchase_time").isNull || col("purchase_time") >= bucketEnd, 1))
+          .as("not_completed_count"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle-gated dump of the SCD2-EVENTS output (SURVEY.md §2.6):
+    * every dim_orders version row under a total ORDER BY. */
+  def dimOrdersScd2(spark: SparkSession, sfDir: String): DataFrame =
+    Warehouse.dimOrders(spark, sfDir).select(
+      col("order_id"), col("status"),
+      date_format(col("start_time"), TsFmt).as("start_time"),
+      date_format(col("end_time"), TsFmt).as("end_time"))
+    .orderBy("order_id", "start_time", "status")
+
+  /** Oracle-gated dump of the chained SCD2-SNAPSHOT output: every
+    * dim_products version row under a total ORDER BY. */
+  def dimProductsScd2(spark: SparkSession, sfDir: String): DataFrame =
+    Warehouse.dimParts(spark, sfDir).select(
+      col("id"), col("category"), col("price"),
+      date_format(col("start_time"), TsFmt).as("start_time"),
+      date_format(col("end_time"), TsFmt).as("end_time"))
+    .orderBy("id", "start_time")
+
+  /** Oracle-gated dump of FACT-BUILD (process_orders_sqls.py:135-147):
+    * first event per order with the surrogate date key. */
+  def factOrdersCreated(spark: SparkSession, sfDir: String): DataFrame =
+    Warehouse.factOrders(spark, sfDir).select(
+      col("order_id"), col("created_date_id"),
+      date_format(col("created_time"), TsFmt).as("created_time"),
+      col("first_status"), col("value"))
+    .orderBy("order_id")
 
   /** Q2 (README.md:46, postgresql.md:112-120): orders created per quarter,
     * two-year window. J1 broadcast equi-join on the computed date key + A2
