@@ -35,6 +35,10 @@ object SparkEntry {
     "q04_retained_not_completed" -> ((s, d) => Metrics.retainedNotCompleted(s, d)),
     "q05_created_not_completed_month" -> ((s, d) => Metrics.createdNotCompleted(s, d, "month")),
     "q05_created_not_completed_day" -> ((s, d) => Metrics.createdNotCompleted(s, d, "day")),
+    "q06_stock_category_day" -> ((s, d) =>
+      Metrics.stockByCategory(s, d, "2001-10-01", "2001-10-31", monthEnd = false)),
+    "q07_stock_category_month_end" -> ((s, d) =>
+      Metrics.stockByCategory(s, d, "2000-01-01", "2001-10-31", monthEnd = true)),
     "q08_current_orders_by_status" -> ((s, d) => Metrics.currentOrdersByStatus(s, d)),
     "q09_dim_orders_scd2" -> ((s, d) => Metrics.dimOrdersScd2(s, d)),
     "q10_dim_products_scd2" -> ((s, d) => Metrics.dimProductsScd2(s, d)),
@@ -142,6 +146,58 @@ object SparkEntry {
          |    AS not_completed_count
          |FROM first_ev LEFT JOIN purch USING (order_id)
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q06_stock_category_day" ->
+      """WITH snaps AS (
+        |  SELECT l_partkey AS entity,
+        |         greatest(CAST(l_shipdate AS DATE), DATE '2001-10-01') AS snap_date,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS value,
+        |         l_shipdate AS tb_ts, l_orderkey AS tb_ok, l_linenumber AS tb_ln
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-10-31'),
+        |daily AS (
+        |  SELECT entity, snap_date, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY entity, snap_date
+        |      ORDER BY tb_ts DESC, tb_ok DESC, tb_ln DESC) AS rn FROM snaps)
+        |  WHERE rn = 1),
+        |days AS (SELECT CAST(r AS DATE) AS datum
+        |         FROM generate_series(DATE '2001-10-01', DATE '2001-10-31', INTERVAL 1 DAY) t(r)),
+        |scaffold AS (SELECT e.entity, d.datum
+        |             FROM (SELECT DISTINCT entity FROM snaps) e CROSS JOIN days d),
+        |filled AS (
+        |  SELECT s.entity, s.datum,
+        |    last_value(dl.value IGNORE NULLS) OVER (PARTITION BY s.entity ORDER BY s.datum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM scaffold s LEFT JOIN daily dl
+        |    ON s.entity = dl.entity AND s.datum = dl.snap_date)
+        |SELECT p_type AS category, datum, CAST(sum(value) AS DOUBLE) AS stock
+        |FROM filled JOIN part ON entity = p_partkey
+        |WHERE value IS NOT NULL
+        |GROUP BY category, datum ORDER BY category, datum""".stripMargin,
+    "q07_stock_category_month_end" ->
+      """WITH snaps AS (
+        |  SELECT l_partkey AS entity,
+        |         greatest(last_day(CAST(l_shipdate AS DATE)), DATE '2000-01-31') AS snap_date,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS value,
+        |         l_shipdate AS tb_ts, l_orderkey AS tb_ok, l_linenumber AS tb_ln
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-10-31'),
+        |daily AS (
+        |  SELECT entity, snap_date, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY entity, snap_date
+        |      ORDER BY tb_ts DESC, tb_ok DESC, tb_ln DESC) AS rn FROM snaps)
+        |  WHERE rn = 1),
+        |days AS (SELECT last_day(CAST(r AS DATE)) AS datum
+        |         FROM generate_series(DATE '2000-01-01', DATE '2001-10-01', INTERVAL 1 MONTH) t(r)),
+        |scaffold AS (SELECT e.entity, d.datum
+        |             FROM (SELECT DISTINCT entity FROM snaps) e CROSS JOIN days d),
+        |filled AS (
+        |  SELECT s.entity, s.datum,
+        |    last_value(dl.value IGNORE NULLS) OVER (PARTITION BY s.entity ORDER BY s.datum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |  FROM scaffold s LEFT JOIN daily dl
+        |    ON s.entity = dl.entity AND s.datum = dl.snap_date)
+        |SELECT p_type AS category, datum, CAST(sum(value) AS DOUBLE) AS stock
+        |FROM filled JOIN part ON entity = p_partkey
+        |WHERE value IS NOT NULL
+        |GROUP BY category, datum ORDER BY category, datum""".stripMargin,
     "q08_current_orders_by_status" ->
       s"""$VersionsCte
          |SELECT status, count(*) AS order_count FROM versions

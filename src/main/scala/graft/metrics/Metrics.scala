@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dims.DimDates
+import graft.operators.ForwardFill
 import graft.warehouse.Warehouse
 
 /** The reference's declared analytic queries (SURVEY.md §2.8, Q1–Q7),
@@ -109,6 +110,50 @@ object Metrics {
         count(when(col("purchase_time").isNull || col("purchase_time") >= bucketEnd, 1))
           .as("not_completed_count"))
       .orderBy("bucket")
+  }
+
+  /** Q6/Q7 (README.md:63-65, spec only): stock per category per day /
+    * per month-end. `lineitem` plays the sparse inventory snapshot stream
+    * (README.md:55-61: only changed products appear on a day): entity =
+    * l_partkey, observation = (ship date, quantity). ForwardFill (W5)
+    * carries the last observation across a dense scaffold; pre-window
+    * observations are slot-clamped onto the first scaffold day so the
+    * scaffold is bounded by the reporting window, not by history
+    * (ForwardFill's 100 TB posture). Sums run in DECIMAL and cast to
+    * DOUBLE at the very end — FP-summation-order-proof, so the DuckDB
+    * oracle hashes identically.
+    *
+    * @param monthEnd false → Q6: every day in [from, until];
+    *                 true  → Q7: dim_dates rows where datum ==
+    *                 last_day_of_month (create_dim_dates.py:43).
+    */
+  def stockByCategory(spark: SparkSession, sfDir: String,
+                      from: String, until: String, monthEnd: Boolean): DataFrame = {
+    val fromD = to_date(lit(from))
+    val untilD = to_date(lit(until))
+    val firstSlot = if (monthEnd) last_day(fromD) else fromD
+    val li = Tables.lineitem(spark, sfDir)
+    val obs = to_date(col("l_shipdate"))
+    val slot = if (monthEnd) greatest(last_day(obs), firstSlot) else greatest(obs, firstSlot)
+    val snaps = li
+      .where(obs <= untilD)
+      .select(
+        col("l_partkey").as("entity"),
+        slot.as("snap_date"),
+        col("l_quantity").cast("decimal(18,2)").as("value"),
+        col("l_shipdate").as("tb_ts"),
+        col("l_orderkey").as("tb_ok"),
+        col("l_linenumber").as("tb_ln"))
+    val dates = DimDates.build(spark).where(col("datum") >= fromD && col("datum") <= untilD)
+    val days = (if (monthEnd) dates.where(col("datum") === col("last_day_of_month")) else dates)
+      .select(col("datum"))
+    val filled = ForwardFill.fill(snaps, days, Seq("tb_ts", "tb_ok", "tb_ln"))
+    val cats = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("entity"), col("p_type").as("category"))
+    filled.join(broadcast(cats), Seq("entity"))
+      .groupBy(col("category"), col("datum"))
+      .agg(sum(col("value")).cast("double").as("stock"))
+      .orderBy("category", "datum")
   }
 
   /** Oracle-gated dump of the SCD2-EVENTS output (SURVEY.md §2.6):
