@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dims.DimDates
+import graft.media.Multimodal
 import graft.metrics.Metrics
+import graft.text.{TextAnalysis, TextDedup}
+import graft.vector.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,7 +46,21 @@ object SparkEntry {
     "q09_dim_orders_scd2" -> ((s, d) => Metrics.dimOrdersScd2(s, d)),
     "q10_dim_products_scd2" -> ((s, d) => Metrics.dimProductsScd2(s, d)),
     "q11_fact_orders_created" -> ((s, d) => Metrics.factOrdersCreated(s, d)),
+    "q12_dedup_exact" -> ((s, d) => TextDedup.exact(docs(s, d)).orderBy("doc_id")),
+    "q13_dedup_normalized" -> ((s, d) => TextDedup.normalized(docs(s, d)).orderBy("doc_id")),
+    "q14_dedup_minhash_lsh" -> ((s, d) => TextDedup.minhashLshPairs(docs(s, d))),
+    "q15_simhash_fingerprints" -> ((s, d) => TextDedup.simhashFingerprints(docs(s, d)).orderBy("doc_id")),
+    "q16_simhash_neardup" -> ((s, d) => TextDedup.simhashNearDup(docs(s, d))),
+    "q17_knn_cosine" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "q18_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
+    "q19_media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
+    "q20_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
+    "q21_lang_guess" -> ((s, d) => TextAnalysis.langGuess(docs(s, d)).orderBy("doc_id")),
+    "q22_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
   )
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
 
   /** Shared oracle CTE: the SCD2-EVENTS version chain over `events`
     * (dedup on (id,status) keep-first, re-sequence, chain with lead —
@@ -79,6 +96,36 @@ object SparkEntry {
       |  SELECT p_partkey, p_type || '_V2', p_retailprice + 1.0,
       |         TIMESTAMP '1998-01-01 00:00:00', TIMESTAMP '2999-12-31 23:59:59'
       |  FROM part WHERE p_partkey % 5 = 0)""".stripMargin
+
+  /** Shared oracle CTE: distinct word-3-gram shingles per document
+    * (mirrors TextDedup.shingleExpr). */
+  private val ShinglesCte: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+      |    list_transform(generate_series(1, len(w) - 2),
+      |                   i -> array_to_string(w[i:i+2], ' '))
+      |    ELSE []::VARCHAR[] END) AS shingles
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** Shared oracle CTE: per-document 32-bit simhash over shingles
+    * (mirrors TextDedup.simhashExpr). */
+  private val SimhashCte: String =
+    s"""$ShinglesCte,
+       |h60 AS (SELECT doc_id,
+       |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h60s
+       |  FROM sh),
+       |sim AS (SELECT doc_id,
+       |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
+       |    CASE WHEN len(list_filter(h60s, h -> ((h >> i) & 1) = 1)) * 2 > len(h60s)
+       |         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+       |  FROM h60)""".stripMargin
+
+  /** Shared oracle CTE: embeddings as double vectors with norms
+    * (mirrors Similarity.prepared). */
+  private val VecCte: String =
+    """en AS (
+      |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -223,5 +270,124 @@ object SparkEntry {
          |  strftime(created_time, '%Y-%m-%d %H:%M:%S.%f') AS created_time,
          |  first_status, value
          |FROM first_ev ORDER BY order_id""".stripMargin,
+    "q12_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q13_dedup_normalized" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                        ' +', ' ', 'g'))), 1, 15)) AS BIGINT) AS norm_hash
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, norm_hash, count(*) AS n_copies
+        |FROM n GROUP BY norm_hash ORDER BY doc_id""".stripMargin,
+    "q14_dedup_minhash_lsh" ->
+      s"""WITH $ShinglesCte,
+         |hs AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 15), j ->
+         |    coalesce(list_min(list_transform(h28s,
+         |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id,
+         |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+         |  FROM sig, generate_series(0, 7) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |jac AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |  CAST(len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
+    "q15_simhash_fingerprints" ->
+      s"""WITH $SimhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q16_simhash_neardup" ->
+      s"""WITH $SimhashCte,
+         |chunks AS (SELECT doc_id, simhash, c, (simhash >> (8*c)) & 255 AS chunk_val
+         |  FROM sim, generate_series(0, 3) t(c)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk_val = b.chunk_val
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q17_knn_cosine" ->
+      s"""WITH $VecCte,
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |SELECT qid, rank, nid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM p)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q18_ann_lsh" ->
+      s"""WITH $VecCte,
+         |bk AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
+         |    CASE WHEN list_dot_product(
+         |        list_transform(generate_series(1, 64), i ->
+         |          CAST(CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 7)) AS BIGINT)
+         |               % 2001 - 1000 AS DOUBLE)),
+         |        v) > CAST(0.0 AS DOUBLE)
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM en),
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT qid, rank, nid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM p)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q19_media_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(ws,
+        |      t2 -> CAST(floor((length(t2) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
+        |      CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
+        |      CAST(len(ws) AS DOUBLE) AS stopword_ratio
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_subwords, alpha_ratio, stopword_ratio,
+        |  (alpha_ratio * CAST(0.5 AS DOUBLE)) + (stopword_ratio * CAST(0.3 AS DOUBLE)) +
+        |  (least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |   * CAST(0.2 AS DOUBLE)) AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q21_lang_guess" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+        |  CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q22_doc_fingerprint" ->
+      """SELECT doc_id, CASE WHEN length(text) >= 8 THEN
+        |    list_min(list_transform(generate_series(1, length(text) - 7),
+        |      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)))
+        |  ELSE CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) END AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting (whitespace + a BPE-ish subword estimate), quality scoring,
+  * n-gram language identification, and document fingerprinting.
+  *
+  * Everything is built-in codegen'd expressions evaluated per row — no
+  * UDFs, no shuffles; at 100 TB these are pure map stages that fuse into
+  * whatever scan precedes them. Ratios divide exact integers so the
+  * DuckDB oracle reproduces every double bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the language-ID heuristic (tiny on purpose:
+    * deterministic, portable, and explainable — a real deployment would
+    * swap in per-language frequency tables, same plan shape). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "de", "et"))
+
+  private def words(c: String): String = s"filter(split($c, ' '), w -> w <> '')"
+
+  /** Token + character statistics and a composite quality score.
+    * docs columns: doc_id, text. Output per doc:
+    * n_chars, n_tokens, n_subwords (BPE-ish ⌈len/4⌉ per token),
+    * alpha_ratio, stopword_ratio, quality_score ∈ [0,1]. */
+  def stats(docs: DataFrame): DataFrame = {
+    val en = Stopwords("en").map(w => s"'$w'").mkString("(", ",", ")")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      expr(s"size(${words("text")})").cast("long").as("n_tokens"),
+      expr(s"""aggregate(${words("text")},
+              | 0L, (a, t) -> a + CAST(floor((length(t) + 3) / 4) AS BIGINT))""".stripMargin)
+        .as("n_subwords"),
+      (length(regexp_replace(lower(col("text")), "[^a-z ]", "")).cast("double") /
+        length(col("text")).cast("double")).as("alpha_ratio"),
+      expr(s"""CAST(size(filter(${words("text")}, w -> w IN $en)) AS DOUBLE)
+              | / CAST(size(${words("text")}) AS DOUBLE)""".stripMargin)
+        .as("stopword_ratio"))
+      .withColumn("quality_score",
+        (col("alpha_ratio") * lit(0.5)) + (col("stopword_ratio") * lit(0.3)) +
+          (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.2)))
+  }
+
+  /** N-gram/stopword language guess: count hits per language list, pick
+    * the max with a fixed tie order (en > de > es > fr). CJK scripts
+    * would need char-class counting instead of word splits — out of
+    * scope for the space-separated corpus, documented limitation. */
+  def langGuess(docs: DataFrame): DataFrame = {
+    def hits(lang: String): Column = {
+      val set = Stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
+      expr(s"size(filter(${words("text")}, w -> w IN $set))").cast("long")
+    }
+    docs.select(
+      col("doc_id"),
+      hits("en").as("en_hits"), hits("de").as("de_hits"),
+      hits("es").as("es_hits"), hits("fr").as("fr_hits"))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits"), "en")
+        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+        .when(col("es_hits") >= col("fr_hits"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Rolling-hash document fingerprint: min 28-bit hash over all char
+    * 8-grams (winnowing's global-window degenerate case — one value per
+    * doc; a full winnow would keep per-window minima, same plan shape). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("""CASE WHEN length(text) >= 8 THEN
+             |  array_min(transform(sequence(1, length(text) - 7),
+             |    i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 7), 16, 10) AS BIGINT)))
+             |  ELSE CAST(conv(substring(md5(text), 1, 7), 16, 10) AS BIGINT) END"""
+        .stripMargin).as("fingerprint"))
+}

@@ -1,0 +1,155 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Document deduplication operators for LLM training-data pipelines:
+  * exact, normalized, MinHash+LSH near-dup, and SimHash near-dup.
+  *
+  * Design notes (100 TB posture):
+  *  - Signatures (shingles → minhash/simhash) are computed per-row with
+  *    built-in codegen'd expressions — embarrassingly parallel, no
+  *    shuffle, no UDFs.
+  *  - Candidate generation is ALWAYS banded/bucketed (LSH bands or
+  *    hamming chunks): the only shuffles are hash-joins on band keys,
+  *    and the quadratic blow-up is confined to same-bucket groups.
+  *    All-pairs comparison never happens.
+  *  - Every hash is md5-derived ([[PortableHash]]) so the DuckDB oracle
+  *    reproduces results bit-for-bit.
+  *
+  * The shingle/banding parameters are chosen for provable recall at the
+  * dedup threshold: 16 permutations in 8 bands × 2 rows catches a
+  * jaccard-0.9 pair with p ≈ 1 − (1 − 0.81)⁸ ≈ 0.999998.
+  */
+object TextDedup {
+  /** Modulus for minhash permutations: largest prime < 2²⁸, so
+    * a·h + b stays far inside int64 for 28-bit h. */
+  val MinhashP = 268435399L
+  val MinhashK = 16
+  val LshBands = 8 // × 2 rows per band = 16 perms
+
+  /** Distinct word 3-gram shingles of a text column (SQL-expression
+    * column; `c` must be a column NAME, resolvable in scope). */
+  def shingleExpr(c: String): Column = expr(
+    s"""array_distinct(CASE WHEN size(split($c, ' ')) >= 3 THEN
+       |  transform(sequence(1, size(split($c, ' ')) - 2),
+       |            i -> concat_ws(' ', slice(split($c, ' '), i, 3)))
+       |  ELSE array() END)""".stripMargin)
+
+  /** 28-bit md5 hashes of an array-of-string column (for minhash). */
+  def h28Array(arrCol: String): Column = expr(
+    s"transform($arrCol, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))")
+
+  /** MinHash signature (length [[MinhashK]]) from a 28-bit-hash array
+    * column: sig[j] = min over shingles of ((2j+1)·h + 104729j + 7919)
+    * mod P. Empty input → all-P sentinel signature. */
+  def minhashExpr(hashArr: String): Column = expr(
+    s"""transform(sequence(0, ${MinhashK - 1}), j ->
+       |  coalesce(array_min(transform($hashArr,
+       |    h -> ((2*j + 1) * h + 104729*j + 7919) % ${MinhashP}L)), ${MinhashP}L))""".stripMargin)
+
+  /** 32-bit SimHash from a 60-bit-hash array column: bit i is set iff a
+    * strict majority of hashes have bit i set (ties → 0). */
+  def simhashExpr(hashArr: String): Column = expr(
+    s"""aggregate(transform(sequence(0, 31), i ->
+       |  CASE WHEN size(filter($hashArr, h -> (shiftright(h, i) & 1) = 1)) * 2
+       |            > size($hashArr)
+       |       THEN shiftleft(1L, i) ELSE 0L END), 0L, (a, x) -> a + x)""".stripMargin)
+
+  /** Exact dedup: one keeper (min id) per identical text + copy count.
+    * docs columns: doc_id, text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** Normalization used by [[normalized]]: lower, strip non-alnum,
+    * collapse runs of spaces, trim. Literal-space patterns only — `\s`
+    * classes differ subtly across regex engines. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalized dedup: group by md5-derived hash of the normalized text.
+    * Returns keeper id, the 60-bit norm hash, and the copy count. */
+  def normalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), PortableHash.h60(normText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("norm_hash"), col("n_copies"))
+
+  /** Per-document minhash signatures + LSH band keys, exploded to one row
+    * per (doc, band). Internal building block. */
+  private def bandedSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingles", shingleExpr("text"))
+      .withColumn("h28s", h28Array("shingles"))
+      .withColumn("sig", minhashExpr("h28s"))
+      .select(col("doc_id"), col("shingles"),
+        explode(expr(
+          s"""transform(sequence(0, ${LshBands - 1}), b -> struct(b AS band,
+             |  concat_ws('_', element_at(sig, 2*b + 1), element_at(sig, 2*b + 2)) AS band_key))"""
+            .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("shingles"), col("bk.band"), col("bk.band_key"))
+
+  /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
+    * candidates share ≥1 of 8 two-row bands; survivors have word-3-gram
+    * jaccard ≥ `threshold`. Output: doc_a < doc_b, jaccard.
+    *
+    * Scale: one shuffle on (band, band_key) for the candidate join, one
+    * distinct on the pair key; jaccard is evaluated only on candidates. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = bandedSignatures(docs)
+    val left = sigs.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val right = sigs.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val cand = left.join(right, Seq("band", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 32-bit SimHash fingerprints over word-3-gram shingles. */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shingles", shingleExpr("text"))
+      .withColumn("h60s", expr(
+        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), simhashExpr("h60s").as("simhash"))
+
+  /** SimHash near-duplicate pairs at hamming distance ≤ `maxHam` (≤ 3):
+    * candidates share ≥1 of the 4 byte-chunks of the fingerprint — by
+    * pigeonhole, any pair within hamming 3 of a 32-bit hash shares at
+    * least one unchanged byte, so chunk-bucketing has PERFECT recall at
+    * maxHam ≤ 3 (the scale path: no all-pairs hamming scan). */
+  def simhashNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "chunk bucketing guarantees recall only for maxHam <= 3")
+    val fp = simhashFingerprints(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, 8*c) & 255) AS chunk_val))"))
+          .as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.chunk_val"))
+    val left = fp.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val right = fp.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    left.join(right, Seq("chunk", "chunk_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def corpusDocs =
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+
+  test("exact dedup keeps min doc_id per text with copy counts") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"),
+      (7L, "alpha beta gamma")).toDF("doc_id", "text")
+    assertSameRows(
+      TextDedup.exact(docs).select(col("doc_id").cast("string"), col("n_copies").cast("string")),
+      Seq(Seq("1", "3"), Seq("3", "1")))
+  }
+
+  test("normalized dedup unifies case/punct/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO ... world  "),
+      (4L, "different text entirely")).toDF("doc_id", "text")
+    val out = TextDedup.normalized(docs)
+    assert(out.count() == 2)
+    assert(out.where(col("doc_id") === 1).select("n_copies").as[Long].head() == 3)
+  }
+
+  test("minhash LSH pairs == brute-force jaccard pairs on the corpus (perfect recall here)") {
+    val docs = corpusDocs
+    val lsh = TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    // Ground truth: all-pairs exact jaccard (test-only; never a prod path)
+    val sh = docs.withColumn("sh", TextDedup.shingleExpr("text")).select("doc_id", "sh")
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val truth = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("j") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    assert(truth.nonEmpty, "corpus should contain near-duplicates")
+    assert(lsh == truth, s"LSH missed ${truth.diff(lsh)} / extra ${lsh.diff(truth)}")
+  }
+
+  test("simhash neardup candidates have perfect recall at hamming<=3 (pigeonhole)") {
+    val docs = corpusDocs
+    val banded = TextDedup.simhashNearDup(docs, maxHam = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fp = TextDedup.simhashFingerprints(docs)
+    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val truth = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == truth)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("brute-force knn returns k ranked neighbors with valid cosines") {
+    val out = Similarity.knnBruteForce(embeddings, k = 3).cache()
+    val n = embeddings.count()
+    assert(out.count() == n * 3)
+    assert(out.where(col("cosine") > 1.0 || col("cosine") < -1.0).count() == 0)
+    // rank 1 cosine >= rank 3 cosine for every query
+    val bad = out.groupBy("qid")
+      .agg(min(when(col("rank") === 1, col("cosine"))).as("c1"),
+           max(when(col("rank") === 3, col("cosine"))).as("c3"))
+      .where(col("c1") < col("c3")).count()
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("ann lsh self-consistency: neighbors share the query's bucket and cosines match brute force") {
+    val ann = Similarity.annLsh(embeddings, planes = 6, dim = 64, k = 3)
+      .select("qid", "nid", "cosine").as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    val bf = Similarity.knnBruteForce(embeddings, k = 3)
+    // ANN is blocked by bucket, BF by label — where a pair appears in both,
+    // the cosine must be identical (same fold, same doubles).
+    val bfMap = bf.select("qid", "nid", "cosine").as[(Long, Long, Double)]
+      .collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    ann.foreach { case (q, n, c) =>
+      bfMap.get((q, n)).foreach(cbf => assert(cbf == c, s"cosine mismatch for ($q,$n)"))
+    }
+  }
+
+  test("hyperplanes are deterministic and distribute vectors across buckets") {
+    val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("bucket", Similarity.bucketExpr(6, 64))
+    val buckets = e.groupBy("bucket").count()
+    assert(buckets.count() > 8, "vectors should spread over many of the 64 buckets")
+    // determinism: same input → same buckets on recompute
+    val b1 = e.select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val b2 = e.select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+  }
+}
