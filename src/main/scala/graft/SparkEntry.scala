@@ -57,6 +57,7 @@ object SparkEntry {
     "q20_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
     "q21_lang_guess" -> ((s, d) => TextAnalysis.langGuess(docs(s, d)).orderBy("doc_id")),
     "q22_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "q23_sql_current_by_status" -> ((s, d) => Metrics.sqlCurrentOrdersByStatus(s, d)),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -126,6 +127,15 @@ object SparkEntry {
     """en AS (
       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
+
+  /** Q1 oracle, shared by the DataFrame (q08) and spark.sql-text (q23)
+    * implementations — both must match the same DuckDB result. */
+  private lazy val CurrentByStatusSql: String =
+    s"""$VersionsCte
+       |SELECT status, count(*) AS order_count FROM versions
+       |WHERE TIMESTAMP '2024-01-15 00:00:00' >= start_time
+       |  AND TIMESTAMP '2024-01-15 00:00:00' < end_time
+       |GROUP BY status ORDER BY status""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -245,12 +255,8 @@ object SparkEntry {
         |FROM filled JOIN part ON entity = p_partkey
         |WHERE value IS NOT NULL
         |GROUP BY category, datum ORDER BY category, datum""".stripMargin,
-    "q08_current_orders_by_status" ->
-      s"""$VersionsCte
-         |SELECT status, count(*) AS order_count FROM versions
-         |WHERE TIMESTAMP '2024-01-15 00:00:00' >= start_time
-         |  AND TIMESTAMP '2024-01-15 00:00:00' < end_time
-         |GROUP BY status ORDER BY status""".stripMargin,
+    "q08_current_orders_by_status" -> CurrentByStatusSql,
+    "q23_sql_current_by_status" -> CurrentByStatusSql,
     "q09_dim_orders_scd2" ->
       s"""$VersionsCte
          |SELECT order_id, status,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dims.DimDates
-import graft.operators.ForwardFill
+import graft.operators.{AsOfJoin, ForwardFill}
 import graft.warehouse.Warehouse
 
 /** The reference's declared analytic queries (SURVEY.md §2.8, Q1–Q7),
@@ -29,9 +29,7 @@ object Metrics {
     * (reference uses CURRENT_TIMESTAMP; injected for determinism). */
   def currentOrdersByStatus(spark: SparkSession, sfDir: String,
                             asOf: String = "2024-01-15 00:00:00"): DataFrame = {
-    val at = to_timestamp(lit(asOf))
-    Warehouse.dimOrders(spark, sfDir)
-      .where(at >= col("start_time") && at < col("end_time"))
+    AsOfJoin.currentAt(Warehouse.dimOrders(spark, sfDir), asOf)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("order_count"))
       .orderBy("status")
@@ -50,9 +48,7 @@ object Metrics {
     val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"), col("l_shipdate"))
     val dim = Warehouse.dimParts(spark, sfDir)
     val dates = DimDates.build(spark)
-    li.join(broadcast(dim),
-        li("l_partkey") === dim("id") &&
-        li("l_shipdate") >= dim("start_time") && li("l_shipdate") < dim("end_time"))
+    AsOfJoin(li, dim, "l_partkey", "id", li("l_shipdate"))
       .join(broadcast(dates), to_date(col("l_shipdate")) === dates("datum"))
       .groupBy(
         concat(col("year").cast("string"), lit("_"), col("quarter").cast("string"))
@@ -71,9 +67,7 @@ object Metrics {
     val at = to_timestamp(lit(asOf))
     val fact = Warehouse.factOrders(spark, sfDir)
     val dim = Warehouse.dimOrders(spark, sfDir)
-    fact.join(dim,
-        fact("order_id") === dim("order_id") &&
-        at >= dim("start_time") && at < dim("end_time"))
+    AsOfJoin(fact, dim, "order_id", "order_id", at)
       .where(dim("status") =!= lit("purchase") &&
              fact("created_time") < date_trunc("month", at))
       .agg(count(lit(1)).as("order_count"))
@@ -154,6 +148,20 @@ object Metrics {
       .groupBy(col("category"), col("datum"))
       .agg(sum(col("value")).cast("double").as("stock"))
       .orderBy("category", "datum")
+  }
+
+  /** S9 (the BI read path, docker-compose.yml:117-125 / SURVEY.md §3.3):
+    * the same Q1 metric expressed as SQL TEXT over a registered temp
+    * view — proving the `spark.sql` entry surface end-to-end. Any §2.8
+    * query can run this way; one is registered as the gate. */
+  def sqlCurrentOrdersByStatus(spark: SparkSession, sfDir: String,
+                               asOf: String = "2024-01-15 00:00:00"): DataFrame = {
+    Warehouse.dimOrders(spark, sfDir).createOrReplaceTempView("dim_orders")
+    spark.sql(
+      s"""SELECT status, count(1) AS order_count
+         |FROM dim_orders
+         |WHERE TIMESTAMP '$asOf' >= start_time AND TIMESTAMP '$asOf' < end_time
+         |GROUP BY status ORDER BY status""".stripMargin)
   }
 
   /** Oracle-gated dump of the SCD2-EVENTS output (SURVEY.md §2.6):

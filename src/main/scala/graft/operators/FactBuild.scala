@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   * reuses.
   */
 object FactBuild {
-  /** events columns: key, event_time, tiebreak, payload...
+  /** events columns: key, event_time, payload... (plus an optional
+    * `tiebreak` column — synthesized as a deterministic row hash when
+    * absent, mirroring Scd2.eventsMerge).
     * dimDates columns: id (yyyyMMdd), datum.
     * Returns one row per key: payload + created_date_id + created_time. */
-  def firstEventFacts(events: DataFrame, dimDates: DataFrame): DataFrame = {
+  def firstEventFacts(events0: DataFrame, dimDates: DataFrame): DataFrame = {
+    val events =
+      if (events0.columns.contains("tiebreak")) events0
+      else events0.withColumn("tiebreak", graft.functions.PortableHash.h60(
+        concat_ws("|", events0.columns.map(c => col(c).cast("string")): _*)))
     val w = Window.partitionBy(col("key")).orderBy(col("event_time"), col("tiebreak"))
     val first = events.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
     val dates = dimDates.select(col("id").as("created_date_id"), col("datum"))

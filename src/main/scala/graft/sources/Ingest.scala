@@ -21,6 +21,27 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
+  /** S1: file-readiness precondition — the engine-side equivalent of the
+    * reference's BashSensor `ls` poll (process_orders.py:23-28). Batch
+    * callers gate on it; streaming ingestion (StreamIngest) subsumes it
+    * entirely by watching the directory. */
+  def ready(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S4: idempotent persisted-table DDL — create the parquet location
+    * with `schema` if it does not exist yet (CREATE TABLE IF NOT EXISTS,
+    * process_orders_sqls.py:3-11). */
+  def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit =
+    if (!ready(spark, path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(path)
+
+  /** S6: plain append insert (INSERT…SELECT, process_orders_sqls.py:41-50). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
   /** S2: read a headered CSV with an explicit schema and stamp the batch
     * timestamp, exactly like normalize_csv appends `ts` to every row. */
   def readCsv(spark: SparkSession, path: String, schema: StructType, batchTs: String): DataFrame =
