@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of codegen-heavy queries in one JVM overflow the default
+  // 240m reserved code cache; eviction then de-optimizes hot loops
+  // (measured 6x slowdown on the minhash query mid-bench).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -30,7 +30,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(dir: String, name: String): Option[String] =
-      try { SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save(); None }
+      try {
+        // operators persist shared intermediates; drop them between
+        // queries so measurements are independent and memory stays flat
+        spark.catalog.clearCache()
+        SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+        None
+      }
       catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
 
     warmDir.foreach(w => SparkEntry.queries.keys.foreach(run(w, _)))

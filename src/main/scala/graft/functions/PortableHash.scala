@@ -29,4 +29,12 @@ object PortableHash {
     val hex = md.digest(s.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+
+  /** JVM-side twin of [[h28]] — e.g. for folding derived constants
+    * (LSH hyperplanes) into literals at plan-build time. */
+  def h28jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
 }

@@ -45,19 +45,32 @@ object TextDedup {
 
   /** MinHash signature (length [[MinhashK]]) from a 28-bit-hash array
     * column: sig[j] = min over shingles of ((2j+1)·h + 104729j + 7919)
-    * mod P. Empty input → all-P sentinel signature. */
+    * mod P. Empty input → all-P sentinel signature.
+    *
+    * Shaped as ONE fold over the hash array (shingles outer, perms
+    * inner): a perms-outer `transform` would reference the array once
+    * per permutation, and Catalyst inlines column aliases into lambda
+    * bodies — re-evaluating the whole shingle+md5 subtree 16× per row
+    * (measured 13× slowdown before this rewrite). */
   def minhashExpr(hashArr: String): Column = expr(
-    s"""transform(sequence(0, ${MinhashK - 1}), j ->
-       |  coalesce(array_min(transform($hashArr,
-       |    h -> ((2*j + 1) * h + 104729*j + 7919) % ${MinhashP}L)), ${MinhashP}L))""".stripMargin)
+    s"""aggregate($hashArr,
+       |  array_repeat(${MinhashP}L, $MinhashK),
+       |  (sig, h) -> zip_with(sig, sequence(0, ${MinhashK - 1}),
+       |    (m, j) -> least(m, ((2*j + 1) * h + 104729*j + 7919) % ${MinhashP}L)))""".stripMargin)
 
   /** 32-bit SimHash from a 60-bit-hash array column: bit i is set iff a
-    * strict majority of hashes have bit i set (ties → 0). */
+    * strict majority of hashes have bit i set (ties → 0).
+    * Single fold (see [[minhashExpr]] for why): the accumulator carries
+    * per-bit counts + the element count, the finish lambda assembles the
+    * hash. */
   def simhashExpr(hashArr: String): Column = expr(
-    s"""aggregate(transform(sequence(0, 31), i ->
-       |  CASE WHEN size(filter($hashArr, h -> (shiftright(h, i) & 1) = 1)) * 2
-       |            > size($hashArr)
-       |       THEN shiftleft(1L, i) ELSE 0L END), 0L, (a, x) -> a + x)""".stripMargin)
+    s"""aggregate($hashArr,
+       |  struct(array_repeat(0L, 32) AS cnt, 0L AS n),
+       |  (acc, h) -> struct(zip_with(acc.cnt, sequence(0, 31),
+       |      (c, i) -> c + (shiftright(h, i) & 1)) AS cnt, acc.n + 1 AS n),
+       |  acc -> aggregate(zip_with(acc.cnt, sequence(0, 31),
+       |      (c, i) -> CASE WHEN c * 2 > acc.n THEN shiftleft(1L, i) ELSE 0L END),
+       |    0L, (a, x) -> a + x))""".stripMargin)
 
   /** Exact dedup: one keeper (min id) per identical text + copy count.
     * docs columns: doc_id, text. */
@@ -80,37 +93,46 @@ object TextDedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("norm_hash"), col("n_copies"))
 
-  /** Per-document minhash signatures + LSH band keys, exploded to one row
-    * per (doc, band). Internal building block. */
+  /** Per-document LSH band keys, one NARROW row per (doc, band) — the
+    * "signature table" a production pipeline would materialize to
+    * parquet. Persisted because the candidate self-join probes it twice
+    * (without it Spark re-evaluates the whole shingle+md5+minhash
+    * subtree per join side — the round-1 snapshotMerge lesson).
+    * Footprint is O(docs × 8) short rows. */
   private def bandedSignatures(docs: DataFrame): DataFrame =
     docs
       .withColumn("shingles", shingleExpr("text"))
       .withColumn("h28s", h28Array("shingles"))
       .withColumn("sig", minhashExpr("h28s"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${LshBands - 1}), b -> struct(b AS band,
              |  concat_ws('_', element_at(sig, 2*b + 1), element_at(sig, 2*b + 2)) AS band_key))"""
             .stripMargin)).as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band"), col("bk.band_key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+      .persist()
 
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
     * candidates share ≥1 of 8 two-row bands; survivors have word-3-gram
     * jaccard ≥ `threshold`. Output: doc_a < doc_b, jaccard.
     *
-    * Scale: one shuffle on (band, band_key) for the candidate join, one
-    * distinct on the pair key; jaccard is evaluated only on candidates. */
+    * Scale: candidates come from a self-join of the narrow persisted
+    * band table (shuffle carries only (doc_id, band, band_key) — never
+    * shingle arrays); pairs are deduped while still narrow, and the
+    * shingle sets are attached only to surviving candidates for the
+    * exact-jaccard check. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sigs = bandedSignatures(docs)
-    val left = sigs.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val right = sigs.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    val cand = left.join(right, Seq("band", "band_key"))
+    val cand = sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band", "band_key"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val sh = docs.withColumn("shingles", shingleExpr("text")).select(col("doc_id"), col("shingles"))
     cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
@@ -134,7 +156,8 @@ object TextDedup {
     * maxHam ≤ 3 (the scale path: no all-pairs hamming scan). */
   def simhashNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam <= 3, "chunk bucketing guarantees recall only for maxHam <= 3")
-    val fp = simhashFingerprints(docs)
+    // narrow (doc_id, simhash) persisted: probed twice by the self-join
+    val fp = simhashFingerprints(docs).persist()
       .select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, 8*c) & 255) AS chunk_val))"))

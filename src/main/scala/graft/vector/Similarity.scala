@@ -42,9 +42,11 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
 
   /** Exact cosine top-k per vector within its `label` block.
-    * Output: qid, rank (1..k), nid, cosine — ties broken by nid. */
+    * Output: qid, rank (1..k), nid, cosine — ties broken by nid.
+    * The prepared (vector, norm) table is persisted: the pair join
+    * probes it twice, and recomputing norms per side doubles the work. */
   def knnBruteForce(embeddings: DataFrame, k: Int = 3): DataFrame = {
-    val e = prepared(embeddings)
+    val e = prepared(embeddings).persist()
     val q = e.select(col("vec_id").as("qid"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val n = e.select(col("vec_id").as("nid"), col("label"),
@@ -57,22 +59,25 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Deterministic md5-derived hyperplane row j (as a SQL fragment with
-    * free variable `j`): dim integers in [-1000, 1000] cast to double. */
-  private def planeRowSql(dim: Int): String =
-    s"""transform(sequence(1, $dim), i ->
-       |  CAST(CAST(conv(substring(md5(concat('hp_', j, '_', i)), 1, 7), 16, 10) AS BIGINT)
-       |       % 2001 - 1000 AS DOUBLE))""".stripMargin
+  /** Deterministic md5-derived hyperplane matrix, computed ONCE at
+    * plan-build time on the JVM ([[PortableHash.h28jvm]] is the exact
+    * twin of the oracle's md5 arithmetic) and shipped as literals — an
+    * expression-side md5 would run planes×dim digests per ROW, since
+    * lambda-bound variables block constant folding. */
+  def planeMatrix(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(j => (1 to dim).map(i =>
+      (graft.functions.PortableHash.h28jvm(s"hp_${j}_$i") % 2001 - 1000).toDouble).toSeq)
 
   /** Random-hyperplane LSH bucket id (0 .. 2^planes − 1) for column `v`
-    * (array<double>): bit j = sign(w_j · v). Self-contained — the plane
-    * matrix is inlined, constant-folded by Catalyst. */
+    * (array<double>): bit j = sign(w_j · v), the same sequential fold as
+    * [[dotExpr]] against each literal plane row. */
   def bucketExpr(planes: Int, dim: Int): Column =
-    expr(s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, j) ->
-            |  acc + CASE WHEN aggregate(zip_with(${planeRowSql(dim)}, v,
-            |                            (x, y) -> x * y),
-            |                  CAST(0.0 AS DOUBLE), (a2, x) -> a2 + x) > CAST(0.0 AS DOUBLE)
-            |             THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
+    planeMatrix(planes, dim).zipWithIndex.map { case (row, j) =>
+      val planeDot = aggregate(
+        zip_with(typedLit(row), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(planeDot > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** ANN top-k via hyperplane-LSH bucketing: exact cosine only within a
     * bucket. Vectors in sparse buckets may return fewer than k
@@ -81,6 +86,7 @@ object Similarity {
     val e = prepared(embeddings)
       .withColumn("bucket", bucketExpr(planes, dim))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .persist() // probed twice; bucket hashing is the expensive map stage
     val q = e.select(col("vec_id").as("qid"), col("bucket"),
       col("v").as("va"), col("nrm").as("na"))
     val n = e.select(col("vec_id").as("nid"), col("bucket"),
