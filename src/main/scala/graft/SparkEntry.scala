@@ -58,6 +58,7 @@ object SparkEntry {
     "q21_lang_guess" -> ((s, d) => TextAnalysis.langGuess(docs(s, d)).orderBy("doc_id")),
     "q22_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "q23_sql_current_by_status" -> ((s, d) => Metrics.sqlCurrentOrdersByStatus(s, d)),
+    "q24_embedding_neardup" -> ((s, d) => Similarity.cosineNearDup(Tables.embeddings(s, d))),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -389,6 +390,13 @@ object SparkEntry {
         |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
         |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q24_embedding_neardup" ->
+      s"""WITH $VecCte
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= CAST(0.4 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin,
     "q22_doc_fingerprint" ->
       """SELECT doc_id, CASE WHEN length(text) >= 8 THEN
         |    list_min(list_transform(generate_series(1, length(text) - 7),

@@ -109,14 +109,23 @@ object Scd2 {
     val byIdStatus = Window.partitionBy(col("id"), col("status"))
       .orderBy(col("event_time"), col("tiebreak"))
 
-    // Step 1: earliest incoming event per id (W1) closes a differing current row.
+    // Step 1: earliest incoming event per id (W1) closes a differing current
+    // row — but only one that STARTED BEFORE that event. Without the time
+    // guard, replaying a batch re-closes the version the batch itself
+    // produced (caught by the ScalaCheck idempotence property); with it,
+    // normal daily flow is untouched (yesterday's versions always predate
+    // today's events) and re-runs are true no-ops. The reference itself
+    // would corrupt here (no guard in process_orders_sqls.py:100-105) —
+    // documented divergence, like the insert-side guard below.
     val firstEvent = events
       .withColumn("rn", row_number().over(byIdTime)).where(col("rn") === 1)
-      .select(col("id").as("evt_id"), col("status").as("evt_status"))
+      .select(col("id").as("evt_id"), col("status").as("evt_status"),
+        col("event_time").as("evt_time"))
     val isCurrent = ts >= col("start_time") && ts < col("end_time")
     val closed = dim.join(firstEvent, col("order_id") === col("evt_id"), "left")
       .withColumn("end_time",
-        when(isCurrent && col("evt_id").isNotNull && !(col("status") <=> col("evt_status")), ts)
+        when(isCurrent && col("evt_id").isNotNull && !(col("status") <=> col("evt_status")) &&
+             col("start_time") < col("evt_time"), ts)
           .otherwise(col("end_time")))
       .select(dim.columns.map(col): _*)
 

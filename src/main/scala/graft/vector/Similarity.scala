@@ -59,6 +59,23 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs inside a
+    * `label` block with cosine ≥ `threshold` — the thresholded sibling
+    * of [[knnBruteForce]] (dedup semantics instead of retrieval). Same
+    * blocking discipline: never all-pairs across blocks. */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val e = prepared(embeddings).persist()
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+      .where(col("cosine") >= lit(threshold))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Deterministic md5-derived hyperplane matrix, computed ONCE at
     * plan-build time on the JVM ([[PortableHash.h28jvm]] is the exact
     * twin of the oracle's md5 arithmetic) and shipped as literals — an

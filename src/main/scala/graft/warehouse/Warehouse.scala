@@ -87,7 +87,11 @@ object Warehouse {
     val d1 = Scd2.snapshotMerge(
       emptyDim(spark, partsDimSchema), partsSnapshot1(spark, sfDir),
       Seq("category", "price"), PartsBatch1)
-    Scd2.snapshotMerge(d1, partsSnapshot2(spark, sfDir),
+    // Materialize between batches, as production does with a parquet
+    // swap (Ingest.overwriteSwap): merge N+1 probes its input dim three
+    // times, and chaining lazily compounds that into an exponentially
+    // duplicated join tree (a 291-node plan before this persist).
+    Scd2.snapshotMerge(d1.persist(), partsSnapshot2(spark, sfDir),
       Seq("category", "price"), PartsBatch2)
   }
 
