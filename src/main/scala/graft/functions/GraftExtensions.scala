@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Engine extension point (SparkSessionExtensions): registers graft's
+  * native SQL functions. Enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * — every graft entry point (Verify/Bench/tests) does.
+  *
+  * Registered functions:
+  *  - `md5_prefix(str, digits)` → BIGINT ([[Md5Prefix]]): portable
+  *    md5-derived hash, callable inside lambda bodies of higher-order
+  *    functions (where Column-level builders can't reach).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix"),
+      new ExpressionInfo(classOf[Md5Prefix].getName, "md5_prefix"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "md5_prefix(str, digits)")
+        val digits = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().toString.toInt
+        }
+        Md5Prefix(children.head, digits)
+      }))
+  }
+}

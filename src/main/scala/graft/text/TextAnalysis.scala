@@ -33,7 +33,7 @@ object TextAnalysis {
     * alpha_ratio, stopword_ratio, quality_score ∈ [0,1]. */
   def stats(docs: DataFrame): DataFrame = {
     val en = Stopwords("en").map(w => s"'$w'").mkString("(", ",", ")")
-    docs.select(
+    graft.Par.fanOut(docs).select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       expr(s"size(${words("text")})").cast("long").as("n_tokens"),
@@ -75,11 +75,11 @@ object TextAnalysis {
     * 8-grams (winnowing's global-window degenerate case — one value per
     * doc; a full winnow would keep per-window minima, same plan shape). */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Par.fanOut(docs).select(
       col("doc_id"),
       expr("""CASE WHEN length(text) >= 8 THEN
              |  array_min(transform(sequence(1, length(text) - 7),
-             |    i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 7), 16, 10) AS BIGINT)))
-             |  ELSE CAST(conv(substring(md5(text), 1, 7), 16, 10) AS BIGINT) END"""
+             |    i -> md5_prefix(substring(text, i, 8), 7)))
+             |  ELSE md5_prefix(text, 7) END"""
         .stripMargin).as("fingerprint"))
 }

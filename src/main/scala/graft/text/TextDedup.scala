@@ -39,9 +39,10 @@ object TextDedup {
        |            i -> concat_ws(' ', slice(split($c, ' '), i, 3)))
        |  ELSE array() END)""".stripMargin)
 
-  /** 28-bit md5 hashes of an array-of-string column (for minhash). */
+  /** 28-bit md5 hashes of an array-of-string column (for minhash) —
+    * via the native md5_prefix expression (GraftExtensions). */
   def h28Array(arrCol: String): Column = expr(
-    s"transform($arrCol, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))")
+    s"transform($arrCol, s -> md5_prefix(s, 7))")
 
   /** MinHash signature (length [[MinhashK]]) from a 28-bit-hash array
     * column: sig[j] = min over shingles of ((2j+1)·h + 104729j + 7919)
@@ -100,7 +101,7 @@ object TextDedup {
     * subtree per join side — the round-1 snapshotMerge lesson).
     * Footprint is O(docs × 8) short rows. */
   private def bandedSignatures(docs: DataFrame): DataFrame =
-    docs
+    graft.Par.fanOut(docs)
       .withColumn("shingles", shingleExpr("text"))
       .withColumn("h28s", h28Array("shingles"))
       .withColumn("sig", minhashExpr("h28s"))
@@ -129,7 +130,7 @@ object TextDedup {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sh = docs.withColumn("shingles", shingleExpr("text")).select(col("doc_id"), col("shingles"))
+    val sh = graft.Par.fanOut(docs).withColumn("shingles", shingleExpr("text")).select(col("doc_id"), col("shingles"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
@@ -143,10 +144,9 @@ object TextDedup {
 
   /** Per-document 32-bit SimHash fingerprints over word-3-gram shingles. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs
+    graft.Par.fanOut(docs)
       .withColumn("shingles", shingleExpr("text"))
-      .withColumn("h60s", expr(
-        "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("h60s", expr("transform(shingles, s -> md5_prefix(s, 15))"))
       .select(col("doc_id"), simhashExpr("h60s").as("simhash"))
 
   /** SimHash near-duplicate pairs at hamming distance ≤ `maxHam` (≤ 3):

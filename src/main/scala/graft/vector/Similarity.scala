@@ -36,7 +36,7 @@ object Similarity {
   /** Vectors with their L2 norms precomputed (norm once per row, not per
     * pair). Input columns: vec_id, label, embedding: array<float>. */
   private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings
+    graft.Par.fanOut(embeddings)
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(dotExpr("v", "v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
