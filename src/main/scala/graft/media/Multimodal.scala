@@ -63,6 +63,39 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int, media: Array[Byte])
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB resize: a real deployment decodes, scales, re-encodes; the
+    * deterministic stand-in truncates the payload proportionally to the
+    * target area so output sizes are testable. Same mapPartitions
+    * shape as [[decodeFeatures]]. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("meta.kind").as("kind")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = math.max(1, math.min(r.media.length, (w.toLong * h / 2048).toInt))
+          ResizedMedia(r.doc_id, w, h, java.util.Arrays.copyOf(r.media, n))
+        }
+      }
+  }
+
+  /** STUB frame sampling (video → every k-th frame): slices the payload
+    * into fixed-size pseudo-frames and keeps every `stride`-th one. One
+    * input row fans out to many frame rows — the flatMap shape any real
+    * frame sampler has. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("meta.kind").as("kind")).as[MediaRow]
+      .flatMap { r =>
+        r.media.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % stride == 0 => FrameSample(r.doc_id, idx, frame)
+        }
+      }
+  }
+
   /** Oracle-checkable stats over the binary payload — byte length and
     * md5 content digest are portable (identical on any engine). */
   def mediaStats(docs: DataFrame): DataFrame =

@@ -19,6 +19,23 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("n_bytes") > 0)
   }
 
+  test("resize and frame-sample stubs keep the batch shape and fan out deterministically") {
+    val media = Multimodal.mediaTable(docs)
+    val resized = Multimodal.resize(spark, media, 320, 240).collect()
+    assert(resized.length == docs.count())
+    resized.foreach { r =>
+      assert(r.width == 320 && r.height == 240)
+      assert(r.media.length <= 320 * 240 / 2048 && r.media.length >= 1)
+    }
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 64, stride = 4)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).forall(_ % 4 == 0)) // only every 4th frame kept
+      assert(fs.forall(_.frame.length <= 64))
+    }
+  }
+
   test("partition-local decode produces deterministic features of the right shape") {
     val feats = Multimodal.decodeFeatures(spark, Multimodal.mediaTable(docs))
     val rows = feats.collect()

@@ -78,4 +78,38 @@ class ProcessOrdersSpec extends SparkSpec {
     assert(rowsOf(s2again.dimOrders) == rowsOf(s2.dimOrders))
     assert(rowsOf(s2again.factOrders) == rowsOf(s2.factOrders))
   }
+
+  test("production shape: state parquet-materialized between days via overwriteSwap") {
+    import graft.sources.Ingest
+    val base = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    def load(name: String) = spark.read.parquet(s"$base/$name")
+    def store(df: org.apache.spark.sql.DataFrame, name: String) =
+      Ingest.overwriteSwap(spark, df, s"$base/$name")
+
+    val day1p = products(("p1", "widget", "X", 10.0))
+    val day2p = products(("p1", "widget", "Z", 10.0))
+    val day1o = orders(("100", "p1", 1.0, 10.0, "created", "2019-01-01 09:00:00"))
+    val day2o = orders(("100", "p1", 1.0, 10.0, "completed", "2019-01-02 11:00:00"))
+
+    val s0 = ProcessOrders.emptyState(spark, day1p, day1o)
+    val s1 = ProcessOrders.runDay(spark, s0, day1p, day1o, "2019-01-01 00:00:00")
+    store(s1.dimProducts, "dim_products"); store(s1.dimOrders, "dim_orders")
+    store(s1.factOrders, "fact_orders")
+
+    // day 2 reads yesterday's parquet — the swap means the read path
+    // never overlaps the rewrite
+    val s1FromDisk = ProcessOrders.WarehouseState(
+      load("dim_products"), load("dim_orders"), load("fact_orders"))
+    val s2 = ProcessOrders.runDay(spark, s1FromDisk, day2p, day2o, "2019-01-02 00:00:00")
+    store(s2.dimProducts, "dim_products"); store(s2.dimOrders, "dim_orders")
+    store(s2.factOrders, "fact_orders")
+
+    val o = load("dim_orders").select(col("order_id"), col("status"),
+        col("start_time").cast("string"), col("end_time").cast("string"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(o == Set(
+      ("100", "created", "2019-01-01 09:00:00", "2019-01-02 00:00:00"),
+      ("100", "completed", "2019-01-02 11:00:00", Sentinel)))
+    assert(load("dim_products").count() == 2 && load("fact_orders").count() == 1)
+  }
 }

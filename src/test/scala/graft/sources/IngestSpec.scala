@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 class IngestSpec extends SparkSpec {
+
+  test("ready / ensureTable / append cover the remaining DDL surface") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val path = s"$base/t"
+    val schema = StructType(Seq(StructField("id", StringType), StructField("v", IntegerType)))
+
+    assert(!Ingest.ready(spark, path))
+    Ingest.ensureTable(spark, path, schema)          // creates empty
+    assert(Ingest.ready(spark, path))
+    assert(spark.read.parquet(path).count() == 0)
+    Ingest.ensureTable(spark, path, schema)          // idempotent no-op
+
+    import spark.implicits._
+    Ingest.append(Seq(("a", 1)).toDF("id", "v"), path)
+    Ingest.append(Seq(("b", 2)).toDF("id", "v"), path)
+    assert(spark.read.parquet(path).count() == 2)
+  }
   import spark.implicits._
 
   test("readCsv reads the reference sample products CSV and stamps processed_time") {
