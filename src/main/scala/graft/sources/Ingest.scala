@@ -42,6 +42,14 @@ object Ingest {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Warehouse layout: append partitioned by the batch date
+    * (docs/guides.md:61-62 / SURVEY.md §4) so incremental reprocessing
+    * and date-ranged reads prune partitions at the scan — the dominant
+    * IO saver once the fact table holds years of daily batches. */
+  def appendPartitioned(df: DataFrame, path: String,
+                        partitionCol: String = "processed_date"): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+
   /** S2: read a headered CSV with an explicit schema and stamp the batch
     * timestamp, exactly like normalize_csv appends `ts` to every row. */
   def readCsv(spark: SparkSession, path: String, schema: StructType, batchTs: String): DataFrame =

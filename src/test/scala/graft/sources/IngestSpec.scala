@@ -6,6 +6,23 @@ import org.apache.spark.sql.types._
 
 class IngestSpec extends SparkSpec {
 
+  test("appendPartitioned lays out batch-date partitions that prune at the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/fact"
+    Ingest.appendPartitioned(
+      Seq(("a", 1)).toDF("id", "v").withColumn("processed_date", lit("2019-01-01")), path)
+    Ingest.appendPartitioned(
+      Seq(("b", 2)).toDF("id", "v").withColumn("processed_date", lit("2019-01-02")), path)
+
+    val pruned = spark.read.parquet(path).where(col("processed_date") === "2019-01-02")
+    assert(pruned.select("id").as[String].collect().toSeq == Seq("b"))
+    // the filter lands in the scan's PartitionFilters, not a post-scan Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("processed_date"),
+      s"expected partition pruning in:\n$plan")
+  }
+
   test("ready / ensureTable / append cover the remaining DDL surface") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
