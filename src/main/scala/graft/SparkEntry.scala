@@ -59,6 +59,7 @@ object SparkEntry {
     "q22_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "q23_sql_current_by_status" -> ((s, d) => Metrics.sqlCurrentOrdersByStatus(s, d)),
     "q24_embedding_neardup" -> ((s, d) => Similarity.cosineNearDup(Tables.embeddings(s, d))),
+    "q25_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -397,6 +398,22 @@ object SparkEntry {
          |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
          |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
          |WHERE cosine >= CAST(0.4 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin,
+    "q25_ann_ivf" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en ORDER BY vec_id LIMIT 8),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c) WHERE rn = 1),
+         |ea AS (SELECT en.vec_id, v, nrm, cell FROM en JOIN assign ON en.vec_id = assign.vec_id),
+         |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM ea a JOIN ea b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT qid, rank, nid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM p)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "q22_doc_fingerprint" ->
       """SELECT doc_id, CASE WHEN length(text) >= 8 THEN
         |    list_min(list_transform(generate_series(1, length(text) - 7),

@@ -96,6 +96,35 @@ object Similarity {
       when(planeDot > lit(0.0), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: coarse-quantize every vector to its nearest of
+    * `ncells` centroids (here the first `ncells` vectors by id — a
+    * deterministic stand-in for trained k-means centroids, broadcast
+    * exactly as trained ones would be), then exact top-k WITHIN the
+    * probe's own cell. The production path for billion-vector corpora:
+    * assignment is a broadcast map stage, search cost divides by the
+    * cell count; recall rises with multi-probe (nprobe>1 = take top-n
+    * cells in the assignment window — same plan shape). */
+  def annIvf(embeddings: DataFrame, ncells: Int = 8, k: Int = 3): DataFrame = {
+    val e = prepared(embeddings).persist()
+    val cent = e.orderBy("vec_id").limit(ncells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .persist() // narrow (vec_id, cell); probed twice below
+    val ea = e.join(assign, Seq("vec_id"))
+    val q = ea.select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val n = ea.select(col("vec_id").as("nid"), col("cell"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = q.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN top-k via hyperplane-LSH bucketing: exact cosine only within a
     * bucket. Vectors in sparse buckets may return fewer than k
     * neighbors — the accepted ANN trade-off (recall measured in tests). */
