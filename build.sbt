@@ -34,5 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Dozens of codegen-heavy queries in one JVM overflow the default
   // 240m reserved code cache; eviction then de-optimizes hot loops
   // (measured 6x slowdown on the minhash query mid-bench).
-  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

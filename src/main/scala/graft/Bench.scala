@@ -33,8 +33,12 @@ object Bench {
     def run(dir: String, name: String): Option[String] =
       try {
         // operators persist shared intermediates; drop them between
-        // queries so measurements are independent and memory stays flat
+        // queries so measurements are independent and memory stays flat.
+        // The explicit GC lets the ContextCleaner reap dead broadcast /
+        // shuffle state — with a large heap it otherwise accumulates for
+        // dozens of queries and degrades late queries unpredictably.
         spark.catalog.clearCache()
+        System.gc()
         SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
         None
       }
