@@ -50,6 +50,15 @@ object Ingest {
                         partitionCol: String = "processed_date"): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
+  /** Bucketed (co-located) warehouse table: write bucketed+sorted by the
+    * join key via the session catalog (bucket metadata lives there, not
+    * in parquet). Two tables bucketed the same way equi-join with ZERO
+    * shuffle — the SURVEY §4 co-location tool for repeated big-big joins
+    * (e.g. fact ⋈ fact on order id) where neither side broadcasts. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** S2: read a headered CSV with an explicit schema and stamp the batch
     * timestamp, exactly like normalize_csv appends `ts` to every row. */
   def readCsv(spark: SparkSession, path: String, schema: StructType, batchTs: String): DataFrame =

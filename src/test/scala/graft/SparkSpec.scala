@@ -13,7 +13,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

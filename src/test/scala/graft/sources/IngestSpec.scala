@@ -6,6 +6,32 @@ import org.apache.spark.sql.types._
 
 class IngestSpec extends SparkSpec {
 
+  test("bucketed tables equi-join with zero shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the in-memory catalog forgets tables between JVM runs but their
+    // warehouse directories survive — clear both before writing
+    Seq("bk_facts", "bk_other").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "a")
+    val other = (1 to 500).map(i => (i.toLong % 100, i)).toDF("k", "b")
+    Ingest.writeBucketed(facts, "bk_facts", "k", 4)
+    Ingest.writeBucketed(other, "bk_other", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+      val joined = spark.table("bk_facts").join(spark.table("bk_other"), "k")
+      assert(joined.count() == 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("appendPartitioned lays out batch-date partitions that prune at the scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
