@@ -104,19 +104,25 @@ object Similarity {
     * assignment is a broadcast map stage, search cost divides by the
     * cell count; recall rises with multi-probe (nprobe>1 = take top-n
     * cells in the assignment window — same plan shape). */
-  def annIvf(embeddings: DataFrame, ncells: Int = 8, k: Int = 3): DataFrame = {
+  def annIvf(embeddings: DataFrame, ncells: Int = 8, k: Int = 3, nprobe: Int = 1): DataFrame = {
     val e = prepared(embeddings).persist()
     val cent = e.orderBy("vec_id").limit(ncells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cent))
+    val ranked = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-      .persist() // narrow (vec_id, cell); probed twice below
-    val ea = e.join(assign, Seq("vec_id"))
-    val q = ea.select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
-    val n = ea.select(col("vec_id").as("nid"), col("cell"), col("v").as("vb"), col("nrm").as("nb"))
+      .withColumn("rn", row_number().over(wAssign))
+      .select(col("vec_id"), col("cid").as("cell"), col("rn"))
+      .persist() // narrow (vec_id, cell, rn); probed twice below
+    // index side: every vector lives in its ONE nearest cell; probe
+    // side: search the query's top-nprobe cells. Each (qid, nid) pair
+    // appears at most once because the index assignment is unique.
+    val indexAssign = ranked.where(col("rn") === 1).drop("rn")
+    val probeAssign = ranked.where(col("rn") <= nprobe).drop("rn")
+    val q = e.join(probeAssign, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val n = e.join(indexAssign, Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("cell"), col("v").as("vb"), col("nrm").as("nb"))
     val pairs = q.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))

@@ -37,6 +37,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF recall vs global brute force rises with multi-probe") {
+    val globalTop = Similarity.knnBruteForce(embeddings.withColumn("label", lit(0)), k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val ann = Similarity.annIvf(embeddings, ncells = 8, k = 3, nprobe = nprobe)
+        .select("qid", "nid").as[(Long, Long)].collect().toSet
+      ann.intersect(globalTop).size.toDouble / globalTop.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"multi-probe must not lower recall: $r1 -> $r2")
+    assert(r1 > 0.05, s"single-probe recall implausibly low: $r1")
+    info(f"IVF recall@3: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
+  }
+
   test("hyperplanes are deterministic and distribute vectors across buckets") {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", Similarity.bucketExpr(6, 64))
