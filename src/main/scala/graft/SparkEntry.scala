@@ -365,12 +365,14 @@ object SparkEntry {
         |    CAST(len(ws) AS BIGINT) AS n_tokens,
         |    CAST(list_sum(list_transform(ws,
         |      t2 -> CAST(floor((length(t2) + 3) / 4) AS BIGINT))) AS BIGINT) AS n_subwords,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |      AS n_pieces,
         |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
         |      CAST(length(text) AS DOUBLE) AS alpha_ratio,
         |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
         |      CAST(len(ws) AS DOUBLE) AS stopword_ratio
         |  FROM t)
-        |SELECT doc_id, n_chars, n_tokens, n_subwords, alpha_ratio, stopword_ratio,
+        |SELECT doc_id, n_chars, n_tokens, n_subwords, n_pieces, alpha_ratio, stopword_ratio,
         |  (alpha_ratio * CAST(0.5 AS DOUBLE)) + (stopword_ratio * CAST(0.3 AS DOUBLE)) +
         |  (least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
         |   * CAST(0.2 AS DOUBLE)) AS quality_score

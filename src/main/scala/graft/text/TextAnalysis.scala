@@ -40,6 +40,11 @@ object TextAnalysis {
       expr(s"""aggregate(${words("text")},
               | 0L, (a, t) -> a + CAST(floor((length(t) + 3) / 4) AS BIGINT))""".stripMargin)
         .as("n_subwords"),
+      // BPE-ish pre-tokenization: letter runs, digit runs, single
+      // punctuation — the same simple class regex evaluates identically
+      // under Java regex and RE2
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_pieces"),
       (length(regexp_replace(lower(col("text")), "[^a-z ]", "")).cast("double") /
         length(col("text")).cast("double")).as("alpha_ratio"),
       expr(s"""CAST(size(filter(${words("text")}, w -> w IN $en)) AS DOUBLE)
