@@ -60,6 +60,7 @@ object SparkEntry {
     "q23_sql_current_by_status" -> ((s, d) => Metrics.sqlCurrentOrdersByStatus(s, d)),
     "q24_embedding_neardup" -> ((s, d) => Similarity.cosineNearDup(Tables.embeddings(s, d))),
     "q25_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -278,6 +279,40 @@ object SparkEntry {
          |  strftime(created_time, '%Y-%m-%d %H:%M:%S.%f') AS created_time,
          |  first_status, value
          |FROM first_ev ORDER BY order_id""".stripMargin,
+    "q26_dim_orders_two_batches" ->
+      """WITH e1 AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |e2 AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |v1 AS (
+        |  SELECT user_id AS order_id, event_type AS status, ts AS start_time,
+        |         coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                  TIMESTAMP '2999-12-31 23:59:59') AS end_time
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS dup
+        |        FROM e1) WHERE dup = 1),
+        |v2 AS (
+        |  SELECT user_id AS order_id, event_type AS status, ts AS start_time,
+        |         coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |                  TIMESTAMP '2999-12-31 23:59:59') AS end_time
+        |  FROM (SELECT user_id, event_type, ts, event_id,
+        |          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS dup
+        |        FROM e2) WHERE dup = 1),
+        |f2 AS (
+        |  SELECT user_id, event_type, ts FROM (
+        |    SELECT user_id, event_type, ts,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM e2) WHERE rn = 1),
+        |v1c AS (
+        |  SELECT v1.order_id, v1.status, v1.start_time,
+        |    CASE WHEN v1.end_time = TIMESTAMP '2999-12-31 23:59:59'
+        |          AND f2.user_id IS NOT NULL AND v1.status <> f2.event_type
+        |          AND v1.start_time < f2.ts
+        |         THEN TIMESTAMP '2024-02-01 00:00:00' ELSE v1.end_time END AS end_time
+        |  FROM v1 LEFT JOIN f2 ON v1.order_id = f2.user_id)
+        |SELECT order_id, status,
+        |  strftime(start_time, '%Y-%m-%d %H:%M:%S.%f') AS start_time,
+        |  strftime(end_time, '%Y-%m-%d %H:%M:%S.%f') AS end_time
+        |FROM (SELECT * FROM v1c UNION ALL SELECT * FROM v2)
+        |ORDER BY order_id, start_time, status""".stripMargin,
     "q12_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

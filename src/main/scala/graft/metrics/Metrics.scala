@@ -173,6 +173,17 @@ object Metrics {
       date_format(col("end_time"), TsFmt).as("end_time"))
     .orderBy("order_id", "start_time", "status")
 
+  /** Oracle-gated dump of the MULTI-BATCH pipeline: two chained
+    * SCD2-EVENTS merges over the split corpus stream — proves the
+    * cross-batch close/append semantics (not just the single-batch
+    * chain of [[dimOrdersScd2]]) against an independent SQL statement. */
+  def dimOrdersTwoBatches(spark: SparkSession, sfDir: String): DataFrame =
+    Warehouse.dimOrdersTwoBatches(spark, sfDir).select(
+      col("order_id"), col("status"),
+      date_format(col("start_time"), TsFmt).as("start_time"),
+      date_format(col("end_time"), TsFmt).as("end_time"))
+    .orderBy("order_id", "start_time", "status")
+
   /** Oracle-gated dump of the chained SCD2-SNAPSHOT output: every
     * dim_products version row under a total ORDER BY. */
   def dimProductsScd2(spark: SparkSession, sfDir: String): DataFrame =

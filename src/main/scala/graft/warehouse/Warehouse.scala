@@ -95,6 +95,28 @@ object Warehouse {
       Seq("category", "price"), PartsBatch2)
   }
 
+  /** The corpus event stream split at mid-month. */
+  val BatchSplit = "2024-01-16 00:00:00"
+  val Batch1Ts = "2024-01-16 00:00:00"
+  val Batch2Ts = "2024-02-01 00:00:00"
+
+  /** dim_orders built by TWO chained SCD2-EVENTS merges (the corpus
+    * stream split at [[BatchSplit]]) — the multi-day pipeline shape:
+    * batch 2's earliest event per id closes batch 1's open version AT
+    * BATCH TIME (the reference quirk), then batch 2's own version chain
+    * appends. Materialized between batches like [[dimParts]]. */
+  def dimOrdersTwoBatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("user_id").as("id"),
+      col("event_type").as("status"),
+      col("ts").as("event_time"),
+      col("event_id").as("tiebreak"))
+    val split = to_timestamp(lit(BatchSplit))
+    val d1 = Scd2.eventsMerge(
+      emptyDim(spark, ordersDimSchema), ev.where(col("event_time") < split), Batch1Ts)
+    Scd2.eventsMerge(d1.persist(), ev.where(col("event_time") >= split), Batch2Ts)
+  }
+
   /** fact_orders_created (process_orders_sqls.py:79-90): the first event
     * per order joined to the date dimension for the surrogate key. */
   def factOrders(spark: SparkSession, sfDir: String): DataFrame = {
