@@ -61,6 +61,7 @@ object SparkEntry {
     "q24_embedding_neardup" -> ((s, d) => Similarity.cosineNearDup(Tables.embeddings(s, d))),
     "q25_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
+    "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -451,6 +452,22 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM p)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q27_winnow_fingerprints" ->
+      """WITH grams AS (
+        |  SELECT doc_id, i AS pos,
+        |         CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT) AS g
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 7)) t(i)
+        |  WHERE length(text) >= 8),
+        |wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(g) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM grams)
+        |SELECT doc_id, list_sort(list(DISTINCT m)) AS fingerprints,
+        |  CAST(len(list_sort(list(DISTINCT m))) AS BIGINT) AS n_fps
+        |FROM wmin WHERE pos <= n - 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q22_doc_fingerprint" ->
       """SELECT doc_id, CASE WHEN length(text) >= 8 THEN
         |    list_min(list_transform(generate_series(1, length(text) - 7),

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -76,9 +77,35 @@ object TextAnalysis {
         .otherwise("fr"))
   }
 
+  /** Full winnowing fingerprints (Schleimer et al.'s local algorithm):
+    * hash every char k-gram, slide a w-hash window, keep each window's
+    * minimum — the distinct minima are the document's fingerprint set
+    * (robust to local edits, the standard plagiarism/near-dup sketch).
+    *
+    * Shape: gram rows are exploded (NOT nested arrays — a windows-outer
+    * array expression would re-inline the gram computation per window,
+    * the lambda-inlining trap), then one window-min pass per doc and a
+    * distinct-collect. One shuffle on doc_id. */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
+    val grams = graft.Par.fanOut(docs)
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5_prefix(substring(text, i, $k), 7))"))
+        .as(Seq("pos0", "g")))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos0")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("m", min(col("g")).over(winMin))
+      .where(col("pos0") <= col("n") - w) // full windows only (pos0 is 0-based)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("m"))).as("fingerprints"))
+      .withColumn("n_fps", size(col("fingerprints")).cast("long"))
+  }
+
   /** Rolling-hash document fingerprint: min 28-bit hash over all char
     * 8-grams (winnowing's global-window degenerate case — one value per
-    * doc; a full winnow would keep per-window minima, same plan shape). */
+    * doc; [[winnow]] is the full per-window version). */
   def fingerprint(docs: DataFrame): DataFrame =
     graft.Par.fanOut(docs).select(
       col("doc_id"),
