@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dims.DimDates
 import graft.media.Multimodal
 import graft.metrics.Metrics
-import graft.text.{TextAnalysis, TextDedup}
+import graft.text.{Curation, TextAnalysis, TextDedup}
 import graft.vector.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,7 @@ object SparkEntry {
     "q25_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
     "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
+    "q28_curation_pipeline" -> ((s, d) => Curation.curate(docs(s, d))),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -314,6 +315,56 @@ object SparkEntry {
         |  strftime(end_time, '%Y-%m-%d %H:%M:%S.%f') AS end_time
         |FROM (SELECT * FROM v1c UNION ALL SELECT * FROM v2)
         |ORDER BY order_id, start_time, status""".stripMargin,
+    "q28_curation_pipeline" ->
+      s"""WITH $ShinglesCte,
+         |hs AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 15), j ->
+         |    coalesce(list_min(list_transform(h28s,
+         |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id,
+         |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+         |  FROM sig, generate_series(0, 7) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    CAST(len(sa.shingles) + len(sb.shingles)
+         |         - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+         |  WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |                        ' +', ' ', 'g'))) AS nh FROM documents) GROUP BY nh),
+         |t AS (SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |      FROM documents),
+         |meta AS (
+         |  SELECT doc_id,
+         |    (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
+         |       CAST(length(text) AS DOUBLE) * CAST(0.5 AS DOUBLE)) +
+         |    (CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
+         |       CAST(len(ws) AS DOUBLE) * CAST(0.3 AS DOUBLE)) +
+         |    (least(CAST(len(ws) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |       * CAST(0.2 AS DOUBLE)) AS quality_score,
+         |    len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS en_hits,
+         |    len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS de_hits,
+         |    len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS es_hits,
+         |    len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS fr_hits
+         |  FROM t)
+         |SELECT doc_id, quality_score
+         |FROM meta
+         |WHERE doc_id IN (SELECT doc_id FROM keepers)
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |  AND quality_score >= CAST(0.5 AS DOUBLE)
+         |  AND (CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+         |            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         |            WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END) = 'en'
+         |ORDER BY doc_id""".stripMargin,
     "q12_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,42 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The canonical LLM training-data curation pipeline, composed from the
+  * verified operators: exact/normalized dedup keepers → MinHash+LSH
+  * near-duplicate removal (drop the higher doc id of each verified
+  * pair — deterministic greedy) → quality floor → language filter.
+  *
+  * Each stage is one of the oracle-gated operators; the composition is
+  * itself oracle-gated (q28), because at 100 TB this chain IS the
+  * workload — a curation run that silently disagrees with its spec on
+  * 0.1% of documents poisons a dataset.
+  *
+  * Scale: dedup/near-dup stages are banded (never all-pairs), the
+  * quality/language stages are pure map work, and the joins against the
+  * (small) loser/keeper id sets are semi/anti joins on doc_id.
+  */
+object Curation {
+
+  /** Surviving documents with their quality scores.
+    * docs columns: doc_id, text. */
+  def curate(docs: DataFrame,
+             jaccardThreshold: Double = 0.5,
+             minQuality: Double = 0.5,
+             lang: String = "en"): DataFrame = {
+    val keepers = TextDedup.normalized(docs).select(col("doc_id"))
+    val nearDupLosers = TextDedup.minhashLshPairs(docs, jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))
+    docs.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .where(col("quality_score") >= lit(minQuality) && col("lang_guess") === lit(lang))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+}
