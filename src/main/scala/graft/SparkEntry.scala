@@ -334,8 +334,9 @@ object SparkEntry {
          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM (
          |  SELECT doc_a, doc_b,
          |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    CAST(len(sa.shingles) + len(sb.shingles)
-         |         - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |    nullif(CAST(len(sa.shingles) + len(sb.shingles)
+         |         - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+         |           CAST(0.0 AS DOUBLE)) AS jaccard
          |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
          |  WHERE jaccard >= CAST(0.5 AS DOUBLE)),
          |keepers AS (SELECT min(doc_id) AS doc_id FROM (
@@ -346,9 +347,9 @@ object SparkEntry {
          |meta AS (
          |  SELECT doc_id,
          |    (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
-         |       CAST(length(text) AS DOUBLE) * CAST(0.5 AS DOUBLE)) +
+         |       nullif(CAST(length(text) AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)) +
          |    (CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
-         |       CAST(len(ws) AS DOUBLE) * CAST(0.3 AS DOUBLE)) +
+         |       nullif(CAST(len(ws) AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)) +
          |    (least(CAST(len(ws) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
          |       * CAST(0.2 AS DOUBLE)) AS quality_score,
          |    len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS en_hits,
@@ -394,8 +395,9 @@ object SparkEntry {
          |    AND a.doc_id < b.doc_id),
          |jac AS (SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |  CAST(len(sa.shingles) + len(sb.shingles)
-         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+         |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+         |         CAST(0.0 AS DOUBLE)) AS jaccard
          |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
@@ -455,9 +457,9 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
         |      AS n_pieces,
         |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
-        |      CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |      nullif(CAST(length(text) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS alpha_ratio,
         |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
-        |      CAST(len(ws) AS DOUBLE) AS stopword_ratio
+        |      nullif(CAST(len(ws) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS stopword_ratio
         |  FROM t)
         |SELECT doc_id, n_chars, n_tokens, n_subwords, n_pieces, alpha_ratio, stopword_ratio,
         |  (alpha_ratio * CAST(0.5 AS DOUBLE)) + (stopword_ratio * CAST(0.3 AS DOUBLE)) +

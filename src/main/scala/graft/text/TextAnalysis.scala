@@ -46,11 +46,14 @@ object TextAnalysis {
       // under Java regex and RE2
       size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
         .cast("long").as("n_pieces"),
-      (length(regexp_replace(lower(col("text")), "[^a-z ]", "")).cast("double") /
-        length(col("text")).cast("double")).as("alpha_ratio"),
+      // 0-length / 0-token docs have undefined ratios → NULL (null
+      // quality then fails any curation floor), never a 0/0 crash
+      when(length(col("text")) > 0,
+        length(regexp_replace(lower(col("text")), "[^a-z ]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"),
       expr(s"""CAST(size(filter(${words("text")}, w -> w IN $en)) AS DOUBLE)
-              | / CAST(size(${words("text")}) AS DOUBLE)""".stripMargin)
-        .as("stopword_ratio"))
+              | / nullif(CAST(size(${words("text")}) AS DOUBLE), CAST(0.0 AS DOUBLE))"""
+        .stripMargin).as("stopword_ratio"))
       .withColumn("quality_score",
         (col("alpha_ratio") * lit(0.5)) + (col("stopword_ratio") * lit(0.3)) +
           (least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.2)))

@@ -136,7 +136,11 @@ object TextDedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      // two shingle-less docs can band-collide on the sentinel signature;
+      // their jaccard is undefined (0/0) — null, dropped by the threshold
+      // (they are EXACT dups, the exact/normalized operators' job)
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")

@@ -1,0 +1,44 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge inputs the corpus never exercises: empty text, single word,
+  * sub-shingle length, whitespace runs. The operators must stay total
+  * (no throw, no surprise null rows) — at 100 TB every pathological
+  * document shape exists somewhere. */
+class TextEdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edge = Seq(
+    (1L, ""),                   // empty
+    (2L, "word"),               // single token, shorter than a char 8-gram
+    (3L, "two words"),          // below shingle width
+    (4L, "   "),                // whitespace only
+    (5L, "a b c d e f g h")).toDF("doc_id", "text")
+
+  test("dedup operators are total on degenerate texts") {
+    assert(TextDedup.exact(edge).count() == 5)
+    assert(TextDedup.normalized(edge).count() == 4) // "" and "   " normalize equal
+    // no shingles → no candidates → empty pair sets, not errors
+    assert(TextDedup.minhashLshPairs(edge.where(col("doc_id") <= 4)).count() == 0)
+    val fp = TextDedup.simhashFingerprints(edge).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == 0L) // empty shingle set → simhash 0
+    // whitespace-only text yields whitespace shingles — defined (and
+    // identical in the oracle), just not meaningful; deterministic:
+    assert(fp(4L) == TextDedup.simhashFingerprints(edge).as[(Long, Long)].collect().toMap.apply(4L))
+  }
+
+  test("stats and fingerprints stay defined (nulls only where ratios are 0/0)") {
+    val s = TextAnalysis.stats(edge).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(s(2L).getAs[Long]("n_tokens") == 1)
+    assert(s(1L).getAs[Long]("n_tokens") == 0)
+    assert(s(1L).isNullAt(s(1L).fieldIndex("alpha_ratio"))) // 0-length division
+    val f = TextAnalysis.fingerprint(edge).as[(Long, Long)].collect().toMap
+    assert(f(2L) > 0) // short-text fallback hash
+    // only doc 5 (15 chars → 8 grams → exactly one full 8-window) winnows
+    val w = TextAnalysis.winnow(edge).select("doc_id").as[Long].collect().toSeq
+    assert(w == Seq(5L))
+  }
+}
