@@ -34,10 +34,14 @@ case class Md5Prefix(child: Expression, hexDigits: Int) extends UnaryExpression 
       s"md5_prefix expects a string input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    Md5Prefix.eval(input.asInstanceOf[UTF8String], hexDigits)
+    Md5Hash.eval(input.asInstanceOf[UTF8String], hexDigits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix.eval($c, $hexDigits)")
+    // NOTE: the helper lives in Md5Hash, an object WITHOUT a companion
+    // class — Scala only emits java-static forwarders for such objects,
+    // and Janino needs a static call (a companion-object method here
+    // silently fails codegen and falls back to interpreted eval).
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash.eval($c, $hexDigits)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix =
     copy(child = newChild)
@@ -45,7 +49,9 @@ case class Md5Prefix(child: Expression, hexDigits: Int) extends UnaryExpression 
   override def prettyName: String = "md5_prefix"
 }
 
-object Md5Prefix {
+/** Static evaluation helper for [[Md5Prefix]] — deliberately NOT the
+  * case class's companion (see the doGenCode note). */
+object Md5Hash {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
