@@ -517,7 +517,7 @@ object SparkEntry {
         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
         |    count(*) OVER (PARTITION BY doc_id) AS n
         |  FROM grams)
-        |SELECT doc_id, list_sort(list(DISTINCT m)) AS fingerprints,
+        |SELECT doc_id, array_to_string(list_sort(list(DISTINCT m)), ',') AS fingerprints,
         |  CAST(len(list_sort(list(DISTINCT m))) AS BIGINT) AS n_fps
         |FROM wmin WHERE pos <= n - 7
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

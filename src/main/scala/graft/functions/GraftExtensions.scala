@@ -23,7 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "md5_prefix(str, digits)")
         val digits = children(1) match {
           case Literal(v: Int, _) => v
-          case other => other.eval().toString.toInt
+          case other =>
+            // eval() on a non-foldable (e.g. column) argument would throw
+            // an opaque error or evaluate against a null row — demand
+            // foldability explicitly with a readable failure instead.
+            require(other.foldable,
+              s"md5_prefix: digits must be a foldable integer literal, got ${other.sql}")
+            other.eval().toString.toInt
         }
         Md5Prefix(children.head, digits)
       }))

@@ -42,11 +42,18 @@ object ForwardFill {
       .withColumn("rn", row_number().over(byEntityDay)).where(col("rn") === 1)
       .select(col("entity"), col("snap_date"), col("value"))
 
+    // Both sides descend from the same `snapshots` lineage — alias them
+    // explicitly so the entity equi-condition references two DISTINCT
+    // plans (an unaliased scaffold("entity") === daily("entity") only
+    // resolves via dataset-id disambiguation and Spark warns
+    // "trivially true equals predicate").
     val scaffold = snapshots.select(col("entity")).distinct()
-      .crossJoin(broadcast(days))
+      .crossJoin(broadcast(days)).alias("ff_scaffold")
     val filled = scaffold
-      .join(daily, col("datum") === col("snap_date") && scaffold("entity") === daily("entity"), "left")
-      .select(scaffold("entity"), col("datum"), col("value"))
+      .join(daily.alias("ff_daily"),
+        col("datum") === col("snap_date") &&
+          col("ff_scaffold.entity") === col("ff_daily.entity"), "left")
+      .select(col("ff_scaffold.entity"), col("datum"), col("value"))
       .withColumn("value",
         last(col("value"), ignoreNulls = true).over(
           Window.partitionBy(col("entity")).orderBy(col("datum"))

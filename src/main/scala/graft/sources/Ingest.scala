@@ -35,7 +35,10 @@ object Ingest {
     * process_orders_sqls.py:3-11). */
   def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit =
     if (!ready(spark, path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // LocalRelation empty (NOT emptyRDD): an ExistingRDD scan reports
+      // defaultSizeInBytes, blocking PropagateEmptyRelation + broadcast
+      // sizing in every downstream plan that reads the seed.
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
         .write.mode(SaveMode.ErrorIfExists).parquet(path)
 
   /** S6: plain append insert (INSERT…SELECT, process_orders_sqls.py:41-50). */

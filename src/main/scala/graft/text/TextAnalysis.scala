@@ -102,8 +102,15 @@ object TextAnalysis {
       .withColumn("m", min(col("g")).over(winMin))
       .where(col("pos0") <= col("n") - w) // full windows only (pos0 is 0-based)
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("m"))).as("fingerprints"))
-      .withColumn("n_fps", size(col("fingerprints")).cast("long"))
+      .agg(sort_array(collect_set(col("m"))).as("fps"))
+      // Emit the fingerprint set as a comma-joined STRING, not
+      // array<bigint>: the driver's pandas compare sorts on every column
+      // and numpy arrays are unhashable (round-2 q27 failure). DuckDB
+      // twin: array_to_string(list_sort(...), ',').
+      .select(
+        col("doc_id"),
+        concat_ws(",", col("fps").cast("array<string>")).as("fingerprints"),
+        size(col("fps")).cast("long").as("n_fps"))
   }
 
   /** Rolling-hash document fingerprint: min 28-bit hash over all char

@@ -1,5 +1,10 @@
 package graft.warehouse
 
+import java.security.MessageDigest
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,9 +12,17 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.dims.DimDates
 import graft.operators.{FactBuild, Scd2}
+import graft.sources.Ingest
 
-/** Corpus-backed warehouse construction: the reference's dim/fact tables
-  * (SURVEY.md §1.3) materialized from the driver corpus (FIXTURES.md §B).
+/** Corpus-backed warehouse: the reference's dim/fact tables (SURVEY.md
+  * §1.3) materialized ONCE per corpus and read as parquet by every
+  * analytic query — exactly the reference's own design, where the DAG
+  * creates persisted tables (process_orders_sqls.py:15-26,67-90) and the
+  * analytic queries (docs/cheat-sheets/postgresql.md:102-146) just read
+  * them. Rebuilding a dim inside every analytic query is a plan you would
+  * never ship at 100 TB; at scale the SCD2 chain runs nightly and lands
+  * via [[Ingest.overwriteSwap]], which is precisely what
+  * [[ensureMaterialized]] does.
   *
   * Mapping: `events` plays the order-event stream
   * (/root/reference/README.md:29-39) with user_id→order id,
@@ -21,10 +34,10 @@ import graft.operators.{FactBuild, Scd2}
   * choose between at different event times.
   *
   * Scale posture: dims are bounded by entity cardinality (users/parts),
-  * never by fact size. In production each merge's output is materialized
-  * (Ingest.overwriteSwap) before the next batch; here the two product
-  * batches are chained lazily because the dim is tiny — the recipe is the
-  * same either way.
+  * never by fact size. Each batch merge materializes its output before
+  * the next batch reads it (overwriteSwap between the chained product /
+  * event batches) — chaining merges lazily compounds each merge's triple
+  * probe of its input dim into an exponentially duplicated join tree.
   */
 object Warehouse {
   /** Batch ts for the events merge — after the last corpus event. */
@@ -50,19 +63,32 @@ object Warehouse {
     StructField("end_time", TimestampType),
     StructField("processed_time", TimestampType)))
 
+  /** Empty seed dim as a LocalRelation — NOT an empty RDD. An
+    * `ExistingRDD` scan reports `defaultSizeInBytes` (= huge), so
+    * Catalyst can neither propagate the empty relation nor pick
+    * broadcast: the round-2 q10 physical plan was a 95-node
+    * SortMergeJoin tree whose first merge should have folded away.
+    * A LocalRelation empty lets `PropagateEmptyRelation` delete the
+    * seed merge entirely. */
   def emptyDim(spark: SparkSession, schema: StructType): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
 
-  /** dim_orders (process_orders_sqls.py:67-77) via SCD2-EVENTS over the
-    * corpus event stream. */
-  def dimOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir).select(
+  // ---------------------------------------------------------------------
+  // Builders: the merge chains themselves (directly unit-testable).
+  // ---------------------------------------------------------------------
+
+  private def orderEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
       col("user_id").as("id"),
       col("event_type").as("status"),
       col("ts").as("event_time"),
       col("event_id").as("tiebreak"))
-    Scd2.eventsMerge(emptyDim(spark, ordersDimSchema), ev, OrdersBatchTs)
-  }
+
+  /** dim_orders (process_orders_sqls.py:67-77) via SCD2-EVENTS over the
+    * corpus event stream. */
+  def buildDimOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Scd2.eventsMerge(emptyDim(spark, ordersDimSchema),
+      orderEvents(spark, sfDir), OrdersBatchTs)
 
   /** First (v1) product snapshot: `part` as-is. */
   def partsSnapshot1(spark: SparkSession, sfDir: String): DataFrame =
@@ -82,16 +108,16 @@ object Warehouse {
 
   /** dim_products (process_orders_sqls.py:15-26) via two chained
     * SCD2-SNAPSHOT merges: changed parts carry [v1: 1995→1998) and
-    * [v2: 1998→sentinel), unchanged parts a single open version. */
-  def dimParts(spark: SparkSession, sfDir: String): DataFrame = {
+    * [v2: 1998→sentinel), unchanged parts a single open version.
+    * `materialize` lands each batch's output before the next batch reads
+    * it (identity = lazy chain with a persist, for tests; the cached
+    * warehouse passes a parquet swap). */
+  def buildDimParts(spark: SparkSession, sfDir: String,
+                    materialize: DataFrame => DataFrame = d => d.persist()): DataFrame = {
     val d1 = Scd2.snapshotMerge(
       emptyDim(spark, partsDimSchema), partsSnapshot1(spark, sfDir),
       Seq("category", "price"), PartsBatch1)
-    // Materialize between batches, as production does with a parquet
-    // swap (Ingest.overwriteSwap): merge N+1 probes its input dim three
-    // times, and chaining lazily compounds that into an exponentially
-    // duplicated join tree (a 291-node plan before this persist).
-    Scd2.snapshotMerge(d1.persist(), partsSnapshot2(spark, sfDir),
+    Scd2.snapshotMerge(materialize(d1), partsSnapshot2(spark, sfDir),
       Seq("category", "price"), PartsBatch2)
   }
 
@@ -104,22 +130,19 @@ object Warehouse {
     * stream split at [[BatchSplit]]) — the multi-day pipeline shape:
     * batch 2's earliest event per id closes batch 1's open version AT
     * BATCH TIME (the reference quirk), then batch 2's own version chain
-    * appends. Materialized between batches like [[dimParts]]. */
-  def dimOrdersTwoBatches(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir).select(
-      col("user_id").as("id"),
-      col("event_type").as("status"),
-      col("ts").as("event_time"),
-      col("event_id").as("tiebreak"))
+    * appends. */
+  def buildDimOrdersTwoBatches(spark: SparkSession, sfDir: String,
+                               materialize: DataFrame => DataFrame = d => d.persist()): DataFrame = {
+    val ev = orderEvents(spark, sfDir)
     val split = to_timestamp(lit(BatchSplit))
     val d1 = Scd2.eventsMerge(
       emptyDim(spark, ordersDimSchema), ev.where(col("event_time") < split), Batch1Ts)
-    Scd2.eventsMerge(d1.persist(), ev.where(col("event_time") >= split), Batch2Ts)
+    Scd2.eventsMerge(materialize(d1), ev.where(col("event_time") >= split), Batch2Ts)
   }
 
   /** fact_orders_created (process_orders_sqls.py:79-90): the first event
     * per order joined to the date dimension for the surrogate key. */
-  def factOrders(spark: SparkSession, sfDir: String): DataFrame = {
+  def buildFactOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).select(
       col("user_id").as("key"),
       col("ts").as("event_time"),
@@ -133,4 +156,96 @@ object Warehouse {
       col("first_status"),
       col("value"))
   }
+
+  // ---------------------------------------------------------------------
+  // Materialized layer: build once per corpus, read parquet thereafter.
+  // ---------------------------------------------------------------------
+
+  /** Bump whenever any builder/merge SEMANTIC changes — a stale cache
+    * would otherwise silently feed old results to the correctness gate. */
+  private val CacheVersion = "v1"
+
+  private def cacheRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_WH_CACHE", "target/graft-warehouse")
+
+  /** Input fingerprint (path, length, mtime of every source file) — the
+    * cache key self-invalidates if a corpus is regenerated in place
+    * (tests point builders at freshly written temp dirs). */
+  private def inputFingerprint(spark: SparkSession, sfDir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = Seq("events.parquet", "part.parquet").flatMap { t =>
+      val p = new Path(s"$sfDir/$t")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq(s"$t:absent")
+      else {
+        val it = fs.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          b += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        b.result().sorted
+      }
+    }
+    val md5 = MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("\n").getBytes("UTF-8"))
+    md5.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Resolved cache dir per sfDir (memoized per JVM — the FS fingerprint
+    * walk runs once per corpus, not once per query). */
+  private val resolved = TrieMap.empty[String, String]
+
+  private val buildLock = new Object
+
+  /** Ensure every warehouse table for `sfDir` is materialized; returns
+    * the cache directory. Idempotent and cheap after first touch. Each
+    * table lands atomically via [[Ingest.overwriteSwap]] (write beside,
+    * rename over), so a killed build never leaves a half-written table
+    * with a `_SUCCESS` marker. */
+  def ensureMaterialized(spark: SparkSession, sfDir: String): String =
+    resolved.getOrElseUpdate(sfDir, buildLock.synchronized {
+      val dir = s"$cacheRoot/$CacheVersion-${inputFingerprint(spark, sfDir)}-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new Path(dir).getFileSystem(conf)
+      def landed(name: String): Boolean = fs.exists(new Path(s"$dir/$name/_SUCCESS"))
+
+      // dim_products batch 1 is itself a materialized table (the nightly
+      // recipe: merge N's output is swapped in before merge N+1 reads it).
+      def viaSwap(name: String): DataFrame => DataFrame = { df =>
+        Ingest.overwriteSwap(spark, df, s"$dir/$name")
+        spark.read.parquet(s"$dir/$name")
+      }
+
+      val tables: Seq[(String, () => DataFrame)] = Seq(
+        "dim_orders" -> (() => buildDimOrders(spark, sfDir)),
+        "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
+        "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
+        "fact_orders" -> (() => buildFactOrders(spark, sfDir)))
+      tables.foreach { case (name, build) =>
+        if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
+      }
+      dir
+    })
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"${ensureMaterialized(spark, sfDir)}/$name")
+
+  /** dim_orders, materialized-once (see [[buildDimOrders]]). */
+  def dimOrders(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "dim_orders")
+
+  /** dim_products, materialized-once (see [[buildDimParts]]). */
+  def dimParts(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "dim_products")
+
+  /** Two-batch dim_orders, materialized-once (see
+    * [[buildDimOrdersTwoBatches]]). */
+  def dimOrdersTwoBatches(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "dim_orders_2b")
+
+  /** fact_orders_created, materialized-once (see [[buildFactOrders]]). */
+  def factOrders(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "fact_orders")
 }
