@@ -63,6 +63,10 @@ object SparkEntry {
     "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
     "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
     "q28_curation_pipeline" -> ((s, d) => Curation.curate(docs(s, d))),
+    // No oracleSql twin (k-means is not reasonably SQL-expressible) →
+    // the driver records a rows-only check; recall vs brute force is
+    // gated in SimilaritySpec instead.
+    "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(Tables.embeddings(s, d))),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =

@@ -96,6 +96,18 @@ object Scd2 {
     * If `events` has no `tiebreak` column one is synthesized as a
     * deterministic md5-derived hash of the whole row (round-1 review: no
     * corpus table ships a column literally named `tiebreak`).
+    *
+    * INPUT CONTRACT — cross-batch event-time monotonicity per id: every
+    * event in batch N+1 must carry an event_time strictly after the
+    * start_time of the id's open version from batch N (the natural shape
+    * when batches are daily files). The close step's `start_time <
+    * evt_time` guard exists for replay idempotence; if a LATER batch
+    * delivers an out-of-order event (event_time ≤ the open version's
+    * start_time, different status), the close is skipped while step 2
+    * still appends — leaving two open versions for that id. That input
+    * is out of contract (the reference pipeline cannot encounter it:
+    * daily files partition event time), and Scd2Spec pins the behavior
+    * so a future change is a conscious one.
     */
   def eventsMerge(dim: DataFrame, events0: DataFrame, batchTs: String): DataFrame = {
     val events =

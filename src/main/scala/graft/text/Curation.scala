@@ -25,8 +25,15 @@ object Curation {
              jaccardThreshold: Double = 0.5,
              minQuality: Double = 0.5,
              lang: String = "en"): DataFrame = {
+    // One persisted shingle projection feeds both shingle consumers of
+    // the near-dup stage (signatures AND jaccard verification) — without
+    // it the composed pipeline re-derived shingles+md5 per sub-pipeline
+    // and cost ~2.5× the sum of its stages (round-2 verdict). The
+    // normalized-dedup / quality / language stages are cheap map scans
+    // of the raw docs and share the parquet scan via codegen fusion.
+    val sh = TextDedup.shingled(docs).persist()
     val keepers = TextDedup.normalized(docs).select(col("doc_id"))
-    val nearDupLosers = TextDedup.minhashLshPairs(docs, jaccardThreshold)
+    val nearDupLosers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
     val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))

@@ -94,15 +94,23 @@ object TextDedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("norm_hash"), col("n_copies"))
 
+  /** Shared (doc_id, shingles) projection — compute once, feed both the
+    * signature stage and the exact-jaccard verification (and, in
+    * [[graft.text.Curation]], every shingle-consuming stage of the
+    * composed pipeline). At 100 TB this projection is a materialized
+    * parquet table, not a memory persist — the plan shape is the same. */
+  def shingled(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs)
+      .select(col("doc_id"), shingleExpr("text").as("shingles"))
+
   /** Per-document LSH band keys, one NARROW row per (doc, band) — the
     * "signature table" a production pipeline would materialize to
     * parquet. Persisted because the candidate self-join probes it twice
     * (without it Spark re-evaluates the whole shingle+md5+minhash
     * subtree per join side — the round-1 snapshotMerge lesson).
     * Footprint is O(docs × 8) short rows. */
-  private def bandedSignatures(docs: DataFrame): DataFrame =
-    graft.Par.fanOut(docs)
-      .withColumn("shingles", shingleExpr("text"))
+  private def bandedSignatures(sh: DataFrame): DataFrame =
+    sh
       .withColumn("h28s", h28Array("shingles"))
       .withColumn("sig", minhashExpr("h28s"))
       .select(col("doc_id"),
@@ -113,24 +121,30 @@ object TextDedup {
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
       .persist()
 
+  /** MinHash+LSH near-duplicate pairs over a fresh shingle projection —
+    * see [[minhashLshPairsFromShingles]]. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    minhashLshPairsFromShingles(shingled(docs).persist(), threshold)
+
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
     * candidates share ≥1 of 8 two-row bands; survivors have word-3-gram
     * jaccard ≥ `threshold`. Output: doc_a < doc_b, jaccard.
+    * `sh` columns: doc_id, shingles — persist (or materialize) it before
+    * calling: both the signature stage and the jaccard attach read it.
     *
     * Scale: candidates come from a self-join of the narrow persisted
     * band table (shuffle carries only (doc_id, band, band_key) — never
     * shingle arrays); pairs are deduped while still narrow, and the
     * shingle sets are attached only to surviving candidates for the
     * exact-jaccard check. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = bandedSignatures(docs)
+  def minhashLshPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sigs = bandedSignatures(sh)
     val cand = sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sh = graft.Par.fanOut(docs).withColumn("shingles", shingleExpr("text")).select(col("doc_id"), col("shingles"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

@@ -108,6 +108,76 @@ object Similarity {
     val e = prepared(embeddings).persist()
     val cent = e.orderBy("vec_id").limit(ncells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfSearch(e, cent, k, nprobe)
+  }
+
+  /** IVF ANN with TRAINED centroids: deterministic spherical k-means
+    * ([[trainIvfCentroids]]) replaces the first-N-by-id stand-in — the
+    * production claim behind the IVF path. Training reuses the same
+    * prepared/persisted vector table the search probes.
+    * Defaults measured on the corpus (sf0.001, recall@3 vs global brute
+    * force): trained 0.514 @ nprobe 2 / 0.666 @ nprobe 3, vs first-N
+    * 0.435 @ nprobe 2 — gated in SimilaritySpec. */
+  def annIvfTrained(embeddings: DataFrame, ncells: Int = 8, k: Int = 3,
+                    nprobe: Int = 3, iters: Int = 3): DataFrame = {
+    val e = prepared(embeddings).persist()
+    val cents = trainFromPrepared(e, ncells, iters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cent = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c, math.sqrt(c.map(x => x * x).sum)) }
+      .toDF("cid", "cv", "cnrm")
+    ivfSearch(e, cent, k, nprobe)
+  }
+
+  /** Deterministic spherical k-means for IVF coarse quantization.
+    * Init = first `ncells` vectors by id; each Lloyd iteration assigns
+    * every vector to its max-cosine centroid (ties → lowest cell id) and
+    * recomputes cell means with DECIMAL sums, so the result is
+    * independent of partitioning/summation order — the same corpus
+    * always trains the same codebook. The collected state is the
+    * centroid matrix itself (ncells × dim — literal-sized by
+    * construction, exactly what a production pipeline broadcasts);
+    * per-vector work stays distributed. */
+  def trainIvfCentroids(embeddings: DataFrame, ncells: Int = 8, iters: Int = 3): Seq[Seq[Double]] = {
+    val e = prepared(embeddings).persist()
+    try trainFromPrepared(e, ncells, iters) finally e.unpersist()
+  }
+
+  private def trainFromPrepared(e: DataFrame, ncells: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = e.orderBy("vec_id").limit(ncells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val cos = cents.map { c =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        aggregate(zip_with(typedLit(c), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("nrm") * lit(cn))
+      }
+      // argmax with first-wins tie-break: array_position finds the FIRST
+      // element equal to the max → lowest cell id.
+      val assigned = e.withColumn("cosarr", array(cos: _*))
+        .withColumn("cell",
+          (expr("array_position(cosarr, array_max(cosarr))") - 1).cast("int"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(ncells, dim)((c, p) => cents(c)(p)) // empty cell keeps its centroid
+      sums.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          r.getAs[java.math.BigDecimal]("s").doubleValue() / r.getAs[Long]("n")
+      }
+      cents = next.map(_.toSeq).toSeq
+    }
+    cents
+  }
+
+  /** Shared IVF search core: coarse-assign every vector against the
+    * (broadcast) centroid table, then exact top-k within the probe's
+    * top-`nprobe` cells against the single-cell index side. */
+  private def ivfSearch(e: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
     val ranked = e.crossJoin(broadcast(cent))
       .withColumn("ccos", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))

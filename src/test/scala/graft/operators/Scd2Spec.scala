@@ -129,6 +129,22 @@ class Scd2Spec extends SparkSpec {
     assert(d2.count() == d1.count())
   }
 
+  test("eventsMerge out-of-contract input: out-of-order later batch leaves two open versions (pinned)") {
+    // INPUT CONTRACT (Scd2.eventsMerge scaladoc): batch N+1 events must
+    // postdate the open version's start_time. This pins what happens when
+    // that contract is violated — the close step skips (start_time <
+    // evt_time guard, needed for replay idempotence) while the append
+    // step still runs, so the id ends up with TWO open versions. Daily
+    // file batches cannot produce this input; a future semantic change
+    // here must be a conscious one.
+    val d1 = Scd2.eventsMerge(emptyOrdersDim,
+      events(("100", "CREATED", "2021-01-01 10:00:00")), T)
+    val d2 = Scd2.eventsMerge(d1,
+      events(("100", "COMPLETED", "2021-01-01 09:00:00")), "2021-01-03 00:00:00")
+    val open = d2.where(col("end_time") === to_timestamp(lit(Scd2.Sentinel)))
+    assert(open.count() == 2, "violated precondition is documented to leave two open versions")
+  }
+
   private def emptyProductsDim: DataFrame =
     Seq.empty[(String, String, String, Double, String, String, String)]
       .toDF("id", "title", "category", "price", "processed_time", "start_time", "end_time")

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@3: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
   }
 
+  test("trained IVF: deterministic k-means, recall beats first-N and clears 0.6 at nprobe=3") {
+    val c1 = Similarity.trainIvfCentroids(embeddings, ncells = 8, iters = 3)
+    val c2 = Similarity.trainIvfCentroids(embeddings, ncells = 8, iters = 3)
+    assert(c1 == c2, "decimal-summed k-means must be bit-deterministic across runs")
+
+    val globalTop = Similarity.knnBruteForce(embeddings.withColumn("label", lit(0)), k = 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("qid", "nid").as[(Long, Long)].collect().toSet
+      s.intersect(globalTop).size.toDouble / globalTop.size
+    }
+    val firstN = recall(Similarity.annIvf(embeddings, ncells = 8, k = 3, nprobe = 2))
+    val trained2 = recall(Similarity.annIvfTrained(embeddings, ncells = 8, k = 3, nprobe = 2, iters = 3))
+    val trained3 = recall(Similarity.annIvfTrained(embeddings, ncells = 8, k = 3, nprobe = 3, iters = 3))
+    info(f"recall@3: firstN@np2 $firstN%.3f, trained@np2 $trained2%.3f, trained@np3 $trained3%.3f")
+    assert(trained2 > firstN, s"training must beat first-N centroids: $firstN -> $trained2")
+    assert(trained3 >= 0.6, s"trained recall at nprobe=3 below bar: $trained3")
+  }
+
   test("hyperplanes are deterministic and distribute vectors across buckets") {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", Similarity.bucketExpr(6, 64))
