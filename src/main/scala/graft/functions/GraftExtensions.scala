@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `md5_prefix(str, digits)` → BIGINT ([[Md5Prefix]]): portable
   *    md5-derived hash, callable inside lambda bodies of higher-order
   *    functions (where Column-level builders can't reach).
+  *  - `vec_dot(a, b)` → DOUBLE ([[VecDot]]): codegen'd dense dot
+  *    product, bit-identical to the sequential fold it replaces.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -32,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             other.eval().toString.toInt
         }
         Md5Prefix(children.head, digits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot(a, b)")
+        VecDot(children.head, children(1))
       }))
   }
 }

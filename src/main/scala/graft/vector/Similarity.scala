@@ -29,9 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> column names. */
+  /** Dot product of two array<double> column names via the native
+    * codegen'd [[graft.functions.VecDot]] expression — the same
+    * sequential left fold as `aggregate(zip_with(a, b, (x,y) -> x*y),
+    * 0.0, +)` (bit-identical results, so DuckDB `list_dot_product`
+    * oracles still hash-match) without the interpreted
+    * higher-order-function overhead in the pair-join hot loop. */
   def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    expr(s"vec_dot($a, $b)")
+
+  /** [[dotExpr]] over Column operands (e.g. a literal centroid/plane). */
+  def dotCol(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
   /** Vectors with their L2 norms precomputed (norm once per row, not per
     * pair). Input columns: vec_id, label, embedding: array<float>. */
@@ -90,10 +99,7 @@ object Similarity {
     * [[dotExpr]] against each literal plane row. */
   def bucketExpr(planes: Int, dim: Int): Column =
     planeMatrix(planes, dim).zipWithIndex.map { case (row, j) =>
-      val planeDot = aggregate(
-        zip_with(typedLit(row), col("v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(planeDot > lit(0.0), lit(1L << j)).otherwise(lit(0L))
+      when(dotCol(typedLit(row), col("v")) > lit(0.0), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** IVF-style ANN: coarse-quantize every vector to its nearest of
@@ -151,8 +157,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cos = cents.map { c =>
         val cn = math.sqrt(c.map(x => x * x).sum)
-        aggregate(zip_with(typedLit(c), col("v"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("nrm") * lit(cn))
+        dotCol(typedLit(c), col("v")) / (col("nrm") * lit(cn))
       }
       // argmax with first-wins tie-break: array_position finds the FIRST
       // element equal to the max → lowest cell id.

@@ -52,6 +52,16 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@3: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
   }
 
+  test("vec_dot matches the interpreted sequential fold bitwise") {
+    val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
+    val mismatches = e.select(
+      expr("vec_dot(v, v)").as("native"),
+      expr("aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        .as("fold"))
+      .where(col("native") =!= col("fold")).count()
+    assert(mismatches == 0, "native dot must be bit-identical to the fold it replaced")
+  }
+
   test("trained IVF: deterministic k-means, recall beats first-N and clears 0.6 at nprobe=3") {
     val c1 = Similarity.trainIvfCentroids(embeddings, ncells = 8, iters = 3)
     val c2 = Similarity.trainIvfCentroids(embeddings, ncells = 8, iters = 3)
