@@ -42,5 +42,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot(a, b)")
         VecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sig(hashes, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other =>
+            require(other.foldable,
+              s"minhash_sig: k must be a foldable integer literal, got ${other.sql}")
+            other.eval().toString.toInt
+        }
+        MinhashSig(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash32(hashes)")
+        Simhash32(children.head)
+      }))
   }
 }

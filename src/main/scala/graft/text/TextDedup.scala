@@ -48,30 +48,21 @@ object TextDedup {
     * column: sig[j] = min over shingles of ((2j+1)·h + 104729j + 7919)
     * mod P. Empty input → all-P sentinel signature.
     *
-    * Shaped as ONE fold over the hash array (shingles outer, perms
-    * inner): a perms-outer `transform` would reference the array once
-    * per permutation, and Catalyst inlines column aliases into lambda
-    * bodies — re-evaluating the whole shingle+md5 subtree 16× per row
-    * (measured 13× slowdown before this rewrite). */
-  def minhashExpr(hashArr: String): Column = expr(
-    s"""aggregate($hashArr,
-       |  array_repeat(${MinhashP}L, $MinhashK),
-       |  (sig, h) -> zip_with(sig, sequence(0, ${MinhashK - 1}),
-       |    (m, j) -> least(m, ((2*j + 1) * h + 104729*j + 7919) % ${MinhashP}L)))""".stripMargin)
+    * Native codegen'd expression ([[graft.functions.MinhashSig]]) —
+    * identical integer arithmetic to the single-fold SQL shape it
+    * replaces (which itself replaced a perms-outer `transform` that the
+    * lambda-inlining rule re-evaluated 16× per row), minus the
+    * interpreted higher-order-function dispatch. Still map-only. */
+  def minhashExpr(hashArr: String): Column =
+    expr(s"minhash_sig($hashArr, $MinhashK)")
 
   /** 32-bit SimHash from a 60-bit-hash array column: bit i is set iff a
-    * strict majority of hashes have bit i set (ties → 0).
-    * Single fold (see [[minhashExpr]] for why): the accumulator carries
-    * per-bit counts + the element count, the finish lambda assembles the
-    * hash. */
-  def simhashExpr(hashArr: String): Column = expr(
-    s"""aggregate($hashArr,
-       |  struct(array_repeat(0L, 32) AS cnt, 0L AS n),
-       |  (acc, h) -> struct(zip_with(acc.cnt, sequence(0, 31),
-       |      (c, i) -> c + (shiftright(h, i) & 1)) AS cnt, acc.n + 1 AS n),
-       |  acc -> aggregate(zip_with(acc.cnt, sequence(0, 31),
-       |      (c, i) -> CASE WHEN c * 2 > acc.n THEN shiftleft(1L, i) ELSE 0L END),
-       |    0L, (a, x) -> a + x))""".stripMargin)
+    * strict majority of hashes have bit i set (ties → 0). Native
+    * codegen'd expression ([[graft.functions.Simhash32]]) — same
+    * majority-vote arithmetic as the fold it replaces ([[minhashExpr]]
+    * note applies). */
+  def simhashExpr(hashArr: String): Column =
+    expr(s"simhash32($hashArr)")
 
   /** Exact dedup: one keeper (min id) per identical text + copy count.
     * docs columns: doc_id, text. */

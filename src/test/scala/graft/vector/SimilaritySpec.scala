@@ -75,10 +75,10 @@ class SimilaritySpec extends SparkSpec {
     }
     val firstN = recall(Similarity.annIvf(embeddings, ncells = 8, k = 3, nprobe = 2))
     val trained2 = recall(Similarity.annIvfTrained(embeddings, ncells = 8, k = 3, nprobe = 2, iters = 3))
-    val trained3 = recall(Similarity.annIvfTrained(embeddings, ncells = 8, k = 3, nprobe = 3, iters = 3))
-    info(f"recall@3: firstN@np2 $firstN%.3f, trained@np2 $trained2%.3f, trained@np3 $trained3%.3f")
+    val trainedDefault = recall(Similarity.annIvfTrained(embeddings))
+    info(f"recall@3: firstN@8x2 $firstN%.3f, trained@8x2 $trained2%.3f, trained@16x6 $trainedDefault%.3f")
     assert(trained2 > firstN, s"training must beat first-N centroids: $firstN -> $trained2")
-    assert(trained3 >= 0.6, s"trained recall at nprobe=3 below bar: $trained3")
+    assert(trainedDefault >= 0.6, s"trained recall at default 16x6 below bar: $trainedDefault")
   }
 
   test("hyperplanes are deterministic and distribute vectors across buckets") {
