@@ -57,6 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSig(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "winnow_fps(text, k, w)")
+        def lit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other =>
+            require(other.foldable,
+              s"winnow_fps: $name must be a foldable integer literal, got ${other.sql}")
+            other.eval().toString.toInt
+        }
+        WinnowFps(children.head, lit(children(1), "k"), lit(children(2), "w"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[Simhash32].getName, "simhash32"),
       (children: Seq[Expression]) => {

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -85,33 +84,27 @@ object TextAnalysis {
     * minimum — the distinct minima are the document's fingerprint set
     * (robust to local edits, the standard plagiarism/near-dup sketch).
     *
-    * Shape: gram rows are exploded (NOT nested arrays — a windows-outer
-    * array expression would re-inline the gram computation per window,
-    * the lambda-inlining trap), then one window-min pass per doc and a
-    * distinct-collect. One shuffle on doc_id. */
-  def winnow(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
-    val grams = graft.Par.fanOut(docs)
-      .where(length(col("text")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), i -> md5_prefix(substring(text, i, $k), 7))"))
-        .as(Seq("pos0", "g")))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val winMin = Window.partitionBy(col("doc_id")).orderBy(col("pos0")).rowsBetween(0, w - 1)
-    grams
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("m", min(col("g")).over(winMin))
-      .where(col("pos0") <= col("n") - w) // full windows only (pos0 is 0-based)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("m"))).as("fps"))
-      // Emit the fingerprint set as a comma-joined STRING, not
-      // array<bigint>: the driver's pandas compare sorts on every column
-      // and numpy arrays are unhashable (round-2 q27 failure). DuckDB
-      // twin: array_to_string(list_sort(...), ',').
+    * One codegen'd map call per row ([[graft.functions.WinnowFps]],
+    * O(len) monotonic-deque minima) — no explode, no windows, no
+    * shuffle; fuses into the scan at any scale. (History: round 2
+    * exploded gram rows through two window passes — correct, but paid a
+    * doc_id shuffle and per-gram row overhead; and a windows-outer array
+    * expression before that hit the lambda-inlining trap.) Docs without
+    * a full window (shorter than k+w−1 chars) are dropped, matching the
+    * oracle's `pos <= n - w` filter.
+    *
+    * Fingerprints are emitted as a comma-joined STRING, not
+    * array<bigint>: the driver's pandas compare sorts on every column
+    * and numpy arrays are unhashable (round-2 q27 failure). DuckDB
+    * twin: array_to_string(list_sort(...), ','). */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 8): DataFrame =
+    graft.Par.fanOut(docs)
+      .select(col("doc_id"), expr(s"winnow_fps(text, $k, $w)").as("fps"))
+      .where(size(col("fps")) > 0)
       .select(
         col("doc_id"),
         concat_ws(",", col("fps").cast("array<string>")).as("fingerprints"),
         size(col("fps")).cast("long").as("n_fps"))
-  }
 
   /** Rolling-hash document fingerprint: min 28-bit hash over all char
     * 8-grams (winnowing's global-window degenerate case — one value per
