@@ -47,6 +47,12 @@ object ForwardFill {
     // plans (an unaliased scaffold("entity") === daily("entity") only
     // resolves via dataset-id disambiguation and Spark warns
     // "trivially true equals predicate").
+    // Entities come from a second, 1-column scan of `snapshots` rather
+    // than from `daily`: the dedup-window subtree is NOT reusable across
+    // the two branches (column pruning canonicalizes the exchanges
+    // differently), so deriving entities from `daily` would re-run the
+    // rank window — strictly more expensive at scale than a pruned
+    // entity-only scan with partial-aggregated distinct.
     val scaffold = snapshots.select(col("entity")).distinct()
       .crossJoin(broadcast(days)).alias("ff_scaffold")
     val filled = scaffold
