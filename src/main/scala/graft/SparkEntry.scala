@@ -67,6 +67,7 @@ object SparkEntry {
     // the driver records a rows-only check; recall vs brute force is
     // gated in SimilaritySpec instead.
     "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(Tables.embeddings(s, d))),
+    "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -486,6 +487,34 @@ object SparkEntry {
         |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
         |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q30_lang_cjk" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits,
+        |    CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS han_chars,
+        |    CAST(len(regexp_extract_all(text, '\p{Hiragana}'))
+        |       + len(regexp_extract_all(text, '\p{Katakana}')) AS BIGINT) AS kana_chars,
+        |    CAST(len(regexp_extract_all(text, '\p{Hangul}')) AS BIGINT) AS hangul_chars,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM t),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_stopword
+        |  FROM h)
+        |SELECT doc_id, han_chars, kana_chars, hangul_chars, lang_stopword,
+        |  CASE WHEN (han_chars + kana_chars + hangul_chars) * 2 > n_chars THEN
+        |    CASE WHEN hangul_chars >= han_chars AND hangul_chars >= kana_chars THEN 'ko'
+        |         WHEN kana_chars > 0 THEN 'ja' ELSE 'zh' END
+        |  ELSE lang_stopword END AS lang_final
+        |FROM v ORDER BY doc_id""".stripMargin,
     "q24_embedding_neardup" ->
       s"""WITH $VecCte
          |SELECT vec_a, vec_b, cosine FROM (

@@ -62,21 +62,61 @@ object TextAnalysis {
     * the max with a fixed tie order (en > de > es > fr). CJK scripts
     * would need char-class counting instead of word splits — out of
     * scope for the space-separated corpus, documented limitation. */
-  def langGuess(docs: DataFrame): DataFrame = {
-    def hits(lang: String): Column = {
-      val set = Stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
-      expr(s"size(filter(${words("text")}, w -> w IN $set))").cast("long")
-    }
+  private def stopwordHits(lang: String): Column = {
+    val set = Stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
+    expr(s"size(filter(${words("text")}, w -> w IN $set))").cast("long")
+  }
+
+  /** Stopword majority vote over the *_hits columns (fixed tie order
+    * en > de > es > fr). */
+  private val StopwordVote: Column =
+    when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+         col("en_hits") >= col("fr_hits"), "en")
+      .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+      .when(col("es_hits") >= col("fr_hits"), "es")
+      .otherwise("fr")
+
+  def langGuess(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      hits("en").as("en_hits"), hits("de").as("de_hits"),
-      hits("es").as("es_hits"), hits("fr").as("fr_hits"))
-      .withColumn("lang_guess",
-        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
-             col("en_hits") >= col("fr_hits"), "en")
-        .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
-        .when(col("es_hits") >= col("fr_hits"), "es")
-        .otherwise("fr"))
+      stopwordHits("en").as("en_hits"), stopwordHits("de").as("de_hits"),
+      stopwordHits("es").as("es_hits"), stopwordHits("fr").as("fr_hits"))
+      .withColumn("lang_guess", StopwordVote)
+
+  /** Script-aware language ID: counts CJK characters by Unicode script
+    * (Han / Hiragana+Katakana / Hangul) and, when a strict majority of
+    * the text is CJK, classifies by script mix (Korean ⇐ Hangul
+    * dominant; Japanese ⇐ any kana beats Han presence; else Chinese —
+    * kana is the discriminator because Japanese prose mixes kana into
+    * Han text while Chinese never does). Otherwise falls back to the
+    * stopword vote of [[langGuess]]. All decisions are integer
+    * comparisons over char counts, so the DuckDB oracle reproduces them
+    * exactly (Java `\p{IsHan}` ≡ RE2 `\p{Han}` on the BMP scripts used).
+    *
+    * Closes the round-2 documented limitation ("CJK scripts would need
+    * char-class counting instead of word splits"). Pure map stage like
+    * every sketch here. */
+  def langGuessCjk(docs: DataFrame): DataFrame = {
+    def scriptChars(pattern: String): Column =
+      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
+    docs.select(
+      col("doc_id"),
+      stopwordHits("en").as("en_hits"), stopwordHits("de").as("de_hits"),
+      stopwordHits("es").as("es_hits"), stopwordHits("fr").as("fr_hits"),
+      scriptChars("\\p{IsHan}").as("han_chars"),
+      (scriptChars("\\p{IsHiragana}") + scriptChars("\\p{IsKatakana}")).as("kana_chars"),
+      scriptChars("\\p{IsHangul}").as("hangul_chars"),
+      length(col("text")).cast("long").as("n_chars"))
+      .withColumn("lang_stopword", StopwordVote)
+      .withColumn("lang_final",
+        when((col("han_chars") + col("kana_chars") + col("hangul_chars")) * 2 > col("n_chars"),
+          when(col("hangul_chars") >= col("han_chars") &&
+               col("hangul_chars") >= col("kana_chars"), "ko")
+            .when(col("kana_chars") > 0, "ja")
+            .otherwise("zh"))
+        .otherwise(col("lang_stopword")))
+      .select(col("doc_id"), col("han_chars"), col("kana_chars"), col("hangul_chars"),
+        col("lang_stopword"), col("lang_final"))
   }
 
   /** Full winnowing fingerprints (Schleimer et al.'s local algorithm):

@@ -33,6 +33,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == "en") // zero hits everywhere → tie → first in order
   }
 
+  test("langGuessCjk classifies CJK scripts and falls back to stopwords elsewhere") {
+    val docs = Seq(
+      (1L, "the cat and a dog of note"),        // latin → stopword path
+      (2L, "这是一个中文句子没有假名"),            // Han only → zh
+      (3L, "これは日本語の文です"),               // Han + hiragana → ja
+      (4L, "한국어 문장입니다 감사합니다"),         // Hangul → ko
+      (5L, "the cat 中文 mixed but mostly latin text here")) // minority CJK → stopword path
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langGuessCjk(docs).select("doc_id", "lang_final")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "zh")
+    assert(out(3L) == "ja")
+    assert(out(4L) == "ko")
+    assert(out(5L) == "en")
+  }
+
   test("fingerprint is stable and handles short texts") {
     val docs = Seq((1L, "abcdefghij"), (2L, "short"), (3L, "abcdefghij")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(docs).as[(Long, Long)].collect().toMap
