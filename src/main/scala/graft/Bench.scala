@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
 
 /** Benchmark harness — one JSON line on stdout AND written to
@@ -21,13 +21,7 @@ object Bench {
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
       .orElse(Some("/root/testdata/sf0.001").filter(d => Files.isDirectory(Paths.get(d))))
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
     // Between-query teardown, OUTSIDE the timed region: operators persist

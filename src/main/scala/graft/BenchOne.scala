@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Profile a single registered query: usage `BenchOne <name> [sfDir]`.
   * Prints wall time and the formatted physical plan — the explain-audit
@@ -9,13 +9,7 @@ object BenchOne {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_WARMONE").foreach { wd =>
       val t = System.nanoTime()
