@@ -35,12 +35,14 @@ object ForwardFill {
     * no value yet are dropped. */
   def fill(snapshots: DataFrame, days: DataFrame,
            tiebreaks: Seq[String] = Seq("tiebreak")): DataFrame = {
-    // Collapse to one snapshot per (entity, slot): highest tiebreak wins.
-    val byEntityDay = Window.partitionBy(col("entity"), col("snap_date"))
-      .orderBy(tiebreaks.map(col(_).desc): _*)
+    // Collapse to one snapshot per (entity, slot): highest tiebreak
+    // tuple wins — max_by over the lexicographic struct, i.e. a HASH
+    // aggregate with map-side partials, rather than a rank window whose
+    // sort pays O(n log n) per group and shuffles every input row (the
+    // dominant cost of the fill at fact scale).
     val daily = snapshots
-      .withColumn("rn", row_number().over(byEntityDay)).where(col("rn") === 1)
-      .select(col("entity"), col("snap_date"), col("value"))
+      .groupBy(col("entity"), col("snap_date"))
+      .agg(max_by(col("value"), struct(tiebreaks.map(col): _*)).as("value"))
 
     // Both sides descend from the same `snapshots` lineage — alias them
     // explicitly so the entity equi-condition references two DISTINCT
