@@ -166,7 +166,9 @@ object Warehouse {
   private val CacheVersion = "v1"
 
   private def cacheRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_WH_CACHE", "target/graft-warehouse")
+    sys.props.get("graft.wh.cache")
+      .orElse(sys.env.get("SPARK_GRAFT_WH_CACHE"))
+      .getOrElse("target/graft-warehouse")
 
   /** Input fingerprint (path, length, mtime of every source file) — the
     * cache key self-invalidates if a corpus is regenerated in place
@@ -195,6 +197,12 @@ object Warehouse {
   /** Resolved cache dir per sfDir (memoized per JVM — the FS fingerprint
     * walk runs once per corpus, not once per query). */
   private val resolved = TrieMap.empty[String, String]
+
+  /** Drop the per-JVM memo so the next read re-fingerprints its inputs.
+    * Needed only when a corpus is REGENERATED IN PLACE within one JVM
+    * (tests; an ops notebook reloading a day): across JVMs the
+    * fingerprint in the directory name self-invalidates. */
+  def invalidateResolved(): Unit = resolved.clear()
 
   private val buildLock = new Object
 

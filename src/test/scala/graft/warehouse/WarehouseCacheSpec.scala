@@ -1,0 +1,64 @@
+package graft.warehouse
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The materialized-warehouse cache is the round-3 machinery most able
+  * to fail SILENTLY: a stale cache feeds old results to every analytic
+  * query while the merges themselves stay green. These specs pin the
+  * two invalidation paths (input fingerprint; idempotent re-entry). */
+class WarehouseCacheSpec extends SparkSpec {
+
+  private def copyCorpus(dst: Path): Unit =
+    Seq("events.parquet", "part.parquet").foreach { t =>
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t"), dst.resolve(t),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  test("ensureMaterialized is idempotent and keyed by input fingerprint") {
+    val sfDir = Files.createTempDirectory("whcache-sf")
+    val cacheRoot = Files.createTempDirectory("whcache-root")
+    copyCorpus(sfDir)
+    System.setProperty("graft.wh.cache", cacheRoot.toString)
+    try {
+      Warehouse.invalidateResolved()
+      val dir1 = Warehouse.ensureMaterialized(spark, sfDir.toString)
+      val rows1 = Warehouse.dimOrders(spark, sfDir.toString).count()
+      assert(rows1 > 0)
+      // second touch: same dir, no rebuild (marker mtime unchanged)
+      val marker = Paths.get(dir1, "dim_orders", "_SUCCESS")
+      val mtime1 = Files.getLastModifiedTime(marker)
+      Warehouse.invalidateResolved()
+      val dir2 = Warehouse.ensureMaterialized(spark, sfDir.toString)
+      assert(dir2 == dir1, "unchanged inputs must resolve to the same cache dir")
+      assert(Files.getLastModifiedTime(marker) == mtime1, "unchanged inputs must not rebuild")
+
+      // regenerate the corpus in place: fingerprint must move the cache
+      // dir (stale results would otherwise be served for the new data)
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val tmpOut = Files.createTempDirectory("whcache-newev")
+      ev.limit(50).coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+      val newFile = Files.list(tmpOut).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(newFile, sfDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Warehouse.invalidateResolved()
+      val dir3 = Warehouse.ensureMaterialized(spark, sfDir.toString)
+      assert(dir3 != dir1, "changed inputs must re-key the cache")
+      val rows3 = Warehouse.dimOrders(spark, sfDir.toString).count()
+      assert(rows3 > 0 && rows3 != rows1, "rebuilt dim must reflect the new corpus")
+    } finally {
+      System.clearProperty("graft.wh.cache")
+      Warehouse.invalidateResolved()
+    }
+  }
+
+  test("materialized dims equal a direct build of the merge chain") {
+    val sfDir = "/root/testdata/sf0.001"
+    val direct = rowsOf(Warehouse.buildDimParts(spark, sfDir)
+      .select(col("id"), col("category"), col("price"), col("start_time"), col("end_time")))
+    val cached = rowsOf(Warehouse.dimParts(spark, sfDir)
+      .select(col("id"), col("category"), col("price"), col("start_time"), col("end_time")))
+    assert(cached == direct)
+  }
+}
