@@ -57,6 +57,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSig(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles(text, n)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other =>
+            require(other.foldable,
+              s"word_shingles: n must be a foldable integer literal, got ${other.sql}")
+            other.eval().toString.toInt
+        }
+        WordShingles(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

@@ -31,13 +31,12 @@ object TextDedup {
   val MinhashK = 16
   val LshBands = 8 // × 2 rows per band = 16 perms
 
-  /** Distinct word 3-gram shingles of a text column (SQL-expression
-    * column; `c` must be a column NAME, resolvable in scope). */
-  def shingleExpr(c: String): Column = expr(
-    s"""array_distinct(CASE WHEN size(split($c, ' ')) >= 3 THEN
-       |  transform(sequence(1, size(split($c, ' ')) - 2),
-       |            i -> concat_ws(' ', slice(split($c, ' '), i, 3)))
-       |  ELSE array() END)""".stripMargin)
+  /** Distinct word 3-gram shingles of a text column (`c` must be a
+    * column NAME, resolvable in scope). Native codegen'd expression
+    * ([[graft.functions.WordShingles]]) — the SQL `transform(...,
+    * i -> concat_ws(' ', slice(split(c,' '), i, 3)))` shape re-ran the
+    * split once PER WINDOW (lambda inlining), i.e. O(words²) per doc. */
+  def shingleExpr(c: String): Column = expr(s"word_shingles($c, 3)")
 
   /** 28-bit md5 hashes of an array-of-string column (for minhash) —
     * via the native md5_prefix expression (GraftExtensions). */

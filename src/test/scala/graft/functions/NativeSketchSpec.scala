@@ -44,6 +44,20 @@ class NativeSketchSpec extends AnyFunSuite {
     })
   }
 
+  test("word_shingles equals the split/slide/distinct reference (empty tokens kept)") {
+    val textGen = Gen.chooseNum(0, 80).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(3 -> Gen.oneOf('a', 'b', 'c'), 2 -> Gen.const(' '))))
+    checkProp(Prop.forAllNoShrink(textGen) { s =>
+      val native = ShingleOps.eval(UTF8String.fromString(s), 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      val words = s.split(" ", -1).toSeq
+      val ref =
+        if (words.length < 3) Seq.empty
+        else (0 to words.length - 3).map(i => words.slice(i, i + 3).mkString(" ")).distinct
+      native == ref
+    })
+  }
+
   test("winnow_fps equals the naive per-window-minimum reference for arbitrary texts") {
     val textGen = Gen.chooseNum(0, 60).flatMap(n =>
       Gen.stringOfN(n, Gen.oneOf(('a' to 'e') ++ Seq(' ', 'ß', '中'))))
