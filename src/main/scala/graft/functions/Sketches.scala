@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst expressions for the per-document dedup sketches
   * (SURVEY.md §7.3): MinHash signatures and 32-bit SimHash over an
@@ -31,18 +31,27 @@ case class MinhashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) | ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig expects array<bigint>, got ${other.catalogString}")
+      s"minhash_sig expects array<bigint> (pre-hashed) or array<string> (shingles), " +
+        s"got ${other.catalogString}")
+  }
+
+  private def fromStrings: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any =
-    SketchOps.minhash(input.asInstanceOf[ArrayData], k)
+    if (fromStrings) SketchOps.minhashStr(input.asInstanceOf[ArrayData], k)
+    else SketchOps.minhash(input.asInstanceOf[ArrayData], k)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // SketchOps is an object WITHOUT a companion class — Janino needs a
     // java-static call (see the Md5Prefix/VecDot codegen note).
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.minhash($c, $k)")
+    val fn = if (fromStrings) "minhashStr" else "minhash"
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.$fn($c, $k)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)
@@ -54,16 +63,25 @@ case class Simhash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) | ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash32 expects array<bigint>, got ${other.catalogString}")
+      s"simhash32 expects array<bigint> (pre-hashed) or array<string> (shingles), " +
+        s"got ${other.catalogString}")
+  }
+
+  private def fromStrings: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any =
-    SketchOps.simhash32(input.asInstanceOf[ArrayData])
+    if (fromStrings) SketchOps.simhash32Str(input.asInstanceOf[ArrayData])
+    else SketchOps.simhash32(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simhash32($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (fromStrings) "simhash32Str" else "simhash32"
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.$fn($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Simhash32 =
     copy(child = newChild)
@@ -94,6 +112,47 @@ object SketchOps {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** [[minhash]] fused with the hash step: input is the SHINGLE STRING
+    * array; each element is hashed to its 28-bit md5 prefix
+    * (≡ md5_prefix(s, 7)) inline — no intermediate hash array, no
+    * interpreted `transform` dispatch. */
+  def minhashStr(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = Md5Hash.eval(shingles.getUTF8String(i), 7)
+      var j = 0
+      while (j < k) {
+        val v = ((2L * j + 1L) * h + 104729L * j + 7919L) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** [[simhash32]] fused with the hash step: input is the SHINGLE STRING
+    * array; each element is hashed to its 60-bit md5 prefix
+    * (≡ md5_prefix(s, 15)) inline. */
+  def simhash32Str(shingles: ArrayData): Long = {
+    val n = shingles.numElements()
+    val cnt = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val h = Md5Hash.eval(shingles.getUTF8String(i), 15)
+      var b = 0
+      while (b < 32) { cnt(b) += (h >>> b) & 1L; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (cnt(b) * 2 > n) out |= 1L << b; b += 1 }
+    out
   }
 
   /** Bit i of the result set iff a STRICT majority of the (60-bit)

@@ -101,8 +101,7 @@ object TextDedup {
     * Footprint is O(docs × 8) short rows. */
   private def bandedSignatures(sh: DataFrame): DataFrame =
     sh
-      .withColumn("h28s", h28Array("shingles"))
-      .withColumn("sig", minhashExpr("h28s"))
+      .withColumn("sig", minhashExpr("shingles"))
       .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${LshBands - 1}), b -> struct(b AS band,
@@ -154,8 +153,7 @@ object TextDedup {
   def simhashFingerprints(docs: DataFrame): DataFrame =
     graft.Par.fanOut(docs)
       .withColumn("shingles", shingleExpr("text"))
-      .withColumn("h60s", expr("transform(shingles, s -> md5_prefix(s, 15))"))
-      .select(col("doc_id"), simhashExpr("h60s").as("simhash"))
+      .select(col("doc_id"), simhashExpr("shingles").as("simhash"))
 
   /** SimHash near-duplicate pairs at hamming distance ≤ `maxHam` (≤ 3):
     * candidates share ≥1 of the 4 byte-chunks of the fingerprint — by

@@ -44,6 +44,18 @@ class NativeSketchSpec extends AnyFunSuite {
     })
   }
 
+  test("string-input sketches equal hash-then-sketch composition") {
+    val shinglesGen = Gen.listOf(Gen.alphaStr.map(_.take(12)))
+    checkProp(Prop.forAllNoShrink(shinglesGen) { ss =>
+      val arr = new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+      val h28 = new GenericArrayData(ss.map(s => Md5Hash.eval(UTF8String.fromString(s), 7)).toArray)
+      val h60 = new GenericArrayData(ss.map(s => Md5Hash.eval(UTF8String.fromString(s), 15)).toArray)
+      SketchOps.minhashStr(arr, 16).toLongArray().toSeq ==
+        SketchOps.minhash(h28, 16).toLongArray().toSeq &&
+        SketchOps.simhash32Str(arr) == SketchOps.simhash32(h60)
+    })
+  }
+
   test("word_shingles equals the split/slide/distinct reference (empty tokens kept)") {
     val textGen = Gen.chooseNum(0, 80).flatMap(n =>
       Gen.stringOfN(n, Gen.frequency(3 -> Gen.oneOf('a', 'b', 'c'), 2 -> Gen.const(' '))))
