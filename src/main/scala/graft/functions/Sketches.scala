@@ -124,7 +124,9 @@ object SketchOps {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val h = Md5Hash.eval(shingles.getUTF8String(i), 7)
+      val u = shingles.getUTF8String(i)
+      if (u == null) throw new IllegalArgumentException(s"minhash_sig: null shingle at index $i")
+      val h = Md5Hash.eval(u, 7)
       var j = 0
       while (j < k) {
         val v = ((2L * j + 1L) * h + 104729L * j + 7919L) % P
@@ -144,7 +146,9 @@ object SketchOps {
     val cnt = new Array[Long](32)
     var i = 0
     while (i < n) {
-      val h = Md5Hash.eval(shingles.getUTF8String(i), 15)
+      val u = shingles.getUTF8String(i)
+      if (u == null) throw new IllegalArgumentException(s"simhash32: null shingle at index $i")
+      val h = Md5Hash.eval(u, 15)
       var b = 0
       while (b < 32) { cnt(b) += (h >>> b) & 1L; b += 1 }
       i += 1

@@ -66,7 +66,14 @@ object VecDotOps {
         s"vec_dot: length mismatch (${n} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // getDouble on a null slot silently yields 0.0 — a wrong score,
+      // not an error. Dense vectors are the contract; fail loud.
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"vec_dot: null element at index $i")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }

@@ -25,13 +25,7 @@ object FactBuild {
     * dimDates columns: id (yyyyMMdd), datum.
     * Returns one row per key: payload + created_date_id + created_time. */
   def firstEventFacts(events0: DataFrame, dimDates: DataFrame): DataFrame = {
-    val events =
-      if (events0.columns.contains("tiebreak")) events0
-      // \u0001 separator, identical to Scd2.eventsMerge's synthesizer —
-      // unlike "|" it cannot occur in the data, so boundary-shifted rows
-      // never collide.
-      else events0.withColumn("tiebreak", graft.functions.PortableHash.h60(
-        concat_ws("\u0001", events0.columns.map(c => col(c).cast("string")): _*)))
+    val events = Tiebreak.ensure(events0)
     val w = Window.partitionBy(col("key")).orderBy(col("event_time"), col("tiebreak"))
     val first = events.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
     val dates = dimDates.select(col("id").as("created_date_id"), col("datum"))

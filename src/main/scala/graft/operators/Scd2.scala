@@ -110,14 +110,7 @@ object Scd2 {
     * so a future change is a conscious one.
     */
   def eventsMerge(dim: DataFrame, events0: DataFrame, batchTs: String): DataFrame = {
-    val events =
-      if (events0.columns.contains("tiebreak")) events0
-      // \u0001 separator (shared with FactBuild.firstEventFacts): a
-      // separator-less concat would collide boundary-shifted rows
-      // (("ab","c") vs ("a","bc")), and printable separators like "|" can
-      // occur in the data itself.
-      else events0.withColumn("tiebreak", graft.functions.PortableHash.h60(
-        concat_ws("\u0001", events0.columns.map(c => col(c).cast("string")): _*)))
+    val events = Tiebreak.ensure(events0)
     val ts = to_timestamp(lit(batchTs))
     val sentinel = to_timestamp(lit(Sentinel))
 

@@ -20,7 +20,15 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Surviving documents with their quality scores.
-    * docs columns: doc_id, text. */
+    * docs columns: doc_id, text.
+    *
+    * Memory lifecycle: the pipeline persists two intermediates (the
+    * shared shingle projection here, the narrow band table inside the
+    * near-dup stage). They stay cached until the caller drops them —
+    * `spark.catalog.clearCache()` between pipeline runs (what Bench and
+    * Verify do), or `unpersist()` on a dedicated session. A production
+    * deployment materializes both to parquet instead (the plan shape is
+    * identical), which is also the only option at 100 TB. */
   def curate(docs: DataFrame,
              jaccardThreshold: Double = 0.5,
              minQuality: Double = 0.5,

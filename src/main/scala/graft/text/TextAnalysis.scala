@@ -97,8 +97,12 @@ object TextAnalysis {
     * char-class counting instead of word splits"). Pure map stage like
     * every sketch here. */
   def langGuessCjk(docs: DataFrame): DataFrame = {
+    // regexp_count, not size(regexp_extract_all(...)): counting must not
+    // materialize an array of every matched char per row in a pure-map
+    // stage (the DuckDB twin keeps len(regexp_extract_all) — only the
+    // COUNTS are compared, so the implementations may differ).
     def scriptChars(pattern: String): Column =
-      size(regexp_extract_all(col("text"), lit(pattern), lit(0))).cast("long")
+      regexp_count(col("text"), lit(pattern)).cast("long")
     docs.select(
       col("doc_id"),
       stopwordHits("en").as("en_hits"), stopwordHits("de").as("de_hits"),

@@ -35,13 +35,13 @@ object TextDedup {
     * column NAME, resolvable in scope). Native codegen'd expression
     * ([[graft.functions.WordShingles]]) — the SQL `transform(...,
     * i -> concat_ws(' ', slice(split(c,' '), i, 3)))` shape re-ran the
-    * split once PER WINDOW (lambda inlining), i.e. O(words²) per doc. */
-  def shingleExpr(c: String): Column = expr(s"word_shingles($c, 3)")
-
-  /** 28-bit md5 hashes of an array-of-string column (for minhash) —
-    * via the native md5_prefix expression (GraftExtensions). */
-  def h28Array(arrCol: String): Column = expr(
-    s"transform($arrCol, s -> md5_prefix(s, 7))")
+    * split once PER WINDOW (lambda inlining), i.e. O(words²) per doc.
+    * NULL text coalesces to the empty shingle set — the semantics of
+    * the CASE-shaped SQL it replaced, and of the DuckDB oracle's
+    * ShinglesCte (word_shingles itself is SQL-conventional:
+    * NULL in → NULL out). */
+  def shingleExpr(c: String): Column =
+    coalesce(expr(s"word_shingles($c, 3)"), typedLit(Seq.empty[String]))
 
   /** MinHash signature (length [[MinhashK]]) from a 28-bit-hash array
     * column: sig[j] = min over shingles of ((2j+1)·h + 104729j + 7919)
@@ -111,7 +111,10 @@ object TextDedup {
       .persist()
 
   /** MinHash+LSH near-duplicate pairs over a fresh shingle projection —
-    * see [[minhashLshPairsFromShingles]]. */
+    * see [[minhashLshPairsFromShingles]]. The projection (and the band
+    * table inside) stay persisted until the caller clears them
+    * (clearCache / unpersist) — see [[graft.text.Curation.curate]]'s
+    * lifecycle note. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     minhashLshPairsFromShingles(shingled(docs).persist(), threshold)
 

@@ -170,10 +170,24 @@ object Similarity {
     * full-corpus training at 4× less per-iteration work). */
   private def trainFromPrepared(e: DataFrame, ncells: Int, iters: Int,
                                 sampleMod: Int): Seq[Seq[Double]] = {
-    val sample = (if (sampleMod > 1) e.where(pmod(col("vec_id"), lit(sampleMod)) === 0) else e)
-      .select(col("vec_id"), col("v"), col("nrm")).persist()
-    var cents: Seq[Seq[Double]] = sample.orderBy("vec_id").limit(ncells)
+    def seeds(df: DataFrame): Seq[Seq[Double]] = df.orderBy("vec_id").limit(ncells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val sampled = (if (sampleMod > 1) e.where(pmod(col("vec_id"), lit(sampleMod)) === 0) else e)
+      .select(col("vec_id"), col("v"), col("nrm")).persist()
+    // A sample thinner than the codebook can't seed ncells centroids —
+    // fall back to the full table, and if even that is thinner, train
+    // the smaller codebook it CAN support (k = rows; empty input → no
+    // codebook, the search then returns no pairs).
+    var cents = seeds(sampled)
+    val sample =
+      if (cents.length < ncells && sampleMod > 1) {
+        sampled.unpersist()
+        val full = e.select(col("vec_id"), col("v"), col("nrm")).persist()
+        cents = seeds(full)
+        full
+      } else sampled
+    if (cents.isEmpty) { sample.unpersist(); return Seq.empty }
+    val k = cents.length
     val dim = cents.head.length
     for (_ <- 1 to iters) {
       val cos = cents.map { c =>
@@ -190,7 +204,7 @@ object Similarity {
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val next = Array.tabulate(ncells, dim)((c, p) => cents(c)(p)) // empty cell keeps its centroid
+      val next = Array.tabulate(k, dim)((c, p) => cents(c)(p)) // empty cell keeps its centroid
       sums.foreach { r =>
         next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
           r.getAs[java.math.BigDecimal]("s").doubleValue() / r.getAs[Long]("n")

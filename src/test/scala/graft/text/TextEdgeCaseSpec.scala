@@ -11,19 +11,25 @@ class TextEdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
   private val edge = Seq(
-    (1L, ""),                   // empty
-    (2L, "word"),               // single token, shorter than a char 8-gram
-    (3L, "two words"),          // below shingle width
-    (4L, "   "),                // whitespace only
-    (5L, "a b c d e f g h")).toDF("doc_id", "text")
+    (1L, Option("")),                 // empty
+    (2L, Option("word")),             // single token, shorter than a char 8-gram
+    (3L, Option("two words")),        // below shingle width
+    (4L, Option("   ")),              // whitespace only
+    (5L, Option("a b c d e f g h")),
+    (6L, Option.empty[String]))       // NULL text — must behave like empty
+    .toDF("doc_id", "text")
 
   test("dedup operators are total on degenerate texts") {
-    assert(TextDedup.exact(edge).count() == 5)
-    assert(TextDedup.normalized(edge).count() == 4) // "" and "   " normalize equal
+    assert(TextDedup.exact(edge).count() == 6) // NULL text groups alone
+    assert(TextDedup.normalized(edge).count() == 5) // "" and "   " normalize equal
     // no shingles → no candidates → empty pair sets, not errors
     assert(TextDedup.minhashLshPairs(edge.where(col("doc_id") <= 4)).count() == 0)
     val fp = TextDedup.simhashFingerprints(edge).as[(Long, Long)].collect().toMap
     assert(fp(1L) == 0L) // empty shingle set → simhash 0
+    // NULL text must coalesce to the empty shingle set (the CASE-shaped
+    // SQL's and the DuckDB oracle's behavior), not a NULL simhash —
+    // round-3 review finding on the native word_shingles rewrite
+    assert(fp(6L) == 0L)
     // whitespace-only text yields whitespace shingles — defined (and
     // identical in the oracle), just not meaningful; deterministic:
     assert(fp(4L) == TextDedup.simhashFingerprints(edge).as[(Long, Long)].collect().toMap.apply(4L))
@@ -35,8 +41,10 @@ class TextEdgeCaseSpec extends SparkSpec {
     assert(s(2L).getAs[Long]("n_tokens") == 1)
     assert(s(1L).getAs[Long]("n_tokens") == 0)
     assert(s(1L).isNullAt(s(1L).fieldIndex("alpha_ratio"))) // 0-length division
-    val f = TextAnalysis.fingerprint(edge).as[(Long, Long)].collect().toMap
-    assert(f(2L) > 0) // short-text fallback hash
+    val fRows = TextAnalysis.fingerprint(edge).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(fRows(2L).exists(_ > 0)) // short-text fallback hash
+    assert(fRows(6L).isEmpty) // NULL text → NULL fingerprint (SQL convention)
     // only doc 5 (15 chars → 8 grams → exactly one full 8-window) winnows
     val w = TextAnalysis.winnow(edge).select("doc_id").as[Long].collect().toSeq
     assert(w == Seq(5L))

@@ -81,6 +81,18 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedDefault >= 0.6, s"trained recall at default 16x6 below bar: $trainedDefault")
   }
 
+  test("trained IVF survives inputs thinner than the codebook") {
+    // 6 vectors < ncells=16: the 1/4 sample can't even seed one centroid
+    // per cell — training must fall back to the full table and a smaller
+    // codebook instead of crashing (round-3 review finding).
+    val tiny = embeddings.limit(6)
+    val out = Similarity.annIvfTrained(tiny, ncells = 16, k = 3, nprobe = 6, iters = 2)
+    assert(out.count() > 0, "thin input must still search, not crash")
+    val cents = Similarity.trainIvfCentroids(tiny, ncells = 16, iters = 1)
+    assert(cents.nonEmpty && cents.length <= 6)
+    assert(Similarity.trainIvfCentroids(embeddings.limit(0), ncells = 4, iters = 1).isEmpty)
+  }
+
   test("hyperplanes are deterministic and distribute vectors across buckets") {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", Similarity.bucketExpr(6, 64))
