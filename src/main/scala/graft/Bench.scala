@@ -60,18 +60,7 @@ object Bench {
       val err = run(sfDir, name)
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // JSON string escape including control chars — exception messages
-    // routinely carry newlines/plan fragments; raw ones would make the
-    // emitted line unparseable exactly when a query breaks.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Json.quote(s)
     val qs = results.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errs = (results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" } ++
       whErr.map(e => s"${q("warehouse_build")}:${q(e)}")).mkString("{", ",", "}")

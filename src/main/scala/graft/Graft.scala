@@ -16,8 +16,8 @@ import org.apache.spark.sql.SparkSession
 object Graft {
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
               shufflePartitions: Int = 32,
-              appName: String = "graft"): SparkSession =
-    SparkSession.builder()
+              appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -25,4 +25,15 @@ object Graft {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // spark.sql.extensions is a STATIC conf: if getOrCreate returned an
+    // already-running session built without it, the native functions are
+    // silently absent and the first operator call fails with an opaque
+    // "Undefined function". Fail here, with instructions, instead.
+    require(spark.catalog.functionExists("md5_prefix"),
+      "Graft.session returned a pre-existing SparkSession that was built without " +
+        "graft's extensions (spark.sql.extensions is static and cannot be applied " +
+        "retroactively). Start the JVM's first session via Graft.session, or add " +
+        "spark.sql.extensions=graft.functions.GraftExtensions to its builder/submit conf.")
+    spark
+  }
 }

@@ -30,7 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other =>
       require(other.foldable,
         s"$fn: $name must be a foldable integer literal, got ${other.sql}")
-      other.eval().toString.toInt
+      val v = other.eval()
+      // a foldable NULL would otherwise NPE at .toString — the exact
+      // opaque-failure class this helper exists to prevent
+      require(v != null, s"$fn: $name must not be NULL")
+      v.toString.toInt
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -102,6 +102,10 @@ object SketchOps {
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
+      // getLong on a null slot silently reads 0, poisoning the signature
+      // with hash-of-0 permutations. Dense input is the contract.
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException(s"minhash_sig: null hash at index $i")
       val h = hashes.getLong(i)
       var j = 0
       while (j < k) {
@@ -166,6 +170,8 @@ object SketchOps {
     val cnt = new Array[Long](32)
     var i = 0
     while (i < n) {
+      if (hashes.isNullAt(i))
+        throw new IllegalArgumentException(s"simhash32: null hash at index $i")
       val h = hashes.getLong(i)
       var b = 0
       while (b < 32) { cnt(b) += (h >>> b) & 1L; b += 1 }

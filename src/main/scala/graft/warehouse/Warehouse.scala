@@ -195,8 +195,11 @@ object Warehouse {
   }
 
   /** Resolved cache dir per sfDir (memoized per JVM — the FS fingerprint
-    * walk runs once per corpus, not once per query). */
-  private val resolved = TrieMap.empty[String, String]
+    * walk runs once per corpus, not once per query). Failed builds are
+    * memoized too (Left): a deterministic build that failed once fails
+    * again — retrying it inside every downstream query silently charges
+    * repeated multi-second build attempts to whatever is being timed. */
+  private val resolved = TrieMap.empty[String, Either[Throwable, String]]
 
   /** Drop the per-JVM memo so the next read re-fingerprints its inputs.
     * Needed only when a corpus is REGENERATED IN PLACE within one JVM
@@ -213,29 +216,31 @@ object Warehouse {
     * with a `_SUCCESS` marker. */
   def ensureMaterialized(spark: SparkSession, sfDir: String): String =
     resolved.getOrElseUpdate(sfDir, buildLock.synchronized {
-      val dir = s"$cacheRoot/$CacheVersion-${inputFingerprint(spark, sfDir)}-" +
-        sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new Path(dir).getFileSystem(conf)
-      def landed(name: String): Boolean = fs.exists(new Path(s"$dir/$name/_SUCCESS"))
+      try {
+        val dir = s"$cacheRoot/$CacheVersion-${inputFingerprint(spark, sfDir)}-" +
+          sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new Path(dir).getFileSystem(conf)
+        def landed(name: String): Boolean = fs.exists(new Path(s"$dir/$name/_SUCCESS"))
 
-      // dim_products batch 1 is itself a materialized table (the nightly
-      // recipe: merge N's output is swapped in before merge N+1 reads it).
-      def viaSwap(name: String): DataFrame => DataFrame = { df =>
-        Ingest.overwriteSwap(spark, df, s"$dir/$name")
-        spark.read.parquet(s"$dir/$name")
-      }
+        // dim_products batch 1 is itself a materialized table (the nightly
+        // recipe: merge N's output is swapped in before merge N+1 reads it).
+        def viaSwap(name: String): DataFrame => DataFrame = { df =>
+          Ingest.overwriteSwap(spark, df, s"$dir/$name")
+          spark.read.parquet(s"$dir/$name")
+        }
 
-      val tables: Seq[(String, () => DataFrame)] = Seq(
-        "dim_orders" -> (() => buildDimOrders(spark, sfDir)),
-        "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
-        "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
-        "fact_orders" -> (() => buildFactOrders(spark, sfDir)))
-      tables.foreach { case (name, build) =>
-        if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
-      }
-      dir
-    })
+        val tables: Seq[(String, () => DataFrame)] = Seq(
+          "dim_orders" -> (() => buildDimOrders(spark, sfDir)),
+          "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
+          "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
+          "fact_orders" -> (() => buildFactOrders(spark, sfDir)))
+        tables.foreach { case (name, build) =>
+          if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
+        }
+        Right(dir)
+      } catch { case e: Throwable => Left(e) }
+    }).fold(e => throw e, identity)
 
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"${ensureMaterialized(spark, sfDir)}/$name")
