@@ -68,6 +68,18 @@ object SparkEntry {
     // gated in SimilaritySpec instead.
     "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(Tables.embeddings(s, d))),
     "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
+    // Skew-salted join, oracle-gated through an aggregate: the salt must
+    // neither drop nor duplicate rows, or the per-brand sums shift.
+    "q31_skew_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val parts = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SkewJoin.salted(li, parts, Seq("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("qty")).cast("double").as("total_qty"))
+        .orderBy("p_brand")
+    }),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -515,6 +527,10 @@ object SparkEntry {
         |         WHEN kana_chars > 0 THEN 'ja' ELSE 'zh' END
         |  ELSE lang_stopword END AS lang_final
         |FROM v ORDER BY doc_id""".stripMargin,
+    "q31_skew_salted_join" ->
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q24_embedding_neardup" ->
       s"""WITH $VecCte
          |SELECT vec_a, vec_b, cosine FROM (
