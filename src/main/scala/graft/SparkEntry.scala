@@ -70,6 +70,10 @@ object SparkEntry {
     "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
     // Skew-salted join, oracle-gated through an aggregate: the salt must
     // neither drop nor duplicate rows, or the per-brand sums shift.
+    // Exact n-gram Jaccard self-join (prefix filtering): deterministic
+    // perfect recall — the oracle is plain brute-force jaccard, so a
+    // hash-match proves the prefix filter dropped nothing.
+    "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairs(docs(s, d))),
     "q31_skew_salted_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
@@ -410,6 +414,21 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id),
+         |jac AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+         |         CAST(0.0 AS DOUBLE)) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force exact jaccard (any shared shingle is a candidate) —
+    // the Spark side's prefix filter must reproduce this EXACTLY.
+    "q32_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |tok AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id),
          |jac AS (SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
          |  nullif(CAST(len(sa.shingles) + len(sb.shingles)

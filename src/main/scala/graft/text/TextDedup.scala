@@ -152,6 +152,66 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs over a fresh shingle
+    * projection — see [[ngramJaccardPairsFromShingles]]. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPairsFromShingles(shingled(docs).persist(), threshold)
+
+  /** EXACT n-gram (word-3-gram) Jaccard set-similarity self-join via
+    * prefix filtering — the AllPairs/PPJoin family (Bayardo et al.,
+    * WWW'07; Vernica et al., SIGMOD'10 for the MapReduce formulation).
+    * Unlike MinHash+LSH ([[minhashLshPairsFromShingles]]) this is
+    * deterministic with PERFECT recall at any threshold: every pair with
+    * jaccard ≥ `threshold` is returned, none missed.
+    *
+    * Candidate generation: order all shingles by (global frequency,
+    * shingle) — a total order, rarest first. A doc with |s| shingles
+    * emits only its first |s| − ⌈t·|s|⌉ + 1 shingles under that order
+    * (its "prefix"); the prefix-filter lemma guarantees any pair with
+    * jaccard ≥ t shares its globally-smallest common shingle, which lies
+    * in BOTH prefixes. Candidates = self-join of the narrow prefix
+    * table on the shingle, + the length filter t·|b| ≤ |a| ≤ |b|/t;
+    * survivors get the exact-jaccard verification.
+    *
+    * Scale: the shuffles are (a) one agg for shingle frequencies,
+    * (b) a hash self-join on prefix shingles — rarest-first ordering
+    * keeps hot shingles out of prefixes, so bucket sizes stay small
+    * (frequency ordering IS the skew mitigation); shingle arrays attach
+    * only to surviving candidates. At 100 TB the frequency table and
+    * prefix table are materialized parquet, same plan shape. */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val tok = sh.select(col("doc_id"), size(col("shingles")).as("len"),
+      explode(col("shingles")).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("tf"), col("tok"))
+    val prefix = tok.join(freq, Seq("tok"))
+      .withColumn("pos", row_number().over(byRarity))
+      .where(col("pos") <= col("len") - ceil(col("len") * lit(threshold)) + lit(1))
+      .select(col("tok"), col("doc_id"), col("len"))
+      .persist() // narrow (tok, doc_id, len); probed by both join sides
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("len").as("len_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("len").as("len_b")),
+        Seq("tok"))
+      .where(col("doc_a") < col("doc_b"))
+      // length filter: jaccard ≥ t ⇒ t·|b| ≤ |a| and t·|a| ≤ |b|
+      // (ε guards the FP boundary for non-dyadic thresholds)
+      .where(col("len_a") >= lit(threshold) * col("len_b") - lit(1e-9) &&
+             col("len_b") >= lit(threshold) * col("len_a") - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-document 32-bit SimHash fingerprints over word-3-gram shingles. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     graft.Par.fanOut(docs)

@@ -53,6 +53,46 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == truth, s"LSH missed ${truth.diff(lsh)} / extra ${lsh.diff(truth)}")
   }
 
+  test("prefix-filtered ngram jaccard == brute-force jaccard pairs (exact, with scores)") {
+    val docs = corpusDocs
+    val got = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+    val sh = docs.withColumn("sh", TextDedup.shingleExpr("text")).select("doc_id", "sh")
+    val truth = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("j", when(col("uni") > 0,
+        col("inter").cast("double") / col("uni").cast("double")))
+      .where(col("j") >= 0.5)
+      .select("doc_a", "doc_b", "j").as[(Long, Long, Double)].collect().toSet
+
+    assert(truth.nonEmpty, "corpus should contain near-duplicates")
+    assert(got == truth, s"prefix filter missed ${truth.diff(got)} / extra ${got.diff(truth)}")
+  }
+
+  test("prefix filter keeps recall at a non-dyadic threshold (0.7)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),   // high overlap with 1
+      (3L, "z y x w v u t s r q"),
+      (4L, "completely different text here now ok")).toDF("doc_id", "text")
+    val sh = docs.withColumn("sh", TextDedup.shingleExpr("text")).select("doc_id", "sh")
+    val truth = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("j") >= 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = TextDedup.ngramJaccardPairs(docs, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+  }
+
   test("simhash neardup candidates have perfect recall at hamming<=3 (pigeonhole)") {
     val docs = corpusDocs
     val banded = TextDedup.simhashNearDup(docs, maxHam = 3)
