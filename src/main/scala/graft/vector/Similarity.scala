@@ -140,13 +140,30 @@ object Similarity {
                     nprobe: Int = 6, iters: Int = 3, sampleMod: Int = 4): DataFrame = {
     val e = prepared(embeddings).persist()
     val cents = trainFromPrepared(e, ncells, iters, sampleMod)
-    val spark = embeddings.sparkSession
+    ivfSearch(e, codebookDf(embeddings.sparkSession, cents), k, nprobe)
+  }
+
+  /** A centroid matrix as the (cid, cv, cnrm) codebook table the IVF
+    * search probes — the literal-sized artifact a production pipeline
+    * persists next to the index and broadcasts at query time. */
+  def codebookDf(spark: org.apache.spark.sql.SparkSession,
+                 cents: Seq[Seq[Double]]): DataFrame = {
     import spark.implicits._
-    val cent = cents.zipWithIndex
+    cents.zipWithIndex
       .map { case (c, i) => (i.toLong, c, math.sqrt(c.map(x => x * x).sum)) }
       .toDF("cid", "cv", "cnrm")
-    ivfSearch(e, cent, k, nprobe)
   }
+
+  /** IVF search against a PRE-TRAINED codebook (cid, cv, cnrm) — the
+    * per-query path once [[trainIvfCentroids]] has run. Training a
+    * codebook inside every retrieval query is the dim-rebuild
+    * anti-pattern in vector clothing: at 100 TB the codebook is trained
+    * once per corpus build (see graft.warehouse.Warehouse) and queries
+    * only pay assignment + in-cell search. */
+  def annIvfWithCodebook(embeddings: DataFrame, codebook: DataFrame,
+                         k: Int = 3, nprobe: Int = 6): DataFrame =
+    ivfSearch(prepared(embeddings).persist(),
+      codebook.select(col("cid"), col("cv"), col("cnrm")), k, nprobe)
 
   /** Deterministic spherical k-means for IVF coarse quantization.
     * Init = first `ncells` vectors by id; each Lloyd iteration assigns

@@ -140,6 +140,22 @@ object Warehouse {
     Scd2.eventsMerge(materialize(d1), ev.where(col("event_time") >= split), Batch2Ts)
   }
 
+  /** IVF codebook for the corpus embeddings: deterministic sampled
+    * spherical k-means ([[graft.vector.Similarity.trainIvfCentroids]]),
+    * trained ONCE per corpus — retrieval queries read it instead of
+    * re-running Lloyd iterations per query. Corpora without an
+    * embeddings table get an empty codebook (searches return no rows). */
+  def buildIvfCodebook(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    val cents =
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
+      else graft.vector.Similarity.trainIvfCentroids(
+        Tables.embeddings(spark, sfDir), ncells = 16, iters = 3, sampleMod = 4)
+    // repartition(1): an empty LocalRelation writes zero part files
+    // (only _SUCCESS), leaving nothing to infer the schema from on read
+    graft.vector.Similarity.codebookDf(spark, cents).repartition(1)
+  }
+
   /** fact_orders_created (process_orders_sqls.py:79-90): the first event
     * per order joined to the date dimension for the surrogate key. */
   def buildFactOrders(spark: SparkSession, sfDir: String): DataFrame = {
@@ -162,8 +178,9 @@ object Warehouse {
   // ---------------------------------------------------------------------
 
   /** Bump whenever any builder/merge SEMANTIC changes — a stale cache
-    * would otherwise silently feed old results to the correctness gate. */
-  private val CacheVersion = "v1"
+    * would otherwise silently feed old results to the correctness gate.
+    * v2: + ivf_codebook table (embeddings joined the fingerprint). */
+  private val CacheVersion = "v2"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -175,7 +192,7 @@ object Warehouse {
     * (tests point builders at freshly written temp dirs). */
   private def inputFingerprint(spark: SparkSession, sfDir: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = Seq("events.parquet", "part.parquet").flatMap { t =>
+    val entries = Seq("events.parquet", "part.parquet", "embeddings.parquet").flatMap { t =>
       val p = new Path(s"$sfDir/$t")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq(s"$t:absent")
@@ -234,7 +251,8 @@ object Warehouse {
           "dim_orders" -> (() => buildDimOrders(spark, sfDir)),
           "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
           "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
-          "fact_orders" -> (() => buildFactOrders(spark, sfDir)))
+          "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
+          "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)))
         tables.foreach { case (name, build) =>
           if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
         }
@@ -261,4 +279,8 @@ object Warehouse {
   /** fact_orders_created, materialized-once (see [[buildFactOrders]]). */
   def factOrders(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "fact_orders")
+
+  /** Trained IVF codebook, materialized-once (see [[buildIvfCodebook]]). */
+  def ivfCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "ivf_codebook")
 }

@@ -81,6 +81,17 @@ class SimilaritySpec extends SparkSpec {
     assert(trainedDefault >= 0.6, s"trained recall at default 16x6 below bar: $trainedDefault")
   }
 
+  test("warehouse codebook path == inline training (same corpus, same params)") {
+    val inline = Similarity.annIvfTrained(embeddings)
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    val viaWh = Similarity.annIvfWithCodebook(
+      embeddings, graft.warehouse.Warehouse.ivfCodebook(spark, sfDir))
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaWh == inline,
+      "pre-trained codebook search must return exactly what inline training returns")
+    assert(graft.warehouse.Warehouse.ivfCodebook(spark, sfDir).count() == 16)
+  }
+
   test("trained IVF survives inputs thinner than the codebook") {
     // 6 vectors < ncells=16: the 1/4 sample can't even seed one centroid
     // per cell — training must fall back to the full table and a smaller
