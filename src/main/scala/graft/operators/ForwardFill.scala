@@ -21,18 +21,21 @@ import org.apache.spark.sql.functions._
   * wins" survives the slot mapping. Entities with no snapshot on or
   * before D contribute nothing (SURVEY.md §7.4.1).
   *
-  * Scale: the scaffold is entities × scaffold-days — built by
-  * cross-joining the (small, broadcast) slot list onto the DISTINCT
-  * entity set, so the blow-up is bounded by the window length, not by
-  * history size. The fill itself is one window per entity (single
-  * shuffle on entity) using `last(ignoreNulls)` over an
-  * unbounded-preceding row frame.
+  * Scale: each collapsed snapshot becomes a VALIDITY INTERVAL
+  * [snap_date, next snap_date) via one `lead` window (single shuffle on
+  * entity), and the (small, broadcast) slot list joins against the
+  * intervals map-side — a BroadcastNestedLoopJoin whose cost is
+  * snapshots-in-window × |days|, bounded by the scaffold length. No
+  * dense entities × days scaffold is ever materialized, no second scan
+  * derives the distinct entity set, and no carry-forward window runs
+  * over scaffold rows (the round-2/3 shape paid all three: 4 shuffles
+  * and 2 source scans vs 2 shuffles and 1 scan here).
   */
 object ForwardFill {
   /** snapshots columns: entity, snap_date (slot date), value, tiebreaks...
     * days: single-column `datum` date scaffold (broadcast-sized).
-    * Returns (entity, datum, value) with value forward-filled; rows with
-    * no value yet are dropped. */
+    * Returns (entity, datum, value) with value forward-filled; (entity,
+    * day) cells before the entity's first snapshot are dropped. */
   def fill(snapshots: DataFrame, days: DataFrame,
            tiebreaks: Seq[String] = Seq("tiebreak")): DataFrame = {
     // Collapse to one snapshot per (entity, slot): highest tiebreak
@@ -44,28 +47,14 @@ object ForwardFill {
       .groupBy(col("entity"), col("snap_date"))
       .agg(max_by(col("value"), struct(tiebreaks.map(col): _*)).as("value"))
 
-    // Both sides descend from the same `snapshots` lineage — alias them
-    // explicitly so the entity equi-condition references two DISTINCT
-    // plans (an unaliased scaffold("entity") === daily("entity") only
-    // resolves via dataset-id disambiguation and Spark warns
-    // "trivially true equals predicate").
-    // Entities come from a second, 1-column scan of `snapshots` rather
-    // than from `daily`: the dedup-window subtree is NOT reusable across
-    // the two branches (column pruning canonicalizes the exchanges
-    // differently), so deriving entities from `daily` would re-run the
-    // rank window — strictly more expensive at scale than a pruned
-    // entity-only scan with partial-aggregated distinct.
-    val scaffold = snapshots.select(col("entity")).distinct()
-      .crossJoin(broadcast(days)).alias("ff_scaffold")
-    val filled = scaffold
-      .join(daily.alias("ff_daily"),
-        col("datum") === col("snap_date") &&
-          col("ff_scaffold.entity") === col("ff_daily.entity"), "left")
-      .select(col("ff_scaffold.entity"), col("datum"), col("value"))
-      .withColumn("value",
-        last(col("value"), ignoreNulls = true).over(
-          Window.partitionBy(col("entity")).orderBy(col("datum"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    filled.where(col("value").isNotNull)
+    // Each snapshot is valid on scaffold days in [snap_date, next_snap);
+    // the last snapshot carries forward indefinitely (null next_snap).
+    val nextSnap = lead(col("snap_date"), 1).over(
+      Window.partitionBy(col("entity")).orderBy(col("snap_date")))
+    daily.withColumn("next_snap", nextSnap)
+      .join(broadcast(days),
+        col("datum") >= col("snap_date") &&
+          (col("next_snap").isNull || col("datum") < col("next_snap")))
+      .select(col("entity"), col("datum"), col("value"))
   }
 }
