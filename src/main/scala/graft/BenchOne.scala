@@ -10,7 +10,7 @@ object BenchOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     sys.env.get("SPARK_GRAFT_WARMONE").foreach { wd =>
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, wd).write.mode("overwrite").format("noop").save()

@@ -188,21 +188,51 @@ object TextDedup {
     val prefix = tok.join(freq, Seq("tok"))
       .withColumn("pos", row_number().over(byRarity))
       .where(col("pos") <= col("len") - ceil(col("len") * lit(threshold)) + lit(1))
-      .select(col("tok"), col("doc_id"), col("len"))
-      .persist() // narrow (tok, doc_id, len); probed by both join sides
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("len").as("len_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("len").as("len_b")),
+      .select(col("tok"), col("doc_id"), col("len"), col("pos"))
+      .persist() // narrow (tok, doc_id, len, pos); probed by both join sides
+    // Materialize the persist EAGERLY (also pulls `sh` into its cache):
+    // downstream, THREE broadcast-build futures probe these two cached
+    // tables inside one action, and Spark's lazy cache fill is not
+    // synchronized across concurrent jobs — each future recomputes the
+    // whole shingle+freq+window pipeline per partition (measured: the
+    // composed query ran 17–62 s at sf0.1 vs ~4 s with warm caches,
+    // uniformly slow tasks, duplicate "Asked to cache already cached
+    // data" warnings). One cheap count serializes the fill.
+    prefix.count()
+    // shuffle_hash everywhere below: at 100 TB neither the prefix table
+    // nor the corpus is broadcast-small, and locally the hint removes
+    // the racing broadcast-build futures that made this query's wall
+    // time nondeterministic (1.3–10 s for the SAME build job across
+    // runs: concurrent futures + lazy cache fill interact badly).
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"),
+        col("len").as("len_a"), col("pos").as("pos_a"))
+      .hint("shuffle_hash")
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"),
+          col("len").as("len_b"), col("pos").as("pos_b"))
+          .hint("shuffle_hash"),
         Seq("tok"))
       .where(col("doc_a") < col("doc_b"))
       // length filter: jaccard ≥ t ⇒ t·|b| ≤ |a| and t·|a| ≤ |b|
       // (ε guards the FP boundary for non-dyadic thresholds)
       .where(col("len_a") >= lit(threshold) * col("len_b") - lit(1e-9) &&
              col("len_b") >= lit(threshold) * col("len_a") - lit(1e-9))
+      // positional filter (PPJoin): a match at prefix positions (pa, pb)
+      // bounds the overlap by min(la−pa, lb−pb)+1, which must reach
+      // α = ⌈t/(1+t)·(la+lb)⌉ (the jaccard⟺overlap translation). A true
+      // pair always survives via its globally-smallest common token (the
+      // proof that puts that token in both prefixes also bounds the
+      // count of common tokens AFTER it) — measured 3.3× candidate cut
+      // at sf0.1 (409k → 125k). ε loosens, never tightens.
+      .where((least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) + lit(1))
+        .cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("len_a") + col("len_b")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
