@@ -76,6 +76,22 @@ object SparkEntry {
     // perfect recall — the oracle is plain brute-force jaccard, so a
     // hash-match proves the prefix filter dropped nothing.
     "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairs(docs(s, d))),
+    // Keyless binned range join: line items priced inside each brand's
+    // retail-price envelope (overlapping intervals, no equi key — the
+    // shape Spark would otherwise BNLJ). Oracle is a plain BETWEEN
+    // join, so the hash-match proves the binning drops/duplicates
+    // nothing.
+    "q33_range_join_price_bands" -> ((s, d) => {
+      val env = Tables.part(s, d).groupBy(col("p_brand"))
+        .agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, "l_extendedprice", env, "lo", "hi", binWidth = 64.0)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("qty")).cast("double").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
     "q31_skew_salted_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
@@ -424,6 +440,15 @@ object SparkEntry {
          |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
+    // Plain BETWEEN range join — the Spark side's binned rewrite must
+    // reproduce this EXACTLY (no drops, no duplicate matches).
+    "q33_range_join_price_bands" ->
+      """WITH env AS (SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+        |  FROM part GROUP BY p_brand)
+        |SELECT p_brand, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN env ON l_extendedprice BETWEEN lo AND hi
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Brute-force exact jaccard (any shared shingle is a candidate) —
     // the Spark side's prefix filter must reproduce this EXACTLY.
     "q32_ngram_jaccard" ->
