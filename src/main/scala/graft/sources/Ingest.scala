@@ -53,15 +53,6 @@ object Ingest {
                         partitionCol: String = "processed_date"): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
 
-  /** Bucketed (co-located) warehouse table: write bucketed+sorted by the
-    * join key via the session catalog (bucket metadata lives there, not
-    * in parquet). Two tables bucketed the same way equi-join with ZERO
-    * shuffle — the SURVEY §4 co-location tool for repeated big-big joins
-    * (e.g. fact ⋈ fact on order id) where neither side broadcasts. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
-
   /** S2: read a headered CSV with an explicit schema and stamp the batch
     * timestamp, exactly like normalize_csv appends `ts` to every row. */
   def readCsv(spark: SparkSession, path: String, schema: StructType, batchTs: String): DataFrame =
@@ -81,6 +72,26 @@ object Ingest {
     * row_number window before calling). */
   def appendIfAbsent(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Bucketed (co-located) warehouse table: write bucketed (and
+    * optionally sorted) by the join/merge key(s) via the session
+    * catalog (bucket metadata lives there, not in parquet). Two tables
+    * bucketed the same way equi-join with ZERO exchanges — the SURVEY
+    * §4 co-location tool for repeated big-big joins (SCD2
+    * read-merge-rewrite, fact ⋈ fact on order id) where neither side
+    * broadcasts; the shuffle is pre-paid once at write time. Bucket
+    * count is a layout decision: data-size / target-partition-size at
+    * build time, kept stable across batches (a changed count = one full
+    * reshuffle). Co-location is asserted in IngestSpec (plan has no
+    * Exchange), not just claimed. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one bucket column")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 
   /** Read-modify-overwrite swap for SCD rewrites (SURVEY.md §7.4.3): parquet
     * can't be overwritten while being read, so land the new version beside

@@ -19,8 +19,8 @@ class IngestSpec extends SparkSpec {
     }
     val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "a")
     val other = (1 to 500).map(i => (i.toLong % 100, i)).toDF("k", "b")
-    Ingest.writeBucketed(facts, "bk_facts", "k", 4)
-    Ingest.writeBucketed(other, "bk_other", "k", 4)
+    Ingest.writeBucketed(facts, "bk_facts", 4, Seq("k"), Seq("k"))
+    Ingest.writeBucketed(other, "bk_other", 4, Seq("k"), Seq("k"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
