@@ -76,6 +76,34 @@ object SparkEntry {
     // perfect recall — the oracle is plain brute-force jaccard, so a
     // hash-match proves the prefix filter dropped nothing.
     "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairs(docs(s, d))),
+    // Corpus profile: the read-side analytic over the text operators —
+    // per-language doc counts, token/piece totals, quality envelope.
+    // Quality sums run in DECIMAL (order-independent) and cast to
+    // double at the end; integer sums are exact; min/max are
+    // order-free — every aggregate is summation-order-immune.
+    "q34_corpus_profile" -> ((s, d) => {
+      val st = TextAnalysis.stats(docs(s, d))
+      val lg = TextAnalysis.langGuess(docs(s, d)).select(col("doc_id"), col("lang_guess"))
+      st.join(lg, Seq("doc_id"))
+        // integer bucket arithmetic (n - n % 25), identical in DuckDB —
+        // `/` on longs would go through double
+        .withColumn("token_bucket", col("n_tokens") - pmod(col("n_tokens"), lit(25L)))
+        .groupBy(col("lang_guess"), col("token_bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("quality_score")).as("n_scored"),
+          // integer MICROS, not double: casting the decimal sum to
+          // double diverges from DuckDB by one ulp (BigDecimal
+          // round-trip vs int128/10^15); floor to micros is exact in
+          // both engines
+          floor(sum(col("quality_score").cast("decimal(28,15)")) * lit(1000000))
+            .cast("long").as("sum_quality_micros"),
+          min(col("quality_score")).as("min_quality"),
+          max(col("quality_score")).as("max_quality"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_pieces")).as("sum_pieces"))
+        .orderBy("lang_guess", "token_bucket")
+    }),
     // Keyless binned range join: line items priced inside each brand's
     // retail-price envelope (overlapping intervals, no equi key — the
     // shape Spark would otherwise BNLJ). Oracle is a plain BETWEEN
@@ -440,6 +468,51 @@ object SparkEntry {
          |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
+    "q34_corpus_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |      AS n_pieces,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
+        |      nullif(CAST(length(text) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS alpha_ratio,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
+        |      nullif(CAST(len(ws) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_tokens, n_pieces,
+        |    (alpha_ratio * CAST(0.5 AS DOUBLE)) + (stopword_ratio * CAST(0.3 AS DOUBLE)) +
+        |    (least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |     * CAST(0.2 AS DOUBLE)) AS quality_score
+        |  FROM s),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits
+        |  FROM t),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+        |  FROM h)
+        |SELECT lang_guess, n_tokens - n_tokens % 25 AS token_bucket,
+        |  count(*) AS n_docs,
+        |  count(quality_score) AS n_scored,
+        |  CAST(floor(sum(CAST(quality_score AS DECIMAL(28,15))) * 1000000) AS BIGINT)
+        |    AS sum_quality_micros,
+        |  min(quality_score) AS min_quality,
+        |  max(quality_score) AS max_quality,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_pieces) AS BIGINT) AS sum_pieces
+        |FROM q JOIN lg USING (doc_id)
+        |GROUP BY lang_guess, token_bucket
+        |ORDER BY lang_guess, token_bucket""".stripMargin,
     // Plain BETWEEN range join — the Spark side's binned rewrite must
     // reproduce this EXACTLY (no drops, no duplicate matches).
     "q33_range_join_price_bands" ->
