@@ -76,6 +76,22 @@ object SparkEntry {
     // perfect recall — the oracle is plain brute-force jaccard, so a
     // hash-match proves the prefix filter dropped nothing.
     "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairs(docs(s, d))),
+    // Near-dup cluster assignment: LSH pairs → connected components
+    // (iterative min-label propagation) → one keeper per cluster. The
+    // oracle is a recursive-CTE transitive closure, so the hash-match
+    // proves the distributed fixpoint equals the exact closure.
+    "q35_neardup_clusters" -> ((s, d) => {
+      val ds = docs(s, d)
+      val pairs = TextDedup.minhashLshPairs(ds)
+      val comp = graft.operators.Components.minLabel(
+        ds.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("component"))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("n_members"), (col("id") === col("component")).cast("int").as("is_keeper"))
+        .orderBy("doc_id")
+    }),
     // Corpus profile: the read-side analytic over the text operators —
     // per-language doc counts, token/piece totals, quality envelope.
     // Quality sums run in DECIMAL (order-independent) and cast to
@@ -179,6 +195,33 @@ object SparkEntry {
       |                   i -> array_to_string(w[i:i+2], ' '))
       |    ELSE []::VARCHAR[] END) AS shingles
       |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** Shared oracle CTE chain: MinHash+LSH near-dup pairs over `sh`
+    * (mirrors TextDedup.minhashLshPairsFromShingles) — ends in
+    * `pairs(doc_a, doc_b, jaccard)`. */
+  private val LshPairsCtes: String =
+    """hs AS (SELECT doc_id, shingles,
+      |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
+      |  FROM sh),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 15), j ->
+      |    coalesce(list_min(list_transform(h28s,
+      |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
+      |  FROM hs),
+      |bands AS (SELECT doc_id,
+      |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+      |  FROM sig, generate_series(0, 7) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |jac AS (SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
+      |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+      |         CAST(0.0 AS DOUBLE)) AS jaccard
+      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+      |pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
+      |  WHERE jaccard >= CAST(0.5 AS DOUBLE))""".stripMargin
 
   /** Shared oracle CTE: per-document 32-bit simhash over shingles
     * (mirrors TextDedup.simhashExpr). */
@@ -446,28 +489,26 @@ object SparkEntry {
         |FROM n GROUP BY norm_hash ORDER BY doc_id""".stripMargin,
     "q14_dedup_minhash_lsh" ->
       s"""WITH $ShinglesCte,
-         |hs AS (SELECT doc_id, shingles,
-         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
-         |  FROM sh),
-         |sig AS (SELECT doc_id,
-         |  list_transform(generate_series(0, 15), j ->
-         |    coalesce(list_min(list_transform(h28s,
-         |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
-         |  FROM hs),
-         |bands AS (SELECT doc_id,
-         |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-         |  FROM sig, generate_series(0, 7) t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id),
-         |jac AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
-         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
-         |         CAST(0.0 AS DOUBLE)) AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-         |SELECT doc_a, doc_b, jaccard FROM jac
-         |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
+         |$LshPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Recursive-CTE transitive closure over the LSH pairs — the Spark
+    // side's iterative min-label propagation must reach the exact same
+    // fixpoint (component = min reachable doc_id).
+    "q35_neardup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, n_members,
+         |       CAST(doc_id = cluster_id AS INT) AS is_keeper
+         |FROM comp JOIN sizes USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "q34_corpus_profile" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
