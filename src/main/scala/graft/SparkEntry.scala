@@ -80,6 +80,12 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Context-window chunking: overlapping 64-token windows at stride 48.
+    // Map-only (explode + slice); the oracle replays the same integer
+    // window arithmetic, so a hash-match proves no token is dropped,
+    // duplicated, or mis-sliced at any boundary.
+    "q36_doc_chunks" -> ((s, d) =>
+      graft.text.Chunking.tokenWindows(docs(s, d)).orderBy("doc_id", "chunk_id")),
     "q35_neardup_clusters" -> ((s, d) => {
       val ds = docs(s, d)
       val pairs = TextDedup.minhashLshPairs(ds)
@@ -491,6 +497,20 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Same window arithmetic, DuckDB-side: starts every 48 tokens until
+    // one reaches the end; 1-based inclusive list slicing mirrors
+    // Spark's slice(ws, start, 64).
+    "q36_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |  unnest(generate_series(CAST(0 AS BIGINT),
+        |    CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  greatest(least(n - chunk_id*48, 64), CAST(0 AS BIGINT)) AS n_chunk_tokens,
+        |  array_to_string(ws[(chunk_id*48 + 1):(chunk_id*48 + 64)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // Recursive-CTE transitive closure over the LSH pairs — the Spark
     // side's iterative min-label propagation must reach the exact same
     // fixpoint (component = min reachable doc_id).
