@@ -80,6 +80,25 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Corpus mixing: exactly 50 docs per detected language, in
+    // deterministic md5-hash order — no RNG, so the DuckDB oracle
+    // reproduces the "random" sample bit-for-bit.
+    "q37_stratified_sample" -> ((s, d) => {
+      val lg = TextAnalysis.langGuess(docs(s, d)).select(col("doc_id"), col("lang_guess"))
+      graft.text.Sampling.stratifiedHashSample(lg, "lang_guess", "doc_id", 50)
+        .select(col("lang_guess"), col("smp_rank").cast("long").as("smp_rank"), col("doc_id"))
+        .orderBy("lang_guess", "smp_rank")
+    }),
+    // Sequence packing: two-level distributed prefix sum over doc_id
+    // order, then fixed 512-token pack assignment. The oracle is the
+    // naive single-window running total, so a hash-match proves the
+    // bucket-offset decomposition is exact at every boundary.
+    "q38_sequence_pack" -> ((s, d) => {
+      val st = TextAnalysis.stats(docs(s, d)).select(col("doc_id"), col("n_tokens"))
+      graft.operators.PrefixSum.packByBudget(st, "doc_id", "n_tokens", budget = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("running_total"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
     // Context-window chunking: overlapping 64-token windows at stride 48.
     // Map-only (explode + slice); the oracle replays the same integer
     // window arithmetic, so a hash-match proves no token is dropped,
@@ -497,6 +516,43 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Same stratified order, DuckDB-side: rank within language by the
+    // md5-derived 60-bit hash of the doc id string.
+    "q37_stratified_sample" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits
+        |  FROM t),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+        |  FROM h),
+        |r AS (SELECT lang_guess, doc_id,
+        |  row_number() OVER (PARTITION BY lang_guess ORDER BY
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id)
+        |    AS smp_rank
+        |  FROM lg)
+        |SELECT lang_guess, smp_rank, doc_id FROM r WHERE smp_rank <= 50
+        |ORDER BY lang_guess, smp_rank""".stripMargin,
+    // Naive single-window running total — the Spark side's two-level
+    // bucket decomposition must reproduce it exactly.
+    "q38_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t),
+        |r AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS running_total
+        |  FROM s)
+        |SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total,
+        |       CAST((running_total - n_tokens) // 512 AS BIGINT) AS pack_id
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Same window arithmetic, DuckDB-side: starts every 48 tokens until
     // one reaches the end; 1-based inclusive list slicing mirrors
     // Spark's slice(ws, start, 64).
