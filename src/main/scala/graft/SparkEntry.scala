@@ -80,6 +80,12 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Keyword extraction: top-3 terms per doc by integer TF·N div DF
+    // salience — float-free, so ranks hash-match the oracle exactly.
+    "q39_keywords" -> ((s, d) => {
+      val ds = docs(s, d)
+      TextAnalysis.keywords(ds, nDocs = ds.count()).orderBy("doc_id", "kw_rank")
+    }),
     // Corpus mixing: exactly 50 docs per detected language, in
     // deterministic md5-hash order — no RNG, so the DuckDB oracle
     // reproduces the "random" sample bit-for-bit.
@@ -516,6 +522,24 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Same normalized tokens, tf/df counts, and integer salience rank.
+    "q39_keywords" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+        |      w -> w <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |r AS (SELECT doc_id, tok, tf, df,
+        |    (tf * (SELECT count(*) FROM documents)) // df AS salience
+        |  FROM tf JOIN dfq USING (tok)),
+        |rk AS (SELECT doc_id, tok, tf, df, salience,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY salience DESC, tf DESC, tok) AS kw_rank
+        |  FROM r)
+        |SELECT doc_id, kw_rank, tok, tf, df, salience FROM rk
+        |WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin,
     // Same stratified order, DuckDB-side: rank within language by the
     // md5-derived 60-bit hash of the doc id string.
     "q37_stratified_sample" ->

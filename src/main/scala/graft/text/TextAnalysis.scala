@@ -150,6 +150,36 @@ object TextAnalysis {
         concat_ws(",", col("fps").cast("array<string>")).as("fingerprints"),
         size(col("fps")).cast("long").as("n_fps"))
 
+  /** Top-k salient terms per document — keyword extraction by an
+    * integer TF-IDF surrogate: salience = (tf × corpus_size) div df,
+    * ranked (salience DESC, tf DESC, term ASC). The linear-idf integer
+    * form keeps the score float-free, so the DuckDB oracle reproduces
+    * every rank bit-for-bit (log-idf would hinge on libm ulps); it
+    * orders identically to tf/df, which is what separates salient terms
+    * from stopwords ("the" scores tf×N/N = tf; a rare term scores
+    * ~tf×N/2).
+    *
+    * Terms are the normalized words of [[TextDedup.normText]]. Scale:
+    * two shuffles (doc-term tf agg, term df agg) + a term-keyed join +
+    * one window whose rank-≤-k filter Spark 4 rewrites to
+    * WindowGroupLimit (map-side top-k before the exchange). `nDocs` is
+    * passed in (one metadata count) so the plan stays a pure dataflow. */
+  def keywords(docs: DataFrame, nDocs: Long, k: Int = 3): DataFrame = {
+    require(k > 0 && nDocs >= 0)
+    val toks = graft.Par.fanOut(docs)
+      .select(col("doc_id"), TextDedup.normText(col("text")).as("norm"))
+      .select(col("doc_id"), explode(expr(words("norm"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("salience").desc, col("tf").desc, col("tok"))
+    tf.join(dfreq, Seq("tok"))
+      .withColumn("salience", expr(s"(tf * ${nDocs}L) div df"))
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .where(col("kw_rank") <= k)
+      .select(col("doc_id"), col("kw_rank"), col("tok"), col("tf"), col("df"), col("salience"))
+  }
+
   /** Rolling-hash document fingerprint: min 28-bit hash over all char
     * 8-grams (winnowing's global-window degenerate case — one value per
     * doc; [[winnow]] is the full per-window version). */
