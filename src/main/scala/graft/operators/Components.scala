@@ -35,7 +35,13 @@ object Components {
   /** Component id per node: `nodes` must have column `id`, `edges`
     * columns `src`/`dst` (undirected; either orientation, duplicates
     * fine). Nodes absent from `edges` come back as singletons. Output:
-    * (id, component) where component = min reachable id. */
+    * (id, component) where component = min reachable id.
+    *
+    * Only the EDGE SUBGRAPH iterates: nodes touching no edge are
+    * singletons by construction and are unioned back label=id at the
+    * end. At 100 TB this is the difference between propagating over the
+    * whole corpus and propagating over the (typically minuscule)
+    * duplicate graph. */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -43,19 +49,22 @@ object Components {
       .persist()
     sym.count() // eager fill: every round probes this table
 
-    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint(true)
+    // sym holds both orientations, so src alone covers every edge node
+    var labels = sym.select(col("src").as("id")).dropDuplicates("id")
+      .select(col("id"), col("id").as("component")).localCheckpoint(true)
     var sumOld = checksum(labels)
     var round = 0
-    var converged = false
+    var converged = sumOld == null // no edges → nothing to iterate
     while (!converged && round < maxRounds) {
       round += 1
-      val msgs = sym
+      // every edge node has a neighbor, so min-with-self needs no outer join:
+      // msgs covers labels' ids exactly, and least(own, nbr) keeps monotonicity
+      val next = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-        .withColumnRenamed("src", "id")
-      val next = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("src").as("id"),
+          least(col("component"), col("nbr_min")).as("component"))
         .localCheckpoint(true)
       val sumNew = checksum(next)
       labels = next
@@ -63,7 +72,10 @@ object Components {
       sumOld = sumNew
     }
     sym.unpersist()
-    labels
+    val singletons = nodes.select(col("id"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(singletons)
   }
 
   /** Decimal sum of labels — decreasing-monotone fixpoint witness
