@@ -80,6 +80,27 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Decontamination: test docs (id % 10 = 0) whose shingle sets are
+    // ≥50% contained in some train doc. Oracle is the brute-force
+    // any-shared-shingle join — the hash-match proves the containment
+    // prefix filter has perfect recall.
+    "q40_contamination" -> ((s, d) => {
+      val ds = docs(s, d)
+      TextDedup.containmentPairs(
+        ds.where(col("doc_id") % 10 === 0),
+        ds.where(col("doc_id") % 10 =!= 0))
+    }),
+    // Segmented inverted index over normalized words (posting lists
+    // bounded per segment; comma-joined canonical form).
+    "q41_inverted_index" -> ((s, d) =>
+      graft.text.InvertedIndex.postings(docs(s, d)).orderBy("tok", "seg")),
+    // Corpus-level top phrases: document frequency of word-3-gram
+    // shingles, global top-100 (TakeOrderedAndProject — no full sort).
+    "q42_top_phrases" -> ((s, d) =>
+      graft.Par.fanOut(docs(s, d))
+        .select(explode(TextDedup.shingleExpr("text")).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("gram")).limit(100)),
     // Keyword extraction: top-3 terms per doc by integer TF·N div DF
     // salience — float-free, so ranks hash-match the oracle exactly.
     "q39_keywords" -> ((s, d) => {
@@ -522,6 +543,39 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force containment: any shared shingle is a candidate; the
+    // Spark side's prefix filter must reproduce this exactly.
+    "q40_contamination" ->
+      s"""WITH $ShinglesCte,
+         |te AS (SELECT doc_id AS test_id, shingles AS sh_t FROM sh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id AS train_id, shingles AS sh_r FROM sh WHERE doc_id % 10 <> 0),
+         |tt AS (SELECT test_id, unnest(sh_t) AS tok FROM te),
+         |rt AS (SELECT train_id, unnest(sh_r) AS tok FROM tr),
+         |cand AS (SELECT DISTINCT test_id, train_id FROM tt JOIN rt USING (tok)),
+         |c AS (SELECT test_id, train_id,
+         |  CAST(len(list_intersect(sh_t, sh_r)) AS DOUBLE) /
+         |    nullif(CAST(len(sh_t) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS containment
+         |  FROM cand JOIN te USING (test_id) JOIN tr USING (train_id))
+         |SELECT test_id, train_id, containment FROM c
+         |WHERE containment >= CAST(0.5 AS DOUBLE)
+         |ORDER BY test_id, train_id""".stripMargin,
+    // Same normalized tokens, segment arithmetic, and canonical
+    // comma-joined sorted posting lists.
+    "q41_inverted_index" ->
+      """WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+        |      w -> w <> '')) AS tok
+        |  FROM documents))
+        |SELECT tok, doc_id // 200 AS seg, count(*) AS df_seg,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM tk GROUP BY tok, seg ORDER BY tok, seg""".stripMargin,
+    "q42_top_phrases" ->
+      s"""WITH $ShinglesCte,
+         |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)
+         |SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+         |ORDER BY n_docs DESC, gram LIMIT 100""".stripMargin,
     // Same normalized tokens, tf/df counts, and integer salience rank.
     "q39_keywords" ->
       """WITH tk AS (SELECT doc_id,

@@ -242,6 +242,62 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Train/test contamination scan — the decontamination primitive of
+    * every LLM data pipeline: find test/eval documents whose content is
+    * substantially CONTAINED in some training document (asymmetric by
+    * design: a test doc quoted inside a much larger train doc is
+    * contamination even though their jaccard is tiny).
+    *
+    * Containment C(test, train) = |S_test ∩ S_train| / |S_test| over
+    * word-3-gram shingle sets; pairs with C ≥ `threshold` are returned.
+    *
+    * EXACT with perfect recall via the containment prefix filter: order
+    * all shingles lexicographically; a test doc with s shingles emits
+    * only its smallest ⌊(1−t)·s⌋+1 shingles — if C ≥ t, fewer than
+    * (1−t)·s+1 of the test doc's shingles lie outside the train doc, so
+    * at least one PREFIX shingle is shared. The train side indexes all
+    * its shingles (an inverted index — [[graft.text.InvertedIndex]] is
+    * the materialized form). Candidates = prefix-tok ⋈ index; exact
+    * intersection verifies survivors.
+    *
+    * Scale: the candidate shuffle carries (tok, doc_id) pairs only;
+    * shingle arrays attach to surviving candidates. Lexicographic
+    * ordering is parameter-free; under heavy stopword-shingle skew,
+    * switch the order to global-frequency-first exactly as
+    * [[ngramJaccardPairsFromShingles]] does (the lemma holds for ANY
+    * total order). */
+  def containmentPairs(test: DataFrame, train: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val shTest = shingled(test).persist()
+    val shTrain = shingled(train).persist()
+    // smallest ⌊(1−t)·s⌋+1 shingles of each test doc, via array sort —
+    // map-only, no window (the per-doc order needs no global shuffle)
+    val prefix = shTest
+      .select(col("doc_id").as("test_id"), size(col("shingles")).as("len_t"),
+        explode(expr(
+          s"slice(array_sort(shingles), 1, " +
+          s"cast(floor(size(shingles) * ${1.0 - threshold}) as int) + 1)")).as("tok"))
+    val index = shTrain
+      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("tok"))
+    val cand = prefix.hint("shuffle_hash")
+      .join(index.hint("shuffle_hash"), Seq("tok"))
+      .select(col("test_id"), col("train_id"))
+      .dropDuplicates("test_id", "train_id")
+    cand
+      .join(shTest.select(col("doc_id").as("test_id"), col("shingles").as("sh_t")),
+        Seq("test_id"))
+      .join(shTrain.select(col("doc_id").as("train_id"), col("shingles").as("sh_r"))
+        .hint("shuffle_hash"), Seq("train_id"))
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_r"))))
+      .withColumn("containment",
+        when(size(col("sh_t")) > 0,
+          col("inter").cast("double") / size(col("sh_t")).cast("double")))
+      .where(col("containment") >= threshold)
+      .select(col("test_id"), col("train_id"), col("containment"))
+      .orderBy("test_id", "train_id")
+  }
+
   /** Per-document 32-bit SimHash fingerprints over word-3-gram shingles. */
   def simhashFingerprints(docs: DataFrame): DataFrame =
     graft.Par.fanOut(docs)
