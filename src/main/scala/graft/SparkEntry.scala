@@ -70,6 +70,16 @@ object SparkEntry {
     "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfWithCodebook(
       Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfCodebook(s, d))),
     "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
+    // IVF-PQ with exact re-rank (FAISS recipe): codes are the only
+    // per-vector state in the candidate shuffle; codebooks come from
+    // the warehouse like the IVF centroids. No oracleSql twin (k-means
+    // + PQ is not reasonably SQL-expressible) → rows-only check;
+    // exactness/recall are spec-gated (exhaustive-params equality vs
+    // knnBruteForce, recall floor at defaults).
+    "q44_ann_ivfpq" -> ((s, d) => graft.vector.ProductQuant.annIvfPq(
+      Tables.embeddings(s, d),
+      graft.warehouse.Warehouse.ivfCodebook(s, d),
+      graft.warehouse.Warehouse.pqCodebooks(s, d), dim = 64)),
     // Skew-salted join, oracle-gated through an aggregate: the salt must
     // neither drop nor duplicate rows, or the per-brand sums shift.
     // Exact n-gram Jaccard self-join (prefix filtering): deterministic
@@ -80,6 +90,29 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Corpus length-distribution profile: exact percentile_disc by
+    // integer rank selection — rank ⌈q·n⌉ in (n_tokens, doc_id) order,
+    // all-integer (⌈q·n⌉ = (q·n + denom−1) div denom), so quantiles
+    // hash-match the oracle with no interpolation ulps. Scale note: the
+    // per-language sort is the inherent cost of EXACT quantiles; the
+    // 100 TB path swaps in a mergeable sketch (KLL/t-digest) at the
+    // cost of exactness — this operator is the auditable reference.
+    "q43_length_quantiles" -> ((s, d) => {
+      val st = TextAnalysis.stats(docs(s, d)).select(col("doc_id"), col("n_tokens"))
+      val lg = TextAnalysis.langGuess(docs(s, d)).select(col("doc_id"), col("lang_guess"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_guess"))
+      val byLen = w.orderBy(col("n_tokens"), col("doc_id"))
+      st.join(lg, Seq("doc_id"))
+        .withColumn("rn", row_number().over(byLen).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy(col("lang_guess"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_tokens"))).as("p50_tokens"),
+          max(when(col("rn") === expr("(9*n + 9) div 10"), col("n_tokens"))).as("p90_tokens"),
+          max(when(col("rn") === expr("(99*n + 99) div 100"), col("n_tokens"))).as("p99_tokens"))
+        .orderBy("lang_guess")
+    }),
     // Decontamination: test docs (id % 10 = 0) whose shingle sets are
     // ≥50% contained in some train doc. Oracle is the brute-force
     // any-shared-shingle join — the hash-match proves the containment
@@ -543,6 +576,34 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Same rank-selection quantiles (percentile_disc semantics) with
+    // identical integer ceiling arithmetic.
+    "q43_length_quantiles" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits
+        |  FROM t),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+        |  FROM h),
+        |r AS (SELECT lang_guess, n_tokens,
+        |    row_number() OVER (PARTITION BY lang_guess ORDER BY n_tokens, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang_guess) AS n
+        |  FROM s JOIN lg USING (doc_id))
+        |SELECT lang_guess, max(n) AS n_docs,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rn = (9*n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rn = (99*n + 99) // 100 THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     // Brute-force containment: any shared shingle is a candidate; the
     // Spark side's prefix filter must reproduce this exactly.
     "q40_contamination" ->

@@ -1,0 +1,179 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Similarity.{dotCol, dotExpr}
+
+/** Product quantization (PQ) — the compression layer of billion-vector
+  * similarity search (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011; the FAISS IVF-PQ recipe): split each
+  * d-dim vector into `m` subvectors, vector-quantize each subspace
+  * against its own `ksub`-entry codebook, and store only the m byte
+  * codes (64 floats → 4 bytes at the defaults here). Search runs
+  * ASYMMETRICALLY (ADC): the query stays uncompressed, each probed
+  * subspace contributes a table lookup — approx_dot(q, x) =
+  * Σ_s dot(q_s, codebook_s[code_s(x)]) — and only a short ADC-ranked
+  * shortlist pays exact re-ranking against full vectors.
+  *
+  * Scale posture (100 TB): codes are the ONLY per-vector state the
+  * search shuffles (m bytes vs d floats — a 64× cut at the defaults);
+  * codebooks are literal-sized (m × ksub × d/m doubles) and fold into
+  * the plan like the IVF centroids; encoding and lookup-table
+  * construction are pure map stages; the re-rank join touches full
+  * vectors only for shortlist survivors.
+  *
+  * Determinism: codebooks come from the same decimal-sum k-means as the
+  * IVF path ([[Similarity.trainIvfCentroids]]'s trainer applied to
+  * subvector slices), codes break ties toward the lower index, and ADC
+  * sums its m lookups in fixed subspace order — bit-reproducible end to
+  * end, which the equality spec pins.
+  */
+object ProductQuant {
+
+  /** Per-subspace codebooks for `dim`-dim vectors: subspace s covers
+    * slice [s·dim/m, (s+1)·dim/m). Codebook entries are L2 k-means
+    * centroids of the subvector population (decimal-sum Lloyd
+    * iterations, first-`ksub` seeds, empty cells keep their centroid —
+    * the [[Similarity]] trainer's determinism rules). */
+  def trainCodebooks(embeddings: DataFrame, dim: Int, m: Int = 4, ksub: Int = 16,
+                     iters: Int = 3, sampleMod: Int = 4): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val base = graft.Par.fanOut(embeddings)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"))
+    val sampled = (if (sampleMod > 1) base.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+                   else base).persist()
+    sampled.count()
+    val books = (0 until m).map { s =>
+      val sub = sampled.select(col("vec_id"),
+        expr(s"slice(v, ${s * dsub + 1}, $dsub)").as("sv"))
+      trainSubspace(sub, ksub, iters)
+    }
+    sampled.unpersist()
+    books
+  }
+
+  /** L2 Lloyd iterations over one subspace table (vec_id, sv).
+    * argmin ‖x−c‖² = argmin (‖c‖² − 2·x·c) — norms of x cancel. */
+  private def trainSubspace(sub: DataFrame, ksub: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents = sub.orderBy("vec_id").limit(ksub)
+      .select(col("sv")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    if (cents.isEmpty) return Seq.empty
+    val dsub = cents.head.length
+    for (_ <- 1 to iters) {
+      val scores = cents.map { c =>
+        val cn2 = c.map(x => x * x).sum
+        lit(cn2) - lit(2.0) * dotCol(typedLit(c), col("sv"))
+      }
+      val assigned = sub.withColumn("__sc", array(scores: _*))
+        .withColumn("code",
+          (expr("array_position(__sc, array_min(__sc))") - 1).cast("int"))
+      val sums = assigned
+        .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("code"), col("pos"))
+        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(cents.length, dsub)((c, p) => cents(c)(p))
+      sums.foreach { r =>
+        next(r.getAs[Int]("code"))(r.getAs[Int]("pos")) =
+          r.getAs[java.math.BigDecimal]("s").doubleValue() / r.getAs[Long]("n")
+      }
+      cents = next.map(_.toSeq).toSeq
+    }
+    cents
+  }
+
+  /** PQ codes per vector: (vec_id, codes array<int>, length m). Code =
+    * argmin ‖x_s − c‖² = argmin (‖c‖² − 2·x_s·c), first-wins ties →
+    * lowest code. */
+  def encode(embeddings: DataFrame, dim: Int, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.length
+    require(m > 0 && dim % m == 0)
+    val dsub = dim / m
+    var df = graft.Par.fanOut(embeddings)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"))
+    books.zipWithIndex.foreach { case (book, s) =>
+      val scores = book.map { c =>
+        val cn2 = c.map(x => x * x).sum
+        lit(cn2) - lit(2.0) * dotCol(typedLit(c), expr(s"slice(v, ${s * dsub + 1}, $dsub)"))
+      }
+      df = df.withColumn(s"__sc$s", array(scores: _*))
+        .withColumn(s"code$s",
+          (expr(s"array_position(__sc$s, array_min(__sc$s))") - 1).cast("int"))
+        .drop(s"__sc$s")
+    }
+    df.select(col("vec_id"),
+      array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+  }
+
+  /** ADC lookup tables for a query vector column `v`: for each subspace,
+    * the array of dot(q_s, c_j) over the codebook — shipped as one
+    * column per subspace so the score is m element_at lookups. */
+  private def lutCols(books: Seq[Seq[Seq[Double]]], dsub: Int): Seq[Column] =
+    books.zipWithIndex.map { case (book, s) =>
+      array(book.map(c =>
+        dotCol(typedLit(c), expr(s"slice(va, ${s * dsub + 1}, $dsub)"))): _*).as(s"__lut$s")
+    }
+
+  /** IVF-PQ search with exact re-rank: coarse IVF cells confine the
+    * candidate set ([[Similarity]]'s cell discipline), ADC ranks the
+    * in-cell candidates from codes alone, the top `shortlist` per query
+    * pay an exact-cosine re-rank, and the top `k` of those are emitted.
+    * Output: qid, rank, nid, cosine (exact — re-ranked). */
+  def annIvfPq(embeddings: DataFrame, ivfCodebook: DataFrame,
+               books: Seq[Seq[Seq[Double]]], dim: Int,
+               k: Int = 3, nprobe: Int = 6, shortlist: Int = 12): DataFrame = {
+    require(shortlist >= k)
+    if (books.isEmpty) // no corpus → no codebooks → empty result, same schema
+      return embeddings.sparkSession.range(0)
+        .select(col("id").as("qid"), col("id").as("rank"),
+          col("id").as("nid"), col("id").cast("double").as("cosine"))
+    val m = books.length
+    val dsub = dim / m
+    val e = graft.Par.fanOut(embeddings)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(dotExpr("v", "v")))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .persist()
+    val codes = encode(embeddings, dim, books)
+    // coarse assignment against the broadcast IVF codebook (as ivfSearch)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val ranked = e.crossJoin(broadcast(ivfCodebook.select(col("cid"), col("cv"), col("cnrm"))))
+      .withColumn("ccos", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .select(col("vec_id"), col("cid").as("cell"), col("rn"))
+      .persist()
+    val indexAssign = ranked.where(col("rn") === 1).drop("rn")
+    val probeAssign = ranked.where(col("rn") <= nprobe).drop("rn")
+    // query side: full vector + per-subspace LUTs (map-only)
+    val q = e.join(probeAssign, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val qLut = q.select(Seq(col("qid"), col("cell"), col("va"), col("na")) ++
+      lutCols(books, dsub): _*)
+    // index side: CODES ONLY (m bytes of state per vector in the shuffle)
+    val n = codes.join(indexAssign, Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("cell"), col("codes"))
+    // ADC score: fixed subspace-order sum of table lookups
+    val adc = (0 until m).map(s =>
+      element_at(col(s"__lut$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val cand = qLut.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
+      .withColumn("adc", adc)
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    val short = cand.withColumn("srank", row_number().over(wAdc))
+      .where(col("srank") <= shortlist)
+      .select(col("qid"), col("nid"), col("va"), col("na"))
+    // exact re-rank of the shortlist only
+    val rer = short
+      .join(e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("nid"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+    val wFin = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    rer.withColumn("rank", row_number().over(wFin)).where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+      .orderBy("qid", "rank")
+  }
+}

@@ -156,6 +156,23 @@ object Warehouse {
     graft.vector.Similarity.codebookDf(spark, cents).repartition(1)
   }
 
+  /** PQ codebooks (subspace, code, cv) — the trained product-quantizer
+    * a production pipeline persists beside the IVF codebook (FAISS
+    * index = coarse centroids + PQ codebooks + codes; the codes are
+    * per-vector data, these two are the literal-sized artifacts). */
+  def buildPqCodebooks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    val books =
+      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Seq.empty[Seq[Seq[Double]]]
+      else graft.vector.ProductQuant.trainCodebooks(
+        Tables.embeddings(spark, sfDir), dim = 64, m = 4, ksub = 16)
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c) }
+    }.toDF("subspace", "code", "cv").repartition(1)
+  }
+
   /** fact_orders_created (process_orders_sqls.py:79-90): the first event
     * per order joined to the date dimension for the surrogate key. */
   def buildFactOrders(spark: SparkSession, sfDir: String): DataFrame = {
@@ -252,7 +269,8 @@ object Warehouse {
           "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
           "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
           "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
-          "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)))
+          "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)),
+          "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)))
         tables.foreach { case (name, build) =>
           if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
         }
@@ -283,4 +301,14 @@ object Warehouse {
   /** Trained IVF codebook, materialized-once (see [[buildIvfCodebook]]). */
   def ivfCodebook(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "ivf_codebook")
+
+  /** Trained PQ codebooks, materialized-once, reassembled to the
+    * in-memory matrix form [[graft.vector.ProductQuant]] consumes
+    * (m × ksub × dsub — literal-sized by construction). */
+  def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Double]]] =
+    read(spark, sfDir, "pq_codebooks")
+      .collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
 }

@@ -8,7 +8,10 @@ import json, math, subprocess, sys, os, glob
 import duckdb
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+# distinct dump dir per sfdir: concurrent verifies at different scales
+# must not race on one directory
+OUT = os.environ.get("GRAFT_VERIFY_OUT",
+                     "/tmp/graft_verify_" + os.path.basename(SFDIR.rstrip("/")))
 ONLY = None
 for a in sys.argv:
     if a.startswith("--only"):
