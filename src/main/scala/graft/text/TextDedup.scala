@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -164,41 +163,46 @@ object TextDedup {
     * deterministic with PERFECT recall at any threshold: every pair with
     * jaccard ≥ `threshold` is returned, none missed.
     *
-    * Candidate generation: order all shingles by (global frequency,
-    * shingle) — a total order, rarest first. A doc with |s| shingles
-    * emits only its first |s| − ⌈t·|s|⌉ + 1 shingles under that order
+    * Candidate generation: under the LEXICOGRAPHIC order on shingles, a
+    * doc with |s| shingles emits only its ⌊|s| − ⌈t·|s|⌉⌋ + 1 smallest
     * (its "prefix"); the prefix-filter lemma guarantees any pair with
-    * jaccard ≥ t shares its globally-smallest common shingle, which lies
-    * in BOTH prefixes. Candidates = self-join of the narrow prefix
-    * table on the shingle, + the length filter t·|b| ≤ |a| ≤ |b|/t;
-    * survivors get the exact-jaccard verification.
+    * jaccard ≥ t shares its smallest common shingle, which lies in BOTH
+    * prefixes. Candidates = self-join of the narrow prefix table on the
+    * shingle, + the length filter t·|b| ≤ |a| ≤ |b|/t; survivors get
+    * the exact-jaccard verification.
     *
-    * Scale: the shuffles are (a) one agg for shingle frequencies,
-    * (b) a hash self-join on prefix shingles — rarest-first ordering
-    * keeps hot shingles out of prefixes, so bucket sizes stay small
-    * (frequency ordering IS the skew mitigation); shingle arrays attach
-    * only to surviving candidates. At 100 TB the frequency table and
-    * prefix table are materialized parquet, same plan shape. */
+    * The lemma holds for ANY fixed total order; the classic
+    * rarest-first frequency order is a skew heuristic, and this
+    * operator used it until round 5 — at the cost of a corpus-wide
+    * frequency aggregate, a frequency join, and a per-doc rank window
+    * (≈20 AQE jobs; the driver-measured time was 4–24 s run-to-run from
+    * driver-side planning/codegen overhead alone). Lexicographic
+    * prefixes are a pure MAP over the shingle arrays (sort + slice +
+    * posexplode), candidates measured within 5% of the
+    * frequency-ordered count on this corpus (hottest shingle df = 25),
+    * and the whole query collapses to one cached map stage + the
+    * candidate/verify joins. Under genuinely skewed vocabularies
+    * (boilerplate shingles in millions of docs), reintroduce frequency
+    * ordering — or cheaper, a stopword-shingle blacklist — exactly as
+    * documented by Bayardo et al.
+    *
+    * Scale: one hash self-join on prefix shingles (narrow rows);
+    * shingle arrays attach only to surviving candidates. At 100 TB the
+    * prefix table is materialized parquet, same plan shape. */
   def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val tok = sh.select(col("doc_id"), size(col("shingles")).as("len"),
-      explode(col("shingles")).as("tok"))
-    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("tf"), col("tok"))
-    val prefix = tok.join(freq, Seq("tok"))
-      .withColumn("pos", row_number().over(byRarity))
-      .where(col("pos") <= col("len") - ceil(col("len") * lit(threshold)) + lit(1))
-      .select(col("tok"), col("doc_id"), col("len"), col("pos"))
-      .persist() // narrow (tok, doc_id, len, pos); probed by both join sides
-    // Materialize the persist EAGERLY (also pulls `sh` into its cache):
-    // downstream, THREE broadcast-build futures probe these two cached
-    // tables inside one action, and Spark's lazy cache fill is not
-    // synchronized across concurrent jobs — each future recomputes the
-    // whole shingle+freq+window pipeline per partition (measured: the
-    // composed query ran 17–62 s at sf0.1 vs ~4 s with warm caches,
-    // uniformly slow tasks, duplicate "Asked to cache already cached
-    // data" warnings). One cheap count serializes the fill.
-    prefix.count()
+    // Eager cache fill: four probes below (two prefix sides, two verify
+    // attaches) read `sh` inside one action, and Spark's lazy cache fill
+    // is not synchronized across concurrent build futures — each future
+    // would recompute the shingle pipeline per partition (measured 17–62 s
+    // vs ~4 s warm in round 4). One cheap count serializes the fill.
+    sh.count()
+    val prefix = sh.select(col("doc_id"), size(col("shingles")).as("len"),
+        posexplode(expr(
+          s"""slice(array_sort(shingles), 1,
+             |  cast(size(shingles) - ceil(size(shingles) * $threshold) + 1 as int))"""
+            .stripMargin)).as(Seq("pos0", "tok")))
+      .select(col("tok"), col("doc_id"), col("len"), (col("pos0") + 1).as("pos"))
     // shuffle_hash everywhere below: at 100 TB neither the prefix table
     // nor the corpus is broadcast-small, and locally the hint removes
     // the racing broadcast-build futures that made this query's wall
