@@ -275,6 +275,9 @@ object TextDedup {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val shTest = shingled(test).persist()
     val shTrain = shingled(train).persist()
+    // eager cache fill (the q32 lesson): prefix + verify probes read
+    // these inside one action; lazy fill races across build futures
+    shTest.count(); shTrain.count()
     // smallest ⌊(1−t)·s⌋+1 shingles of each test doc, via array sort —
     // map-only, no window (the per-doc order needs no global shuffle)
     val prefix = shTest
