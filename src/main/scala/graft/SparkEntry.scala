@@ -90,6 +90,28 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Capstone composition — the full training-data prep path: LSH
+    // near-dup clusters → keep one doc per cluster → context-window
+    // chunking → fixed-budget sequence packing. Every stage is an
+    // operator gated on its own (q35/q36/q38); this gates that they
+    // COMPOSE exactly (the oracle replays the whole path in SQL).
+    "q45_training_prep" -> ((s, d) => {
+      val ds = docs(s, d)
+      val pairs = TextDedup.minhashLshPairs(ds)
+      val comp = graft.operators.Components.minLabel(
+        ds.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val keepers = comp.where(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+      val chunks = graft.text.Chunking.tokenWindows(ds.join(keepers, Seq("doc_id")))
+      // composite order key: chunk_id < 1024 always (64/48 windows over
+      // bounded docs), so doc_id*1024 + chunk_id sorts as (doc, chunk)
+      val keyed = chunks.withColumn("k", col("doc_id") * 1024 + col("chunk_id"))
+      graft.operators.PrefixSum.packByBudget(keyed, "k", "n_chunk_tokens", budget = 512L)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          col("running_total"), col("pack_id"))
+        .orderBy("doc_id", "chunk_id")
+    }),
     // Corpus length-distribution profile: exact percentile_disc by
     // integer rank selection — rank ⌈q·n⌉ in (n_tokens, doc_id) order,
     // all-integer (⌈q·n⌉ = (q·n + denom−1) div denom), so quantiles
@@ -576,6 +598,37 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // The whole prep path replayed in SQL: recursive-CTE clusters →
+    // keeper filter → window arithmetic chunks → naive global-window
+    // running total → pack assignment.
+    "q45_training_prep" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents JOIN keep USING (doc_id)),
+         |c AS (SELECT doc_id, len(ws) AS n,
+         |  unnest(generate_series(CAST(0 AS BIGINT),
+         |    CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_id
+         |  FROM t),
+         |ch AS (SELECT doc_id, chunk_id,
+         |  greatest(least(n - chunk_id*48, 64), CAST(0 AS BIGINT)) AS n_chunk_tokens
+         |  FROM c),
+         |r AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+         |  sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+         |    AS running_total
+         |  FROM ch)
+         |SELECT doc_id, chunk_id, n_chunk_tokens,
+         |  CAST(running_total AS BIGINT) AS running_total,
+         |  CAST((running_total - n_chunk_tokens) // 512 AS BIGINT) AS pack_id
+         |FROM r ORDER BY doc_id, chunk_id""".stripMargin,
     // Same rank-selection quantiles (percentile_disc semantics) with
     // identical integer ceiling arithmetic.
     "q43_length_quantiles" ->
