@@ -11,6 +11,12 @@ import org.apache.spark.sql.DataFrame
   * and all of them. */
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
+    // Streaming DataFrames pass through: `.rdd` is illegal before
+    // writeStream.start(), micro-batches carry their source's own
+    // partitioning, and a blind repartition would add a per-batch
+    // shuffle — so the map-only operators built on fanOut (chunking,
+    // stats, fingerprints, signatures) stay streaming-safe unchanged.
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
