@@ -90,6 +90,31 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Language-ID evaluation: confusion matrix of the stopword-vote
+    // guess against the corpus's ground-truth lang column — the eval
+    // harness every classifier heuristic needs next to it.
+    "q46_langid_eval" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      val g = TextAnalysis.langGuess(t.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("lang_guess"))
+      t.select(col("doc_id"), col("lang")).join(g, Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_guess")
+    }),
+    // Gopher-style quality firewall report: per-source counts of
+    // integer-exact repetition / word-length / symbol flags.
+    "q47_quality_flags" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      TextAnalysis.qualityFlags(docs(s, d)).join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("flag_repetitive")).as("n_repetitive"),
+          sum(col("flag_short_words")).as("n_short_words"),
+          sum(col("flag_long_words")).as("n_long_words"),
+          sum(col("flag_symbol_heavy")).as("n_symbol_heavy"))
+        .orderBy("source")
+    }),
     // Capstone composition — the full training-data prep path: LSH
     // near-dup clusters → keep one doc per cluster → context-window
     // chunking → fixed-budget sequence packing. Every stage is an
@@ -598,6 +623,55 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q46_langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits
+        |  FROM t),
+        |lg AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+        |  FROM h)
+        |SELECT lang, lang_guess, count(*) AS n_docs FROM lg
+        |GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+    // Integer-exact Gopher flags: max-term-frequency, mean word length,
+    // and symbol-density comparisons — no float ratios anywhere.
+    "q47_quality_flags" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+        |      w -> w <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |rep AS (SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_toks,
+        |    sum(length(tok) * tf) AS sum_len
+        |  FROM tf GROUP BY doc_id),
+        |base AS (SELECT doc_id, source,
+        |    length(coalesce(text, '')) AS n_chars,
+        |    length(coalesce(text, ''))
+        |      - length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9 ]', '', 'g')) AS n_plain
+        |  FROM documents),
+        |f AS (SELECT b.doc_id, b.source,
+        |    CAST(coalesce(max_tf, 0) * 5 >= coalesce(n_toks, 0)
+        |         AND coalesce(n_toks, 0) > 0 AS INT) AS flag_repetitive,
+        |    CAST(coalesce(sum_len, 0) < coalesce(n_toks, 0) * 3
+        |         OR coalesce(n_toks, 0) = 0 AS INT) AS flag_short_words,
+        |    CAST(coalesce(sum_len, 0) > coalesce(n_toks, 0) * 10 AS INT) AS flag_long_words,
+        |    CAST((n_chars - n_plain) * 10 >= n_chars AND n_chars > 0 AS INT) AS flag_symbol_heavy
+        |  FROM base b LEFT JOIN rep ON rep.doc_id = b.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(flag_repetitive) AS BIGINT) AS n_repetitive,
+        |  CAST(sum(flag_short_words) AS BIGINT) AS n_short_words,
+        |  CAST(sum(flag_long_words) AS BIGINT) AS n_long_words,
+        |  CAST(sum(flag_symbol_heavy) AS BIGINT) AS n_symbol_heavy
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // The whole prep path replayed in SQL: recursive-CTE clusters →
     // keeper filter → window arithmetic chunks → naive global-window
     // running total → pack assignment.

@@ -150,6 +150,43 @@ object TextAnalysis {
         concat_ws(",", col("fps").cast("array<string>")).as("fingerprints"),
         size(col("fps")).cast("long").as("n_fps"))
 
+  /** Gopher-style per-document quality flags (Rae et al., "Scaling
+    * Language Models: ... Gopher", arXiv:2112.11446 §A1.1 — the
+    * repetition / word-length / symbol heuristics every curation
+    * pipeline reimplements), as INTEGER comparisons so the DuckDB
+    * oracle reproduces each flag exactly (no float ratios):
+    *  - flag_repetitive: most frequent normalized word ≥ 1/5 of tokens
+    *  - flag_short_words: mean word length < 3 (sum_len < 3·n)
+    *  - flag_long_words: mean word length > 10 (sum_len > 10·n)
+    *  - flag_symbol_heavy: non-[a-zA-Z0-9 ] chars ≥ 1/10 of chars
+    * Docs with no tokens raise short_words (degenerate), not the rest.
+    *
+    * Scale: one (doc, term) count aggregate feeds the repetition flag
+    * (map-side combine); everything else is per-row arithmetic. */
+  def qualityFlags(docs: DataFrame): DataFrame = {
+    val toks = graft.Par.fanOut(docs)
+      .select(col("doc_id"), TextDedup.normText(col("text")).as("norm"))
+      .select(col("doc_id"), explode(expr(words("norm"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val rep = tf.groupBy(col("doc_id"))
+      .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_toks"),
+        sum(length(col("tok")) * col("tf")).as("sum_len"))
+    docs.select(col("doc_id"), length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"),
+        (length(coalesce(col("text"), lit(""))) -
+          length(regexp_replace(coalesce(col("text"), lit("")), "[a-zA-Z0-9 ]", "")))
+          .cast("long").as("n_plain"))
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("max_tf"), lit(0L)) * 5 >= coalesce(col("n_toks"), lit(0L)) &&
+          coalesce(col("n_toks"), lit(0L)) > 0).cast("int").as("flag_repetitive"),
+        (coalesce(col("sum_len"), lit(0L)) < coalesce(col("n_toks"), lit(0L)) * 3 ||
+          coalesce(col("n_toks"), lit(0L)) === 0).cast("int").as("flag_short_words"),
+        (coalesce(col("sum_len"), lit(0L)) > coalesce(col("n_toks"), lit(0L)) * 10)
+          .cast("int").as("flag_long_words"),
+        ((col("n_chars") - col("n_plain")) * 10 >= col("n_chars") && col("n_chars") > 0)
+          .cast("int").as("flag_symbol_heavy"))
+  }
+
   /** Top-k salient terms per document — keyword extraction by an
     * integer TF-IDF surrogate: salience = (tf × corpus_size) div df,
     * ranked (salience DESC, tf DESC, term ASC). The linear-idf integer
