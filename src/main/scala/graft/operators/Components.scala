@@ -71,6 +71,14 @@ object Components {
       converged = sumNew == sumOld
       sumOld = sumNew
     }
+    // A silent early stop would return WRONG labels (propagation frozen
+    // mid-graph); converging dedup graphs finish in a handful of rounds,
+    // so hitting the valve means the input is not the graph this
+    // operator is for (use large-star/small-star) — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"min-label propagation did not converge within $maxRounds rounds " +
+          "(graph diameter too large — switch to the large-star/small-star rewrite)")
     sym.unpersist()
     val singletons = nodes.select(col("id"))
       .join(labels.select(col("id")), Seq("id"), "left_anti")
