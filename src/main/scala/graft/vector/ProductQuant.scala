@@ -139,6 +139,7 @@ object ProductQuant {
       .withColumn("nrm", sqrt(dotExpr("v", "v")))
       .select(col("vec_id"), col("v"), col("nrm"))
       .persist()
+    e.count() // eager fill: assignment, probe and re-rank all read e
     val codes = encode(embeddings, dim, books)
     // coarse assignment against the broadcast IVF codebook (as ivfSearch)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
@@ -147,6 +148,7 @@ object ProductQuant {
       .withColumn("rn", row_number().over(wAssign))
       .select(col("vec_id"), col("cid").as("cell"), col("rn"))
       .persist()
+    ranked.count() // eager fill: probed by both assignment branches
     val indexAssign = ranked.where(col("rn") === 1).drop("rn")
     val probeAssign = ranked.where(col("rn") <= nprobe).drop("rn")
     // query side: full vector + per-subspace LUTs (map-only)
