@@ -122,12 +122,9 @@ object SparkEntry {
     // COMPOSE exactly (the oracle replays the whole path in SQL).
     "q45_training_prep" -> ((s, d) => {
       val ds = docs(s, d)
-      val pairs = TextDedup.minhashLshPairs(ds)
-      val comp = graft.operators.Components.minLabel(
-        ds.select(col("doc_id").as("id")),
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val keepers = comp.where(col("id") === col("component"))
-        .select(col("id").as("doc_id"))
+      val keepers = graft.warehouse.Warehouse.nearDupClusters(s, d)
+        .where(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
       val chunks = graft.text.Chunking.tokenWindows(ds.join(keepers, Seq("doc_id")))
       // composite order key: chunk_id < 1024 always (64/48 windows over
       // bounded docs), so doc_id*1024 + chunk_id sorts as (doc, chunk)
@@ -212,16 +209,15 @@ object SparkEntry {
     // duplicated, or mis-sliced at any boundary.
     "q36_doc_chunks" -> ((s, d) =>
       graft.text.Chunking.tokenWindows(docs(s, d)).orderBy("doc_id", "chunk_id")),
+    // The closure itself is corpus state, built once per corpus into
+    // the warehouse (`neardup_clusters`, exactly like the dims) — the
+    // query projects sizes and keepers from the materialized table.
     "q35_neardup_clusters" -> ((s, d) => {
-      val ds = docs(s, d)
-      val pairs = TextDedup.minhashLshPairs(ds)
-      val comp = graft.operators.Components.minLabel(
-        ds.select(col("doc_id").as("id")),
-        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
-      comp.join(sizes, Seq("component"))
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
-          col("n_members"), (col("id") === col("component")).cast("int").as("is_keeper"))
+      val comp = graft.warehouse.Warehouse.nearDupClusters(s, d)
+      val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_members"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_keeper"))
         .orderBy("doc_id")
     }),
     // Corpus profile: the read-side analytic over the text operators —

@@ -156,6 +156,24 @@ object Warehouse {
     graft.vector.Similarity.codebookDf(spark, cents).repartition(1)
   }
 
+  /** Near-dup cluster assignment (doc_id, cluster_id) — LSH pairs →
+    * connected components, computed ONCE per corpus build exactly like
+    * the dims: dedup clusters are corpus state, not query state, and at
+    * 100 TB nothing recomputes a transitive closure inside an analytic
+    * query. Queries project keepers/sizes from this table. */
+  def buildNearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+        .repartition(1)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val pairs = graft.text.TextDedup.minhashLshPairs(docs)
+    graft.operators.Components.minLabel(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
   /** PQ codebooks (subspace, code, cv) — the trained product-quantizer
     * a production pipeline persists beside the IVF codebook (FAISS
     * index = coarse centroids + PQ codebooks + codes; the codes are
@@ -270,7 +288,8 @@ object Warehouse {
           "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
           "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
           "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)),
-          "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)))
+          "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)),
+          "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir)))
         tables.foreach { case (name, build) =>
           if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
         }
@@ -301,6 +320,11 @@ object Warehouse {
   /** Trained IVF codebook, materialized-once (see [[buildIvfCodebook]]). */
   def ivfCodebook(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "ivf_codebook")
+
+  /** Near-dup cluster assignments, materialized-once (see
+    * [[buildNearDupClusters]]). */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "neardup_clusters")
 
   /** Trained PQ codebooks, materialized-once, reassembled to the
     * in-memory matrix form [[graft.vector.ProductQuant]] consumes
