@@ -151,7 +151,12 @@ object ProductQuant {
     ranked.count() // eager fill: probed by both assignment branches
     val indexAssign = ranked.where(col("rn") === 1).drop("rn")
     val probeAssign = ranked.where(col("rn") <= nprobe).drop("rn")
-    // query side: full vector + per-subspace LUTs (map-only)
+    // query side: full vector + per-subspace LUTs (map-only). The query
+    // vector rides through the candidate window here — measured faster
+    // at this scale (one re-rank join instead of two). At billion-vector
+    // scale with queries ≪ corpus, switch to a narrow (qid, nid, adc)
+    // window and re-attach query vectors by qid for shortlist survivors
+    // only: the shuffle-byte cut then outweighs the extra join.
     val q = e.join(probeAssign, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
     val qLut = q.select(Seq(col("qid"), col("cell"), col("va"), col("na")) ++
