@@ -90,6 +90,13 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Gap-based sessionization over the event stream (30-min silence
+    // starts a new session) — boundaries compared in integer epoch-µs,
+    // so session numbering is engine-exact.
+    "q48_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.byGap(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")))
+        .orderBy("user_id", "session_seq")),
     // Language-ID evaluation: confusion matrix of the stopword-vote
     // guess against the corpus's ground-truth lang column — the eval
     // harness every classifier heuristic needs next to it.
@@ -619,6 +626,25 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q48_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |t AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM t)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q46_langid_eval" ->
       """WITH t AS (SELECT doc_id, lang, list_filter(str_split(text, ' '), w -> w <> '') AS ws
         |  FROM documents),
