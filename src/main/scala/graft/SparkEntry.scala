@@ -90,6 +90,41 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Ordered conversion funnel view → click → purchase: each stage's
+    // timestamp must strictly follow the previous stage's first
+    // occurrence (three chained user-keyed min aggregates — all
+    // co-partitioned shuffles on user_id).
+    "q49_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+    }),
+    // Weekly retention cohorts: cohort = week of a user's first event,
+    // activity = distinct (user, week), offset in whole weeks — all
+    // date_trunc/datediff integer arithmetic.
+    "q50_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("week", col("first_ts")).cast("date").as("cohort_w"))
+      val weeks = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+        .dropDuplicates("user_id", "w")
+      weeks.join(first, Seq("user_id"))
+        .groupBy(col("cohort_w"), expr("datediff(w, cohort_w) div 7").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // Gap-based sessionization over the event stream (30-min silence
     // starts a new session) — boundaries compared in integer epoch-µs,
     // so session numbering is engine-exact.
@@ -626,6 +661,29 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q49_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked_after_view,
+        |       (SELECT count(*) FROM p) AS n_purchased_after_click
+        |ORDER BY n_viewed""".stripMargin,
+    "q50_retention_cohorts" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_w
+        |  FROM events GROUP BY user_id),
+        |w AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |  FROM events)
+        |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort_w, w) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q48_sessionize" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
