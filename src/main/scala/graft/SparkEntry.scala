@@ -90,6 +90,31 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // KMV (k-minimum-values) distinct-count sketch per source — the
+    // mergeable cardinality estimator for 100 TB rollups, made
+    // ENGINE-REPRODUCIBLE: hashes are md5-derived, the estimate is
+    // (k−1)·2⁶⁰ / h_k with identical double arithmetic on both sides,
+    // so unlike HLL the oracle hash-matches the approximation itself.
+    // Groups thinner than k report their exact distinct count.
+    "q51_kmv_distinct" -> ((s, d) => {
+      val k = 16
+      val h = Tables.documents(s, d)
+        .select(col("source"),
+          graft.functions.PortableHash.h60(TextDedup.normText(col("text"))).as("h"))
+        .where(col("h").isNotNull) // null text: engines order nulls differently
+        .dropDuplicates("source", "h")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"))
+      val ranked = h.withColumn("rn", row_number().over(w))
+      val kth = ranked.where(col("rn") === k).select(col("source"), col("h").as("hk"))
+      ranked.groupBy(col("source")).agg(count(lit(1)).as("n_distinct_exact"))
+        .join(kth, Seq("source"), "left")
+        .select(col("source"), col("n_distinct_exact"),
+          when(col("hk").isNotNull,
+            lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) / col("hk").cast("double"))
+            .otherwise(col("n_distinct_exact").cast("double")).as("kmv_estimate"))
+        .orderBy("source")
+    }),
     // Ordered conversion funnel view → click → purchase: each stage's
     // timestamp must strictly follow the previous stage's first
     // occurrence (three chained user-keyed min aggregates — all
@@ -661,6 +686,25 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // Same md5 hashes, same rank selection, same double arithmetic —
+    // the APPROXIMATION itself is oracle-verified.
+    "q51_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h),
+        |kth AS (SELECT source, h AS hk FROM r WHERE rn = 16),
+        |nd AS (SELECT source, count(*) AS n_distinct_exact FROM r GROUP BY source)
+        |SELECT nd.source, n_distinct_exact,
+        |  CASE WHEN hk IS NOT NULL
+        |       THEN CAST(15 AS DOUBLE) * pow(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |            / CAST(hk AS DOUBLE)
+        |       ELSE CAST(n_distinct_exact AS DOUBLE) END AS kmv_estimate
+        |FROM nd LEFT JOIN kth ON kth.source = nd.source
+        |ORDER BY nd.source""".stripMargin,
     "q49_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
