@@ -90,6 +90,25 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Ingest-volume anomaly monitor: daily event counts vs the exact
+    // integer median (rank selection as q43) — a day is a spike when
+    // cnt > 2×median, all-integer comparisons. The global window runs
+    // over DAY-cardinality rows (tiny forever), not events.
+    "q52_volume_spikes" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"), col("d"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      val med = daily
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cnt"))).as("median_cnt"))
+      daily.crossJoin(med)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("cnt"), col("median_cnt"),
+          (col("cnt") > col("median_cnt") * 2).cast("int").as("is_spike"))
+        .orderBy("day")
+    }),
     // KMV (k-minimum-values) distinct-count sketch per source — the
     // mergeable cardinality estimator for 100 TB rollups, made
     // ENGINE-REPRODUCIBLE: hashes are md5-derived, the estimate is
@@ -686,6 +705,17 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q52_volume_spikes" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT d, cnt,
+        |    row_number() OVER (ORDER BY cnt, d) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM daily),
+        |m AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN cnt END) AS median_cnt FROM r)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, cnt, median_cnt,
+        |  CAST(cnt > median_cnt * 2 AS INT) AS is_spike
+        |FROM daily, m ORDER BY day""".stripMargin,
     // Same md5 hashes, same rank selection, same double arithmetic —
     // the APPROXIMATION itself is oracle-verified.
     "q51_kmv_distinct" ->
