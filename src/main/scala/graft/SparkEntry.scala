@@ -90,6 +90,25 @@ object SparkEntry {
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
     // proves the distributed fixpoint equals the exact closure.
+    // Count-based bigram LM table: occurrence (not document) counts via
+    // a map-only zip_with pairing, conditional probability emitted as
+    // exact integer micros ((cnt·10⁶) div prefix) — no floats, so the
+    // LM estimates hash-match the oracle. Top-50 by a total order.
+    "q53_bigram_lm" -> ((s, d) => {
+      val pairs = graft.Par.fanOut(docs(s, d))
+        .select(expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+        .select(explode(expr(
+          """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+            |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+            |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("z"))
+        .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val bc = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      val pc = pairs.groupBy(col("w1")).agg(count(lit(1)).as("prefix_cnt"))
+      bc.join(pc, Seq("w1"))
+        .select(col("w1"), col("w2"), col("cnt"), col("prefix_cnt"),
+          expr("(cnt * 1000000L) div prefix_cnt").as("p_micros"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(50)
+    }),
     // Ingest-volume anomaly monitor: daily event counts vs the exact
     // integer median (rank selection as q43) — a day is a spike when
     // cnt > 2×median, all-integer comparisons. The global window runs
@@ -705,6 +724,18 @@ object SparkEntry {
       s"""WITH $ShinglesCte,
          |$LshPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "q53_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM t),
+        |pairs AS (SELECT a.w AS w1, b.w AS w2
+        |  FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+        |pc AS (SELECT w1, count(*) AS prefix_cnt FROM pairs GROUP BY w1)
+        |SELECT w1, w2, cnt, prefix_cnt,
+        |  CAST(cnt * 1000000 // prefix_cnt AS BIGINT) AS p_micros
+        |FROM bc JOIN pc USING (w1)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 50""".stripMargin,
     "q52_volume_spikes" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
         |  FROM events GROUP BY 1),
