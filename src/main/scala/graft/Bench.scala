@@ -54,19 +54,34 @@ object Bench {
                 catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     val whSec = (System.nanoTime() - tWh) / 1e9
 
+    // Two timed runs per query, same sf, cache cleared between: the
+    // FIRST sample (cold) carries per-construction planning/codegen
+    // jitter (measured spread up to 5× on join-heavy queries — fresh
+    // expression ids defeat the codegen cache every construction); the
+    // SECOND (steady) is the reproducible per-query cost. The headline
+    // total stays the cold sum for round-over-round comparability;
+    // steady times ship alongside so a one-off spike is visible as
+    // jitter rather than a regression.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       cleanup()
       val t0 = System.nanoTime()
       val err = run(sfDir, name)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val cold = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      val t1 = System.nanoTime()
+      val err2 = run(sfDir, name)
+      val steady = (System.nanoTime() - t1) / 1e9
+      (name, cold, steady, err.orElse(err2))
     }
     def q(s: String): String = Json.quote(s)
-    val qs = results.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = (results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" } ++
+    val qs = results.map { case (k, v, _, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val qsSteady = results.map { case (k, _, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errs = (results.collect { case (k, _, _, Some(e)) => s"${q(k)}:${q(e)}" } ++
       whErr.map(e => s"${q("warehouse_build")}:${q(e)}")).mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalSteady = results.map(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warehouse_build_sec":$whSec,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"total_steady_sec":$totalSteady,"errors":$errs,"warehouse_build_sec":$whSec,"sf":${q(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(benchOut), json + "\n")
     spark.stop()
