@@ -379,6 +379,45 @@ object SparkEntry {
         .agg(sum(col("qty")).cast("double").as("total_qty"))
         .orderBy("p_brand")
     }),
+    // C4-style segment-level dedup: corpus-wide removal of repeated
+    // fixed-size token segments (first occurrence survives), documents
+    // reassembled — the granularity between exact-doc dedup (q12) and
+    // near-dup pairs (q14/q32).
+    "q54_segment_dedup" -> ((s, d) =>
+      graft.text.SegmentDedup.dedupSegments(docs(s, d)).orderBy("doc_id")),
+    // Count-Min sketch frequency audit: md5-salted rows, exact integer
+    // counters/minima — the APPROXIMATION itself is oracle-verified
+    // (the KMV q51 companion for point frequencies).
+    "q55_countmin_tokens" -> ((s, d) => graft.text.CountMin.frequencyAudit(docs(s, d))),
+    // Data-quality audit: FK orphans (left-anti on deduped keys),
+    // duplicate business keys, domain violations — one report row per
+    // check; the validation pass between ingest and publish.
+    "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // OLAP rollup: year → quarter → brand revenue hierarchy in one
+    // pass (partial aggregation handles all grouping sets — no
+    // per-level rescans); money stays DECIMAL until the final cast.
+    "q57_rollup_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+      val p = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      li.join(o, Seq("l_orderkey")).join(p, Seq("l_partkey"))
+        .rollup(col("yr"), col("qtr"), col("p_brand"))
+        .agg(
+          grouping(col("yr")).cast("long").as("g_yr"),
+          grouping(col("qtr")).cast("long").as("g_qtr"),
+          grouping(col("p_brand")).cast("long").as("g_brand"),
+          count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("revenue"))
+        .select(
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("qtr").cast("string"), lit("ALL")).as("qtr"),
+          coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          col("g_yr"), col("g_qtr"), col("g_brand"),
+          col("n_items"), col("revenue"))
+        .orderBy("yr", "qtr", "brand")
+    }),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -1263,5 +1302,97 @@ object SparkEntry {
         |      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)))
         |  ELSE CAST(('0x' || substr(md5(text), 1, 7)) AS BIGINT) END AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same segmentation arithmetic, same two-level (doc, seg) min, same
+    // md5 grouping key — the reassembled clean_text hash-matches.
+    "q54_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |ids AS (SELECT doc_id, ws,
+        |    unnest(range(greatest((len(ws) + 15) // 16, 1))) AS seg_id
+        |  FROM t),
+        |segs AS (SELECT doc_id, seg_id,
+        |    array_to_string(list_slice(ws, seg_id * 16 + 1, seg_id * 16 + 16), ' ') AS seg_text
+        |  FROM ids),
+        |m AS (SELECT doc_id, seg_id, seg_text,
+        |    min(doc_id) OVER (PARTITION BY md5(seg_text)) AS min_doc
+        |  FROM segs),
+        |m2 AS (SELECT doc_id, seg_id, seg_text, min_doc,
+        |    min(CASE WHEN doc_id = min_doc THEN seg_id END)
+        |      OVER (PARTITION BY md5(seg_text)) AS min_seg
+        |  FROM m),
+        |k AS (SELECT doc_id, seg_id, seg_text,
+        |    (doc_id = min_doc AND seg_id = min_seg) AS keep FROM m2)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN seg_text END, ' ' ORDER BY seg_id), '')
+        |    AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same md5-salted cells, same integer counters and minima — every
+    // sketch estimate hash-matches.
+    "q55_countmin_tokens" ->
+      """WITH toks AS (SELECT unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS tok
+        |  FROM documents),
+        |occ AS (SELECT tok, unnest(range(4)) AS r FROM toks),
+        |cells AS (SELECT r,
+        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 7)) AS BIGINT)
+        |      % 1024 AS bucket
+        |  FROM occ),
+        |counters AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket),
+        |truth AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+        |probe AS (SELECT tok, true_cnt, unnest(range(4)) AS r FROM truth),
+        |pc AS (SELECT tok, true_cnt, r,
+        |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 7)) AS BIGINT)
+        |      % 1024 AS bucket
+        |  FROM probe)
+        |SELECT tok, true_cnt, min(cnt) AS cm_estimate
+        |FROM pc JOIN counters USING (r, bucket)
+        |GROUP BY tok, true_cnt
+        |ORDER BY true_cnt DESC, tok LIMIT 50""".stripMargin,
+    "q56_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'fk_orders_custkey' AS check_name, count(*) AS violations FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orderkey', count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_partkey', count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_suppkey', count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |  UNION ALL
+        |  SELECT 'fk_customer_nationkey', count(*) FROM customer c
+        |    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |  UNION ALL
+        |  SELECT 'pk_orders_orderkey', count(*) FROM
+        |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'pk_part_partkey', count(*) FROM
+        |    (SELECT p_partkey FROM part GROUP BY p_partkey HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'null_orders_orderdate', count(*) FROM orders WHERE o_orderdate IS NULL
+        |  UNION ALL
+        |  SELECT 'nonpositive_orders_totalprice', count(*) FROM orders WHERE o_totalprice <= 0
+        |  UNION ALL
+        |  SELECT 'nonpositive_lineitem_quantity', count(*) FROM lineitem WHERE l_quantity <= 0
+        |  UNION ALL
+        |  SELECT 'discount_out_of_range', count(*) FROM lineitem
+        |    WHERE l_discount < 0 OR l_discount > 1)
+        |ORDER BY check_name""".stripMargin,
+    "q57_rollup_revenue" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        |  coalesce(CAST(quarter(o_orderdate) AS VARCHAR), 'ALL') AS qtr,
+        |  coalesce(p_brand, 'ALL') AS brand,
+        |  CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr,
+        |  CAST(GROUPING(quarter(o_orderdate)) AS BIGINT) AS g_qtr,
+        |  CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), p_brand)
+        |ORDER BY yr, qtr, brand""".stripMargin,
   )
 }
