@@ -393,6 +393,19 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Histogram quantile sketch: the mergeable 100 TB stand-in q43's
+    // scaladoc promises — (lang, 16-token bin) cells, estimates by
+    // integer cumulative rank; each estimate's bin contains q43's
+    // exact quantile (spec-gated), and the sketch itself hash-matches.
+    "q58_hist_quantiles" -> ((s, d) => {
+      val st = TextAnalysis.stats(docs(s, d)).select(col("doc_id"), col("n_tokens"))
+      val lg = TextAnalysis.langGuess(docs(s, d)).select(col("doc_id"), col("lang_guess"))
+      graft.operators.HistQuantile.estimates(
+        st.join(lg, Seq("doc_id")), "lang_guess", "n_tokens", 16L,
+        Seq(("p50_bin", 1, 2), ("p90_bin", 9, 10), ("p99_bin", 99, 100)))
+        .withColumnRenamed("n_rows", "n_docs")
+        .orderBy("lang_guess")
+    }),
     // OLAP rollup: year → quarter → brand revenue hierarchy in one
     // pass (partial aggregation handles all grouping sets — no
     // per-level rescans); money stays DECIMAL until the final cast.
@@ -1380,6 +1393,37 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same binning, same integer cumulative-rank selection — the sketch
+    // estimates hash-match (lg CTE chain shared with q43's oracle).
+    "q58_hist_quantiles" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS en_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS de_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS es_hits,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS fr_hits
+        |  FROM t),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |         WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+        |  FROM h),
+        |hist AS (SELECT lang_guess, n_tokens - n_tokens % 16 AS bin, count(*) AS cnt
+        |  FROM s JOIN lg USING (doc_id) GROUP BY lang_guess, bin),
+        |c AS (SELECT lang_guess, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang_guess ORDER BY bin
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang_guess) AS n
+        |  FROM hist)
+        |SELECT lang_guess, CAST(max(n) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum * 2 >= n THEN bin END) AS p50_bin,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS p90_bin,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS p99_bin
+        |FROM c GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     "q57_rollup_revenue" ->
       """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
         |  coalesce(CAST(quarter(o_orderdate) AS VARCHAR), 'ALL') AS qtr,
