@@ -195,6 +195,21 @@ object SparkEntry {
       graft.operators.Sessionize.byGap(
         Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")))
         .orderBy("user_id", "session_seq")),
+    // Peak-concurrency sweep over the session intervals: boundaries
+    // collapse per instant, the ±1 walk is the two-level PrefixSum
+    // scan (day-width buckets) — no single-partition window; the
+    // oracle replays a naive global-window sweep.
+    "q59_peak_concurrency" -> ((s, d) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val sess = graft.operators.Sessionize.byGap(
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id")))
+        .select(to_timestamp(col("session_start"), fmt).as("st"),
+          to_timestamp(col("session_end"), fmt).as("en"))
+      graft.operators.Sweep.concurrency(sess, "st", "en")
+        .groupBy(date_format(timestamp_micros(col("t")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_instants"), max(col("concurrent")).as("peak_concurrent"))
+        .orderBy("day")
+    }),
     // Language-ID evaluation: confusion matrix of the stopword-vote
     // guess against the corpus's ground-truth lang column — the eval
     // harness every classifier heuristic needs next to it.
@@ -860,6 +875,36 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    // Naive global-window sweep over the same session intervals — the
+    // distributed two-level scan must reproduce it exactly.
+    "q59_peak_concurrency" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |t AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM t),
+        |sess AS (SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+        |  FROM s GROUP BY user_id, session_seq),
+        |b AS (SELECT epoch_us(st) AS bt, 1 AS sflag, 0 AS eflag FROM sess
+        |  UNION ALL SELECT epoch_us(en), 0, 1 FROM sess),
+        |g AS (SELECT bt, CAST(sum(sflag) AS BIGINT) AS n_starts,
+        |    CAST(sum(eflag) AS BIGINT) AS n_ends
+        |  FROM b GROUP BY bt),
+        |r AS (SELECT bt, n_starts, n_ends,
+        |    sum(n_starts - n_ends) OVER (ORDER BY bt ROWS UNBOUNDED PRECEDING)
+        |      + n_ends AS concurrent
+        |  FROM g)
+        |SELECT strftime(make_timestamp(bt), '%Y-%m-%d') AS day,
+        |  count(*) AS n_instants,
+        |  CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q46_langid_eval" ->
       """WITH t AS (SELECT doc_id, lang, list_filter(str_split(text, ' '), w -> w <> '') AS ws
         |  FROM documents),

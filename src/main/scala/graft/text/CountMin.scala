@@ -29,8 +29,10 @@ import graft.functions.PortableHash
 object CountMin {
 
   /** The cell a token hashes to in sketch row `r`: h28("r:tok") % width
-    * — the per-row salt is folded into the md5 input. */
-  private def cell(width: Int) =
+    * — the per-row salt is folded into the md5 input. Shared with the
+    * streaming twin ([[graft.streaming.StreamCountMin]]) so stream- and
+    * batch-built counters land in identical cells. */
+  private[graft] def cell(width: Int) =
     PortableHash.h28(concat_ws(":", col("r").cast("string"), col("tok"))).mod(width)
 
   /** Sketch counters from a (tok) token table: one row per non-empty
