@@ -408,6 +408,23 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Bloom-prune audit: the bitmap's pass set vs the exact semi-join —
+    // hash-matching n_exact_match AND n_false_pos proves one-sidedness
+    // (no member dropped, overshoot exactly reproduced).
+    "q60_bloom_prune" -> ((s, d) => {
+      val dim = Tables.part(s, d).where(col("p_size") > 47)
+      val factKeys = Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("string").as("s")).dropDuplicates("s")
+      val bits = graft.operators.BloomPrune.bloomBits(dim, "p_partkey")
+      val pass = graft.operators.BloomPrune.passingKeys(factKeys, bits)
+      val exact = factKeys.join(
+        dim.select(col("p_partkey").cast("string").as("s")).dropDuplicates("s"),
+        Seq("s"), "left_semi")
+      factKeys.agg(count(lit(1)).as("n_fact_keys"))
+        .crossJoin(pass.agg(count(lit(1)).as("n_bloom_pass")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_match")))
+        .withColumn("n_false_pos", col("n_bloom_pass") - col("n_exact_match"))
+    }),
     // Histogram quantile sketch: the mergeable 100 TB stand-in q43's
     // scaladoc promises — (lang, 16-token bin) cells, estimates by
     // integer cumulative rank; each estimate's bin contains q43's
@@ -1438,6 +1455,35 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same md5-salted positions, same 60-bit word packing, same
+    // all-k-hits rule — the bitmap and its overshoot are reproduced.
+    "q60_bloom_prune" ->
+      """WITH dimk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS s
+        |  FROM part WHERE p_size > 47),
+        |dpos AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 7)) AS BIGINT)
+        |      % 1024 AS p
+        |  FROM dimk, unnest(range(3)) AS t(i)),
+        |bits AS (SELECT p // 60 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INT)) AS b
+        |  FROM dpos GROUP BY word),
+        |fk AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS s FROM lineitem),
+        |probe AS (SELECT s,
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 7)) AS BIGINT)
+        |      % 1024 AS p
+        |  FROM fk, unnest(range(3)) AS t(i)),
+        |hits AS (SELECT s, count(*) AS nhit
+        |  FROM probe JOIN bits ON bits.word = probe.p // 60
+        |  WHERE (bits.b & (CAST(1 AS BIGINT) << CAST(probe.p % 60 AS INT))) <> 0
+        |  GROUP BY s),
+        |pass AS (SELECT s FROM hits WHERE nhit = 3),
+        |exact AS (SELECT s FROM fk WHERE EXISTS
+        |  (SELECT 1 FROM dimk WHERE dimk.s = fk.s))
+        |SELECT (SELECT count(*) FROM fk) AS n_fact_keys,
+        |  (SELECT count(*) FROM pass) AS n_bloom_pass,
+        |  (SELECT count(*) FROM exact) AS n_exact_match,
+        |  (SELECT count(*) FROM pass) - (SELECT count(*) FROM exact) AS n_false_pos
+        |ORDER BY n_fact_keys""".stripMargin,
     // Same binning, same integer cumulative-rank selection — the sketch
     // estimates hash-match (lg CTE chain shared with q43's oracle).
     "q58_hist_quantiles" ->
