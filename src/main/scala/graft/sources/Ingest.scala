@@ -93,6 +93,23 @@ object Ingest {
       .saveAsTable(table)
   }
 
+  /** Small-file compaction — the maintenance pass every append-heavy
+    * warehouse needs: daily incremental appends (S6/S7) leave one file
+    * per batch-partition, and a year of batches turns a scan into tens
+    * of thousands of file opens (at 100 TB, open/footer overhead and
+    * scheduler pressure dominate long before bytes do). Rewrites the
+    * location into ⌈rows / targetRowsPerFile⌉ files via the atomic
+    * [[overwriteSwap]]; readers never see a partial state. Returns the
+    * new file count. Run it off the write path (the reference's nightly
+    * maintenance slot), sized so one file ≈ one task's worth of rows. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long = 1048576L): Int = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val n = spark.read.parquet(path).count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    overwriteSwap(spark, spark.read.parquet(path).repartition(files), path)
+    files
+  }
+
   /** Read-modify-overwrite swap for SCD rewrites (SURVEY.md §7.4.3): parquet
     * can't be overwritten while being read, so land the new version beside
     * the old one and swap atomically via rename. */

@@ -95,4 +95,17 @@ class IngestSpec extends SparkSpec {
     Ingest.overwriteSwap(spark, v2, dir)
     assert(spark.read.parquet(dir).agg(sum("x")).head().getLong(0) == 60)
   }
+
+  test("compact collapses many small append files into row-budgeted ones, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    for (b <- 0 until 12) // 12 tiny appends → ≥12 part files
+      Ingest.append((b * 10 until b * 10 + 10).toDF("x").repartition(1), dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles >= 12)
+    val files = Ingest.compact(spark, dir, targetRowsPerFile = 40L)
+    assert(files == 3) // 120 rows / 40 per file
+    assert(partFiles == 3)
+    assert(spark.read.parquet(dir).orderBy("x").as[Int].collect().toSeq == (0 until 120))
+  }
 }
