@@ -408,6 +408,55 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Z-order layout audit: the table's distinct (part-residue,
+    // order-residue) keys cut into 64 equal-occupancy files (ntile in
+    // key order) under a Morton interleave vs a row-major key; an
+    // aligned ⅛×⅛ probe box must touch far fewer z-files. The dims are
+    // 10-bit residues — Morton needs COMPARABLE bit widths per
+    // dimension (interleaving an 11-bit with a 7-bit key degenerates
+    // to row-major; that requirement is part of the operator's
+    // contract). The exact global ntile is the audit's determinism
+    // stand-in for a layout job's sampled repartitionByRange.
+    "q61_zorder_layout" -> ((s0, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.lineitem(s0, d)
+        .select(pmod(col("l_partkey"), lit(1024)).cast("long").as("p"),
+          pmod(col("l_orderkey"), lit(1024)).cast("long").as("s"))
+        .dropDuplicates("p", "s")
+      val z = t
+        .withColumn("zv", graft.operators.ZOrder.zValue(col("p"), col("s"), 10))
+        .withColumn("rk", expr("p * 1024 + s"))
+      val st = z.agg(max("p").as("pmax"), max("s").as("smax"))
+      val zz = z.crossJoin(broadcast(st))
+        .withColumn("p_lo", expr("(pmax + 1) div 4"))
+        .withColumn("p_hi", expr("(pmax + 1) div 4 + greatest((pmax + 1) div 8, 1)"))
+        .withColumn("s_lo", expr("(smax + 1) div 4"))
+        .withColumn("s_hi", expr("(smax + 1) div 4 + greatest((smax + 1) div 8, 1)"))
+        .withColumn("bz", ntile(64).over(Window.orderBy(col("zv"), col("p"), col("s"))))
+        .withColumn("br", ntile(64).over(Window.orderBy(col("rk"))))
+      val boxCols = Seq("p_lo", "p_hi", "s_lo", "s_hi").map(col)
+      val layouts = zz.select(lit("zorder").as("layout") +: col("bz").as("bucket") +:
+          col("p") +: col("s") +: boxCols: _*)
+        .union(zz.select(lit("rowmajor") +: col("br") +:
+          col("p") +: col("s") +: boxCols: _*))
+      val zm = layouts.groupBy(col("layout"), col("bucket")).agg(
+        count(lit(1)).as("n_keys"),
+        min("p").as("min_p"), max("p").as("max_p"),
+        min("s").as("min_s"), max("s").as("max_s"),
+        // box bounds are global constants; max() just carries them
+        max("p_lo").as("p_lo"), max("p_hi").as("p_hi"),
+        max("s_lo").as("s_lo"), max("s_hi").as("s_hi"))
+      val touched = col("max_p") >= col("p_lo") && col("min_p") < col("p_hi") &&
+        col("max_s") >= col("s_lo") && col("min_s") < col("s_hi")
+      val tb = zm.groupBy(col("layout")).agg(
+        count(lit(1)).as("n_buckets"),
+        count(when(touched, 1)).as("n_touched"),
+        coalesce(sum(when(touched, col("n_keys"))), lit(0L)).as("n_keys_touched"))
+      val mt = zz.where(col("p") >= col("p_lo") && col("p") < col("p_hi") &&
+          col("s") >= col("s_lo") && col("s") < col("s_hi"))
+        .agg(count(lit(1)).as("n_keys_matching"))
+      tb.crossJoin(mt).orderBy("layout")
+    }),
     // Bloom-prune audit: the bitmap's pass set vs the exact semi-join —
     // hash-matching n_exact_match AND n_false_pos proves one-sidedness
     // (no member dropped, overshoot exactly reproduced).
@@ -1455,6 +1504,46 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same Morton interleave (list_sum over shifted bits), same derived
+    // box, same ntile file assignment, same overlap arithmetic — the
+    // pruning ratios hash-match.
+    "q61_zorder_layout" ->
+      """WITH t AS (SELECT DISTINCT CAST(l_partkey % 1024 AS BIGINT) AS p,
+        |    CAST(l_orderkey % 1024 AS BIGINT) AS s FROM lineitem),
+        |z AS (SELECT p, s, CAST(list_sum(list_transform(range(10),
+        |    i -> (((p >> CAST(i AS INT)) & 1) << CAST(2*i AS INT))
+        |       + (((s >> CAST(i AS INT)) & 1) << CAST(2*i + 1 AS INT)))) AS BIGINT) AS zv,
+        |    p * 1024 + s AS rk
+        |  FROM t),
+        |st AS (SELECT max(p) AS pmax, max(s) AS smax FROM z),
+        |zz AS (SELECT z.*, (pmax + 1) // 4 AS p_lo,
+        |    (pmax + 1) // 4 + greatest((pmax + 1) // 8, 1) AS p_hi,
+        |    (smax + 1) // 4 AS s_lo,
+        |    (smax + 1) // 4 + greatest((smax + 1) // 8, 1) AS s_hi,
+        |    ntile(64) OVER (ORDER BY zv, p, s) AS bz,
+        |    ntile(64) OVER (ORDER BY rk) AS br
+        |  FROM z, st),
+        |layouts AS (
+        |  SELECT 'zorder' AS layout, bz AS bucket, p, s,
+        |      p_lo, p_hi, s_lo, s_hi FROM zz
+        |  UNION ALL
+        |  SELECT 'rowmajor', br, p, s, p_lo, p_hi, s_lo, s_hi FROM zz),
+        |zm AS (SELECT layout, bucket, count(*) AS n_keys,
+        |    min(p) AS min_p, max(p) AS max_p, min(s) AS min_s, max(s) AS max_s,
+        |    max(p_lo) AS p_lo, max(p_hi) AS p_hi,
+        |    max(s_lo) AS s_lo, max(s_hi) AS s_hi
+        |  FROM layouts GROUP BY layout, bucket),
+        |tb AS (SELECT layout, count(*) AS n_buckets,
+        |    count(CASE WHEN max_p >= p_lo AND min_p < p_hi
+        |               AND max_s >= s_lo AND min_s < s_hi THEN 1 END) AS n_touched,
+        |    CAST(coalesce(sum(CASE WHEN max_p >= p_lo AND min_p < p_hi
+        |               AND max_s >= s_lo AND min_s < s_hi THEN n_keys END), 0) AS BIGINT)
+        |      AS n_keys_touched
+        |  FROM zm GROUP BY layout),
+        |mt AS (SELECT count(*) AS n_keys_matching FROM zz
+        |  WHERE p >= p_lo AND p < p_hi AND s >= s_lo AND s < s_hi)
+        |SELECT layout, n_buckets, n_touched, n_keys_touched, n_keys_matching
+        |FROM tb, mt ORDER BY layout""".stripMargin,
     // Same md5-salted positions, same 60-bit word packing, same
     // all-k-hits rule — the bitmap and its overshoot are reproduced.
     "q60_bloom_prune" ->

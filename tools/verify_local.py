@@ -18,9 +18,18 @@ for a in sys.argv:
         ONLY = set(a.split("=", 1)[1].split(","))
 
 if "--skip-spark" not in sys.argv:
-    cp = subprocess.run(["bash", "-c",
-        "cd /root/repo && ls target/scala-2.13/*.jar >/dev/null 2>&1 || sbt -batch package"],
-        capture_output=True, text=True)
+    # rebuild when any source is newer than the jar — a stale jar makes
+    # the compare silently vacuous for queries it doesn't contain (their
+    # oracle keys are missing too, so the loop never sees them)
+    jars = glob.glob("/root/repo/target/scala-2.13/*.jar")
+    srcs = glob.glob("/root/repo/src/main/scala/**/*.scala", recursive=True)
+    stale = (not jars) or (srcs and max(map(os.path.getmtime, srcs))
+                           > os.path.getmtime(jars[0]))
+    if stale:
+        cp = subprocess.run(["bash", "-c", "cd /root/repo && sbt -batch package"],
+            capture_output=True, text=True)
+        if cp.returncode != 0:
+            print(cp.stdout[-3000:]); print(cp.stderr[-2000:]); sys.exit(1)
     jar = glob.glob("/root/repo/target/scala-2.13/*.jar")[0]
     opens = " ".join(f"--add-opens {p}=ALL-UNNAMED" for p in [
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
