@@ -408,6 +408,20 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Snapshot diff (CDC): point-in-time reads of the SCD2 dim a week
+    // apart, reconciled into an insert/update/delete change feed — the
+    // inverse of the merge that built the dim, and the replication-
+    // validation primitive. Null-safe value compare; full-outer hash
+    // join on the business key.
+    "q62_snapshot_diff" -> ((s, d) => {
+      val dim = graft.warehouse.Warehouse.dimOrders(s, d)
+      def at(t: String) = graft.operators.AsOfJoin.currentAt(dim, t)
+        .select(col("order_id"), col("status"))
+      graft.operators.SnapshotDiff
+        .diff(at("2024-01-08 00:00:00"), at("2024-01-15 00:00:00"),
+          "order_id", Seq("status"))
+        .orderBy("order_id")
+    }),
     // Z-order layout audit: the table's distinct (part-residue,
     // order-residue) keys cut into 64 equal-occupancy files (ntile in
     // key order) under a Morton interleave vs a row-major key; an
@@ -1504,6 +1518,25 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Two point-in-time selects over the same version chain, same
+    // full-outer reconciliation — the change feed hash-matches.
+    "q62_snapshot_diff" ->
+      s"""$VersionsCte,
+         |s1 AS (SELECT order_id, status FROM versions
+         |  WHERE TIMESTAMP '2024-01-08 00:00:00' >= start_time
+         |    AND TIMESTAMP '2024-01-08 00:00:00' < end_time),
+         |s2 AS (SELECT order_id, status FROM versions
+         |  WHERE TIMESTAMP '2024-01-15 00:00:00' >= start_time
+         |    AND TIMESTAMP '2024-01-15 00:00:00' < end_time),
+         |d AS (SELECT coalesce(s1.order_id, s2.order_id) AS order_id,
+         |    CASE WHEN s1.order_id IS NULL THEN 'insert'
+         |         WHEN s2.order_id IS NULL THEN 'delete'
+         |         WHEN s1.status IS DISTINCT FROM s2.status THEN 'update' END
+         |      AS change_type,
+         |    s1.status AS old_status, s2.status AS new_status
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.order_id = s2.order_id)
+         |SELECT order_id, change_type, old_status, new_status FROM d
+         |WHERE change_type IS NOT NULL ORDER BY order_id""".stripMargin,
     // Same Morton interleave (list_sum over shifted bits), same derived
     // box, same ntile file assignment, same overlap arithmetic — the
     // pruning ratios hash-match.

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(before: Seq[(Long, Option[String])], after: Seq[(Long, Option[String])]) =
+    SnapshotDiff.diff(
+        before.toDF("id", "v"), after.toDF("id", "v"), "id", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+      .sortBy(_._1)
+
+  test("insert, delete, update, and unchanged are classified correctly") {
+    val got = run(
+      before = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c"))),
+      after = Seq((2L, Some("b")), (3L, Some("x")), (4L, Some("d"))))
+    assert(got.toSeq == Seq(
+      (1L, "delete", Some("a"), None),
+      (3L, "update", Some("c"), Some("x")),
+      (4L, "insert", None, Some("d"))))
+  }
+
+  test("NULL-to-value and value-to-NULL transitions are updates (null-safe compare)") {
+    val got = run(
+      before = Seq((1L, None), (2L, Some("b")), (3L, None)),
+      after = Seq((1L, Some("a")), (2L, None), (3L, None)))
+    assert(got.toSeq == Seq(
+      (1L, "update", None, Some("a")),
+      (2L, "update", Some("b"), None)))
+  }
+
+  test("identical snapshots diff to nothing") {
+    assert(run(Seq((1L, Some("a"))), Seq((1L, Some("a")))).isEmpty)
+  }
+
+  test("multi-column compare flags a change in ANY tracked column") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n")
+    val after = Seq((1L, "a", 11), (2L, "b", 20)).toDF("id", "v", "n")
+    val got = SnapshotDiff.diff(before, after, "id", Seq("v", "n")).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getString(1) == "update")
+    assert(got.head.getInt(4) == 10 && got.head.getInt(5) == 11) // old_n, new_n
+  }
+}
