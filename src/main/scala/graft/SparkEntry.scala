@@ -408,6 +408,27 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Incremental rollup maintenance: per-day partial states (count +
+    // KMV hash set) folded in a balanced tree — the oracle recomputes
+    // from scratch, so the hash-match PROVES fold ≡ recompute (counts
+    // add exactly; k-smallest of a union = k-smallest of merged
+    // k-smallests). The nightly-batch pattern that never rescans
+    // history.
+    "q63_incremental_rollup" -> ((s, d) => {
+      val k = 16
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        graft.functions.PortableHash.h60(col("user_id").cast("string")).as("h"))
+      // bounded driver list: calendar days of the corpus (q26 precedent)
+      val days = ev.select(col("day")).distinct().collect()
+        .map(_.getDate(0).toString).sorted
+      val states = days.map(dy => graft.operators.IncrementalAgg.state(
+        ev.where(col("day") === lit(dy)), "event_type", "h", k))
+      graft.operators.IncrementalAgg.estimate(
+          graft.operators.IncrementalAgg.fold(states.toSeq, "event_type", k), k)
+        .select(col("event_type"), col("cnt").as("n_events"), col("kmv_estimate"))
+        .orderBy("event_type")
+    }),
     // Snapshot diff (CDC): point-in-time reads of the SCD2 dim a week
     // apart, reconciled into an insert/update/delete change feed — the
     // inverse of the merge that built the dim, and the replication-
@@ -1518,6 +1539,24 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // From-scratch recompute with q51's KMV arithmetic — the balanced
+    // fold of daily states must reproduce it exactly.
+    "q63_incremental_rollup" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 16),
+        |nd AS (SELECT event_type, count(*) AS n_h FROM r GROUP BY event_type),
+        |c AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type)
+        |SELECT c.event_type, n_events,
+        |  CASE WHEN hk IS NOT NULL
+        |       THEN CAST(15 AS DOUBLE) * pow(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |            / CAST(hk AS DOUBLE)
+        |       ELSE CAST(n_h AS DOUBLE) END AS kmv_estimate
+        |FROM c JOIN nd USING (event_type) LEFT JOIN kth USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // Two point-in-time selects over the same version chain, same
     // full-outer reconciliation — the change feed hash-matches.
     "q62_snapshot_diff" ->
