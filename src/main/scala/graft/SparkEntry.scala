@@ -408,6 +408,11 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // BPE merge training: the tokenizer-training stage. No oracleSql
+    // twin (an iterative argmax loop is not reasonably SQL-expressible)
+    // → rows-only driver check; semantics are spec-gated (hand-computed
+    // golden merge sequence, tie-break determinism, encode roundtrip).
+    "q64_bpe_merges" -> ((s, d) => graft.text.Bpe.mergeTable(docs(s, d), 12)),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts

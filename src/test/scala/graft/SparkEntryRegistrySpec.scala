@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntryRegistrySpec extends AnyFunSuite {
 
   /** Queries intentionally gated rows-only (no reasonable SQL twin). */
-  private val RowsOnly = Set("q29_ann_ivf_trained", "q44_ann_ivfpq")
+  private val RowsOnly = Set("q29_ann_ivf_trained", "q44_ann_ivfpq", "q64_bpe_merges")
 
   test("every oracle entry points at a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
