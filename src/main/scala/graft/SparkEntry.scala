@@ -408,6 +408,29 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // LM-likelihood filter (the CCNet/perplexity-filter pattern with
+    // the q53 count LM): score = integer mean of the doc's bigram
+    // conditional probabilities in micros — exact arithmetic end to
+    // end, so the filter decisions hash-match. Low-likelihood docs
+    // (score below 1/10 uniform mass) get flagged for quarantine.
+    "q65_lm_filter" -> ((s, d) => {
+      val toks = graft.Par.fanOut(docs(s, d))
+        .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+            |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+            |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("z"))
+        .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val lm = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .join(toks.groupBy(col("w1")).agg(count(lit(1)).as("prefix_cnt")), Seq("w1"))
+        .select(col("w1"), col("w2"), expr("(cnt * 1000000L) div prefix_cnt").as("p_micros"))
+      toks.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_micros) div count(1)").as("score_micros"))
+        .withColumn("flag_low_likelihood", (col("score_micros") < 100000L).cast("int"))
+        .orderBy("doc_id")
+    }),
     // BPE merge training: the tokenizer-training stage. No oracleSql
     // twin (an iterative argmax loop is not reasonably SQL-expressible)
     // → rows-only driver check; semantics are spec-gated (hand-computed
@@ -1544,6 +1567,25 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same LM counts, same integer micros mean — the filter decisions
+    // hash-match (docs without bigrams drop out of the inner join on
+    // both sides).
+    "q65_lm_filter" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM t),
+        |pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bc AS (SELECT w1, w2, count(*) AS cnt FROM pairs GROUP BY w1, w2),
+        |pc AS (SELECT w1, count(*) AS prefix_cnt FROM pairs GROUP BY w1),
+        |lm AS (SELECT w1, w2, CAST(cnt * 1000000 // prefix_cnt AS BIGINT) AS p_micros
+        |  FROM bc JOIN pc USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(p_micros) // count(*) AS BIGINT) AS score_micros,
+        |  CAST(CAST(sum(p_micros) // count(*) AS BIGINT) < 100000 AS INT)
+        |    AS flag_low_likelihood
+        |FROM pairs JOIN lm USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // From-scratch recompute with q51's KMV arithmetic — the balanced
     // fold of daily states must reproduce it exactly.
     "q63_incremental_rollup" ->
