@@ -1146,8 +1146,11 @@ object SparkEntry {
     // Spark side's prefix filter must reproduce this exactly.
     "q40_contamination" ->
       s"""WITH $ShinglesCte,
-         |te AS (SELECT doc_id AS test_id, shingles AS sh_t FROM sh WHERE doc_id % 10 = 0),
-         |tr AS (SELECT doc_id AS train_id, shingles AS sh_r FROM sh WHERE doc_id % 10 <> 0),
+         |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs
+         |  FROM sh),
+         |te AS (SELECT doc_id AS test_id, hs AS sh_t FROM hsq WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id AS train_id, hs AS sh_r FROM hsq WHERE doc_id % 10 <> 0),
          |tt AS (SELECT test_id, unnest(sh_t) AS tok FROM te),
          |rt AS (SELECT train_id, unnest(sh_r) AS tok FROM tr),
          |cand AS (SELECT DISTINCT test_id, train_id FROM tt JOIN rt USING (tok)),
@@ -1318,17 +1321,22 @@ object SparkEntry {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // Brute-force exact jaccard (any shared shingle is a candidate) —
     // the Spark side's prefix filter must reproduce this EXACTLY.
+    // Brute force over the SAME 60-bit hashed shingle sets the engine
+    // uses — the compare is exact, collisions and all.
     "q32_ngram_jaccard" ->
       s"""WITH $ShinglesCte,
-         |tok AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+         |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs
+         |  FROM sh),
+         |tok AS (SELECT doc_id, unnest(hs) AS tok FROM hsq),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id),
          |jac AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
-         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+         |  nullif(CAST(len(sa.hs) + len(sb.hs)
+         |       - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE),
          |         CAST(0.0 AS DOUBLE)) AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+         |  FROM cand JOIN hsq sa ON sa.doc_id = doc_a JOIN hsq sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
     "q15_simhash_fingerprints" ->

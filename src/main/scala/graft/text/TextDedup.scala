@@ -191,17 +191,26 @@ object TextDedup {
     * prefix table is materialized parquet, same plan shape. */
   def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    // 60-bit hashed shingle SETS (distinct + sorted = canonical): the
+    // candidate shuffle carries fixed-width longs instead of ~20-char
+    // shingle strings, and the verify intersects long arrays instead of
+    // UTF8 arrays (round-5 rewrite: string sets exist only inside this
+    // map stage). Jaccard over hashed sets differs from string sets
+    // only on md5-60-bit collisions — and the ORACLE HASHES IDENTICALLY,
+    // so the compare stays exact, not approximate. The prefix-filter
+    // lemma is order-agnostic: the hash order is just another fixed
+    // total order on shingles.
+    val hs = hashedSets(sh).persist()
     // Eager cache fill: four probes below (two prefix sides, two verify
-    // attaches) read `sh` inside one action, and Spark's lazy cache fill
+    // attaches) read `hs` inside one action, and Spark's lazy cache fill
     // is not synchronized across concurrent build futures — each future
     // would recompute the shingle pipeline per partition (measured 17–62 s
     // vs ~4 s warm in round 4). One cheap count serializes the fill.
-    sh.count()
-    val prefix = sh.select(col("doc_id"), size(col("shingles")).as("len"),
+    hs.count()
+    val prefix = hs.select(col("doc_id"), size(col("hs")).as("len"),
         posexplode(expr(
-          s"""slice(array_sort(shingles), 1,
-             |  cast(size(shingles) - ceil(size(shingles) * $threshold) + 1 as int))"""
-            .stripMargin)).as(Seq("pos0", "tok")))
+          s"slice(hs, 1, cast(size(hs) - ceil(size(hs) * $threshold) + 1 as int))"))
+          .as(Seq("pos0", "tok")))
       .select(col("tok"), col("doc_id"), col("len"), (col("pos0") + 1).as("pos"))
     // shuffle_hash everywhere below: at 100 TB neither the prefix table
     // nor the corpus is broadcast-small, and locally the hint removes
@@ -233,9 +242,9 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a"))
         .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -270,31 +279,40 @@ object TextDedup {
     * switch the order to global-frequency-first exactly as
     * [[ngramJaccardPairsFromShingles]] does (the lemma holds for ANY
     * total order). */
+  /** Canonical 60-bit hashed shingle set (distinct + sorted) — the
+    * fixed-width representation the jaccard/containment joins shuffle
+    * and intersect (see [[ngramJaccardPairsFromShingles]]'s note; the
+    * oracles hash identically, keeping the compare exact). */
+  private def hashedSets(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), expr(
+      """array_sort(array_distinct(transform(shingles,
+        |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))))"""
+        .stripMargin).as("hs"))
+
   def containmentPairs(test: DataFrame, train: DataFrame,
                        threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val shTest = shingled(test).persist()
-    val shTrain = shingled(train).persist()
+    val hsTest = hashedSets(shingled(test)).persist()
+    val hsTrain = hashedSets(shingled(train)).persist()
     // eager cache fill (the q32 lesson): prefix + verify probes read
     // these inside one action; lazy fill races across build futures
-    shTest.count(); shTrain.count()
-    // smallest ⌊(1−t)·s⌋+1 shingles of each test doc, via array sort —
-    // map-only, no window (the per-doc order needs no global shuffle)
-    val prefix = shTest
-      .select(col("doc_id").as("test_id"), size(col("shingles")).as("len_t"),
+    hsTest.count(); hsTrain.count()
+    // smallest ⌊(1−t)·s⌋+1 hashes of each test doc — map-only (the
+    // arrays are already sorted), no window
+    val prefix = hsTest
+      .select(col("doc_id").as("test_id"), size(col("hs")).as("len_t"),
         explode(expr(
-          s"slice(array_sort(shingles), 1, " +
-          s"cast(floor(size(shingles) * ${1.0 - threshold}) as int) + 1)")).as("tok"))
-    val index = shTrain
-      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("tok"))
+          s"slice(hs, 1, cast(floor(size(hs) * ${1.0 - threshold}) as int) + 1)")).as("tok"))
+    val index = hsTrain
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("tok"))
     val cand = prefix.hint("shuffle_hash")
       .join(index.hint("shuffle_hash"), Seq("tok"))
       .select(col("test_id"), col("train_id"))
       .dropDuplicates("test_id", "train_id")
     cand
-      .join(shTest.select(col("doc_id").as("test_id"), col("shingles").as("sh_t")),
+      .join(hsTest.select(col("doc_id").as("test_id"), col("hs").as("sh_t")),
         Seq("test_id"))
-      .join(shTrain.select(col("doc_id").as("train_id"), col("shingles").as("sh_r"))
+      .join(hsTrain.select(col("doc_id").as("train_id"), col("hs").as("sh_r"))
         .hint("shuffle_hash"), Seq("train_id"))
       .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_r"))))
       .withColumn("containment",
