@@ -408,6 +408,58 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Table-statistics profile — the ANALYZE pass that feeds a cost
+    // model: per column, exact row/null counts, min/max (string-safe
+    // types only — cross-engine float formatting is not canonical),
+    // and NDV via the q51 KMV estimator. One scan per column batch;
+    // every sketch is mergeable, so per-partition profiles roll up.
+    "q66_table_stats" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def prof(c: String) = {
+        val v = o.select(col(c).cast("string").as("v"))
+        val h = v.where(col("v").isNotNull)
+          .select(graft.functions.PortableHash.h60(col("v")).as("h"))
+          .dropDuplicates("h")
+        // kth smallest via top-k (TakeOrderedAndProject), never a
+        // global-sort window over the distinct hashes
+        val kth = h.orderBy(col("h")).limit(16)
+          .agg(max(col("h")).as("hk"), count(lit(1)).as("n16"))
+        val nd = h.agg(count(lit(1)).as("n_distinct_exact"))
+        v.agg(count(lit(1)).as("n_rows"),
+            count(when(col("v").isNull, 1)).as("n_nulls"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .crossJoin(kth).crossJoin(nd)
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("min_v"), col("max_v"),
+            when(col("n16") === 16,
+              lit(15.0) * pow(lit(2.0), lit(60.0)) / col("hk").cast("double"))
+              .otherwise(col("n_distinct_exact").cast("double")).as("ndv_est"))
+      }
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(prof).reduce(_.union(_)).orderBy("column_name")
+    }),
+    // Star join over five tables (the TPC-H Q5 shape): revenue by
+    // region × order year. Catalyst's join reorder + AQE pick the
+    // broadcast chain — the query itself stays declarative; money in
+    // DECIMAL until the final cast.
+    "q67_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"), col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey"))
+      val r = Tables.region(s, d).select(col("r_regionkey").as("n_regionkey"),
+        col("r_name"))
+      li.join(o, Seq("l_orderkey")).join(c, Seq("o_custkey"))
+        .join(n, Seq("c_nationkey")).join(r, Seq("n_regionkey"))
+        .groupBy(col("r_name"), col("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy("r_name", "yr")
+    }),
     // LM-likelihood filter (the CCNet/perplexity-filter pattern with
     // the q53 count LM): score = integer mean of the doc's bigram
     // conditional probabilities in micros — exact arithmetic end to
@@ -1575,6 +1627,44 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same casts, same md5 NDV arithmetic per column — the profile
+    // hash-matches.
+    "q66_table_stats" ->
+      """WITH cols(column_name) AS (VALUES ('o_orderkey'), ('o_custkey'),
+        |    ('o_orderstatus'), ('o_orderpriority')),
+        |v AS (SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        |base AS (SELECT column_name, count(*) AS n_rows,
+        |    count(CASE WHEN v IS NULL THEN 1 END) AS n_nulls,
+        |    min(v) AS min_v, max(v) AS max_v
+        |  FROM v GROUP BY column_name),
+        |h AS (SELECT DISTINCT column_name,
+        |    CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+        |  FROM v WHERE v IS NOT NULL),
+        |r AS (SELECT column_name, h,
+        |    row_number() OVER (PARTITION BY column_name ORDER BY h) AS rn FROM h),
+        |kv AS (SELECT column_name, count(*) AS n_distinct_exact,
+        |    max(CASE WHEN rn = 16 THEN h END) AS hk
+        |  FROM r GROUP BY column_name)
+        |SELECT base.column_name, n_rows, n_nulls, min_v, max_v,
+        |  CASE WHEN hk IS NOT NULL
+        |       THEN CAST(15 AS DOUBLE) * pow(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |            / CAST(hk AS DOUBLE)
+        |       ELSE CAST(n_distinct_exact AS DOUBLE) END AS ndv_est
+        |FROM base JOIN kv USING (column_name)
+        |ORDER BY column_name""".stripMargin,
+    "q67_star_join" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN region ON r_regionkey = n_regionkey
+        |GROUP BY r_name, yr ORDER BY r_name, yr""".stripMargin,
     // Same LM counts, same integer micros mean — the filter decisions
     // hash-match (docs without bigrams drop out of the inner join on
     // both sides).
