@@ -408,6 +408,10 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Payload-level (perceptual-hash) near-dup for multimodal columns:
+    // gram SimHash + hamming chunk buckets — no tokenization, so it
+    // covers byte/char streams the word-shingle dedup can't.
+    "q68_payload_neardup" -> ((s, d) => Multimodal.payloadNearDup(docs(s, d))),
     // Table-statistics profile — the ANALYZE pass that feeds a cost
     // model: per column, exact row/null counts, min/max (string-safe
     // types only — cross-engine float formatting is not canonical),
@@ -1627,6 +1631,28 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same gram hashes, same majority vote, same chunk buckets — the
+    // payload sketch pairs hash-match.
+    "q68_payload_neardup" ->
+      """WITH g60 AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, length(text) - 7),
+        |      i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)))
+        |      AS h60s
+        |  FROM documents WHERE length(text) >= 8),
+        |sim AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |    CASE WHEN len(list_filter(h60s, h -> ((h >> i) & 1) = 1)) * 2 > len(h60s)
+        |         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+        |    AS simhash
+        |  FROM g60),
+        |chunks AS (SELECT doc_id, simhash, c, (simhash >> (8*c)) & 255 AS chunk_val
+        |  FROM sim, generate_series(0, 3) t(c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk_val = b.chunk_val
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // Same casts, same md5 NDV arithmetic per column — the profile
     // hash-matches.
     "q66_table_stats" ->

@@ -104,4 +104,28 @@ object Multimodal {
       col("meta.n_bytes").as("n_bytes"),
       md5(col("media")).as("content_md5"))
       .orderBy("doc_id")
+
+  /** Payload-level near-duplicate pairs — perceptual-hash dedup for
+    * multimodal columns: a SimHash over the payload's sliding 8-unit
+    * grams (no tokenization — works on any byte/char stream, unlike the
+    * word-shingle variant in [[graft.text.TextDedup]]), candidates via
+    * the same hamming chunk buckets (perfect recall ≤ 3). A real
+    * deployment hashes decoded pixels/samples instead of raw units —
+    * the sketch-join shape is identical.
+    *
+    * Grams here are CHAR windows of the payload's text form, because
+    * both engines index strings by code point — byte windows would
+    * diverge on multibyte payloads between Spark substring and DuckDB
+    * substr; the oracle mirrors this exactly. Payloads shorter than one
+    * gram have no sketch and are exact-dedup's job (q12). */
+  def payloadNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    val fp = graft.Par.fanOut(docs)
+      .where(length(col("text")) >= 8)
+      .select(col("doc_id"), expr(
+        """simhash32(array_distinct(transform(
+          |  sequence(1, length(text) - 7),
+          |  i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10)
+          |       AS BIGINT))))""".stripMargin).as("simhash"))
+    graft.text.TextDedup.simhashPairs(fp, maxHam)
+  }
 }

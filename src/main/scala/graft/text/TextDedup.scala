@@ -334,10 +334,17 @@ object TextDedup {
     * pigeonhole, any pair within hamming 3 of a 32-bit hash shares at
     * least one unchanged byte, so chunk-bucketing has PERFECT recall at
     * maxHam ≤ 3 (the scale path: no all-pairs hamming scan). */
-  def simhashNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+  def simhashNearDup(docs: DataFrame, maxHam: Int = 3): DataFrame =
+    simhashPairs(simhashFingerprints(docs), maxHam)
+
+  /** Near-dup pairs from ANY (doc_id, simhash) fingerprint table at
+    * hamming ≤ `maxHam` — the chunk-bucket machinery shared by the
+    * word-shingle variant above and the payload-gram variant
+    * ([[graft.media.Multimodal.payloadNearDup]]). */
+  def simhashPairs(fingerprints: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam <= 3, "chunk bucketing guarantees recall only for maxHam <= 3")
     // narrow (doc_id, simhash) persisted: probed twice by the self-join
-    val fp = simhashFingerprints(docs).persist()
+    val fp = fingerprints.persist()
       .select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, 8*c) & 255) AS chunk_val))"))
