@@ -43,7 +43,12 @@ object Bench {
       }
       catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
 
-    warmDir.foreach(w => SparkEntry.queries.keys.foreach { n => cleanup(); run(w, n) })
+    // TWO warmup passes: heavy-codegen queries (q32-family) reach JIT
+    // steady state only on their second execution — one pass left the
+    // first timed run paying 2–6× (measured 10–31 s vs 5 s for the same
+    // binary); the second pass costs ~30 s of untimed wall once.
+    warmDir.foreach(w => (1 to 2).foreach(_ =>
+      SparkEntry.queries.keys.foreach { n => cleanup(); run(w, n) }))
 
     // The warehouse layer materializes dims/facts once per corpus and the
     // analytic queries read the parquet (mirrors the reference DAG: tables
