@@ -408,6 +408,34 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Deterministic dataset split: md5-hash assignment (8/1/1) — stable
+    // under corpus growth (a doc's split never changes), engine-exact,
+    // and stratification-free by design (the hash IS the randomness).
+    "q69_dataset_split" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")), lit(10L))
+            .as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 8, "train").when(col("bucket") < 9, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")),
+    // Cross-split leakage audit: near-dup pairs (q14's LSH machinery)
+    // that STRADDLE splits — the eval-integrity check every dataset
+    // release needs (a test doc near-duplicating a train doc leaks).
+    "q70_split_leakage" -> ((s, d) => {
+      val split = docs(s, d).select(col("doc_id"),
+        pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")), lit(10L))
+          .as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 8, "train").when(col("bucket") < 9, "val")
+            .otherwise("test").as("split"))
+      TextDedup.minhashLshPairs(docs(s, d))
+        .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
     // Payload-level (perceptual-hash) near-dup for multimodal columns:
     // gram SimHash + hamming chunk buckets — no tokenization, so it
     // covers byte/char streams the word-shingle dedup can't.
@@ -1631,6 +1659,27 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    "q69_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // q14's LSH pair chain + the q69 split arithmetic — the leakage
+    // list hash-matches.
+    "q70_split_leakage" ->
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS b
+         |    FROM documents))
+         |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, jaccard
+         |FROM pairs JOIN sp sa ON sa.doc_id = doc_a JOIN sp sb ON sb.doc_id = doc_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Same gram hashes, same majority vote, same chunk buckets — the
     // payload sketch pairs hash-match.
     "q68_payload_neardup" ->
