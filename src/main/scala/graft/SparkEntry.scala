@@ -408,6 +408,31 @@ object SparkEntry {
     // duplicate business keys, domain violations — one report row per
     // check; the validation pass between ingest and publish.
     "q56_dq_audit" -> ((s, d) => graft.operators.DqAudit.auditStarSchema(s, d)),
+    // Join-skew audit: the 10 hottest keys of a join column with their
+    // exact ratio to the median key frequency (integer micros) — the
+    // report that tells you which keys need a salted join (q31's
+    // SkewJoin) or AQE skew split BEFORE the join melts. The median is
+    // rank-selected over the frequency-of-frequency table, which stays
+    // tiny regardless of key cardinality.
+    "q71_skew_audit" -> ((s, d) => {
+      val freq = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      // median over the (cnt, n_keys) distribution: day-table trick —
+      // the window runs over DISTINCT frequencies, not keys
+      val dist = freq.groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"))
+      val med = dist
+        .withColumn("cum", sum(col("n_keys")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("n"))))
+        .where(col("cum") * 2 >= col("n") + 1)
+        .agg(min(col("cnt")).as("median_cnt"))
+      freq.crossJoin(broadcast(med))
+        .select(col("l_partkey"), col("cnt"), col("median_cnt"),
+          expr("(cnt * 1000000L) div median_cnt").as("skew_micros"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+    }),
     // Deterministic dataset split: md5-hash assignment (8/1/1) — stable
     // under corpus growth (a doc's split never changes), engine-exact,
     // and stratification-free by design (the hash IS the randomness).
@@ -1659,6 +1684,21 @@ object SparkEntry {
         |  SELECT 'discount_out_of_range', count(*) FROM lineitem
         |    WHERE l_discount < 0 OR l_discount > 1)
         |ORDER BY check_name""".stripMargin,
+    // Same frequency-of-frequency median, same integer skew ratio.
+    "q71_skew_audit" ->
+      """WITH freq AS (SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |  GROUP BY l_partkey),
+        |dist AS (SELECT cnt, count(*) AS n_keys FROM freq GROUP BY cnt),
+        |c AS (SELECT cnt,
+        |    sum(n_keys) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM dist),
+        |n AS (SELECT count(*) AS n FROM freq),
+        |m AS (SELECT CAST(min(cnt) AS BIGINT) AS median_cnt FROM c, n
+        |  WHERE cum * 2 >= n + 1)
+        |SELECT l_partkey, cnt, median_cnt,
+        |  CAST(cnt * 1000000 // median_cnt AS BIGINT) AS skew_micros
+        |FROM freq, m
+        |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
     "q69_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
