@@ -85,10 +85,23 @@ object Bench {
       whErr.map(e => s"${q("warehouse_build")}:${q(e)}")).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalSteady = results.map(_._3).sum
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"total_steady_sec":$totalSteady,"errors":$errs,"warehouse_build_sec":$whSec,"sf":${q(sfDir)}}"""
-    println(json)
-    Files.writeString(Paths.get(benchOut), json + "\n")
+    Files.writeString(Paths.get(benchOut), fullJson + "\n")
+    // The stdout line MUST stay short: the driver captures only the last
+    // ~2000 chars of output, and the round-5 line (72-query cold+steady
+    // maps, ~5 KB) overflowed it — BENCH_r05.json recorded parsed:null.
+    // Per-query maps live in BENCH.json only; stdout carries the summary
+    // the perf gate parses. Error messages are truncated and capped so a
+    // pathological round cannot blow the line either.
+    val nErrors = results.count(_._4.isDefined) + whErr.size
+    val errsShort = (results.collect { case (k, _, _, Some(e)) => (k, e) } ++
+        whErr.map(("warehouse_build", _)))
+      .take(8).map { case (k, e) => s"${q(k)}:${q(e.take(40))}" }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -63,19 +63,23 @@ object SparkEntry {
     "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
     "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
     "q28_curation_pipeline" -> ((s, d) => Curation.curate(docs(s, d))),
-    // No oracleSql twin (k-means is not reasonably SQL-expressible) →
-    // the driver records a rows-only check; recall vs brute force is
-    // gated in SimilaritySpec instead. The codebook is a build-once
-    // warehouse artifact — the query pays assignment + search only.
+    // Training (k-means) is not SQL-expressible and stays spec-gated
+    // (recall floor in SimilaritySpec); the SEARCH stage — broadcast
+    // assignment + in-cell top-k against the fixed codebook — IS, so the
+    // oracle replays it over the materialized codebook parquet (the
+    // verify dump exposes the warehouse dir; see [[oracleWhDir]]). The
+    // codebook is a build-once warehouse artifact — the query pays
+    // assignment + search only.
     "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfWithCodebook(
       Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfCodebook(s, d))),
     "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
     // IVF-PQ with exact re-rank (FAISS recipe): codes are the only
     // per-vector state in the candidate shuffle; codebooks come from
-    // the warehouse like the IVF centroids. No oracleSql twin (k-means
-    // + PQ is not reasonably SQL-expressible) → rows-only check;
-    // exactness/recall are spec-gated (exhaustive-params equality vs
-    // knnBruteForce, recall floor at defaults).
+    // the warehouse like the IVF centroids. Codebook TRAINING stays
+    // spec-gated (exhaustive-params equality vs knnBruteForce, recall
+    // floor at defaults); the search stage — PQ encode, ADC ranking,
+    // shortlist, exact re-rank under the fixed codebooks — is replayed
+    // by the oracle over the materialized codebook parquet.
     "q44_ann_ivfpq" -> ((s, d) => graft.vector.ProductQuant.annIvfPq(
       Tables.embeddings(s, d),
       graft.warehouse.Warehouse.ivfCodebook(s, d),
@@ -141,16 +145,15 @@ object SparkEntry {
           graft.functions.PortableHash.h60(TextDedup.normText(col("text"))).as("h"))
         .where(col("h").isNotNull) // null text: engines order nulls differently
         .dropDuplicates("source", "h")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("h"))
-      val ranked = h.withColumn("rn", row_number().over(w))
-      val kth = ranked.where(col("rn") === k).select(col("source"), col("h").as("hk"))
-      ranked.groupBy(col("source")).agg(count(lit(1)).as("n_distinct_exact"))
-        .join(kth, Seq("source"), "left")
-        .select(col("source"), col("n_distinct_exact"),
-          when(col("hk").isNotNull,
-            lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) / col("hk").cast("double"))
-            .otherwise(col("n_distinct_exact").cast("double")).as("kmv_estimate"))
+      // bounded k_min state (IncrementalAgg), not a per-source rank
+      // window: ranking EVERY distinct hash to take the kth is a full
+      // per-source sort — at billions of distinct hashes per source the
+      // window is the scale-killer; the aggregate state is k longs.
+      // Input is deduped, so cnt = exact distinct count and the
+      // unfilled-sketch estimate (size(hs)) equals it.
+      graft.operators.IncrementalAgg.estimate(
+          graft.operators.IncrementalAgg.state(h, "source", "h", k), k)
+        .select(col("source"), col("cnt").as("n_distinct_exact"), col("kmv_estimate"))
         .orderBy("source")
     }),
     // Ordered conversion funnel view → click → purchase: each stage's
@@ -389,7 +392,9 @@ object SparkEntry {
         .select(col("l_partkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
       val parts = Tables.part(s, d)
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-      graft.operators.SkewJoin.salted(li, parts, Seq("l_partkey"))
+      // audit-driven salting (q71's hot-key rule sizes the buckets):
+      // only measured-hot keys fan out; cold keys pay no replication
+      graft.operators.SkewJoin.saltedAudited(li, parts, Seq("l_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(col("qty")).cast("double").as("total_qty"))
         .orderBy("p_brand")
@@ -544,7 +549,15 @@ object SparkEntry {
     // twin (an iterative argmax loop is not reasonably SQL-expressible)
     // → rows-only driver check; semantics are spec-gated (hand-computed
     // golden merge sequence, tie-break determinism, encode roundtrip).
+    // The ENCODE stage under a fixed merge table is oracle-gated: q72.
     "q64_bpe_merges" -> ((s, d) => graft.text.Bpe.mergeTable(docs(s, d), 12)),
+    // BPE encode under the corpus-trained merge table (a warehouse
+    // artifact, like the ANN codebooks): deterministic greedy string
+    // rewriting the oracle replays rule by rule — the per-doc piece
+    // counts and position-weighted checksum hash-match, gating the
+    // encoder (and, transitively, the trained rules it consumes).
+    "q72_bpe_encode" -> ((s, d) => graft.text.Bpe.encode(docs(s, d),
+      graft.warehouse.Warehouse.bpeMerges(s, d)).orderBy("doc_id")),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -556,13 +569,16 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(col("event_type"),
         to_date(col("ts")).as("day"),
         graft.functions.PortableHash.h60(col("user_id").cast("string")).as("h"))
-      // bounded driver list: calendar days of the corpus (q26 precedent)
-      val days = ev.select(col("day")).distinct().collect()
-        .map(_.getDate(0).toString).sorted
-      val states = days.map(dy => graft.operators.IncrementalAgg.state(
-        ev.where(col("day") === lit(dy)), "event_type", "h", k))
+      // ONE plan regardless of calendar size: per-day states as a single
+      // grouped aggregate, merged by one more aggregate (the round-5
+      // per-day collected loop built a subplan per day — linear plan
+      // growth; at years of history a thousand-subplan union). The
+      // merge is associative/commutative, so day → total in one step
+      // equals any fold tree — IncrementalAggSpec pins fold ≡ recompute.
       graft.operators.IncrementalAgg.estimate(
-          graft.operators.IncrementalAgg.fold(states.toSeq, "event_type", k), k)
+          graft.operators.IncrementalAgg.mergeStates(
+            graft.operators.IncrementalAgg.stateByBatch(ev, "event_type", "day", "h", k),
+            "event_type", k), k)
         .select(col("event_type"), col("cnt").as("n_events"), col("kmv_estimate"))
         .orderBy("event_type")
     }),
@@ -682,7 +698,10 @@ object SparkEntry {
           coalesce(col("p_brand"), lit("ALL")).as("brand"),
           col("g_yr"), col("g_qtr"), col("g_brand"),
           col("n_items"), col("revenue"))
-        .orderBy("yr", "qtr", "brand")
+        // g_* in the sort keys: a NULL o_orderdate/p_brand data row
+        // coalesces to 'ALL' and would otherwise tie with a subtotal
+        // row, leaving Spark/DuckDB free to order the tie differently
+        .orderBy("yr", "qtr", "brand", "g_yr", "g_qtr", "g_brand")
     }),
   )
 
@@ -780,6 +799,17 @@ object SparkEntry {
     """en AS (
       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
+
+  /** Absolute path of the materialized warehouse for the corpus being
+    * verified — set by [[Verify]] (system property `graft.oracle.whdir`)
+    * before it dumps [[oracleSql]], so oracles for queries that consume
+    * trained warehouse artifacts (q29/q44 codebooks, q72 merge rules)
+    * can read the SAME artifact parquet DuckDB-side. The artifacts are
+    * INPUTS shared by both engines, not Spark outputs: each oracle
+    * independently replays the search/encode computation over them, so
+    * the compare gates the computation, not a copy of itself. */
+  private def oracleWhDir: String =
+    sys.props.getOrElse("graft.oracle.whdir", "target/graft-warehouse/UNSET")
 
   /** Q1 oracle, shared by the DataFrame (q08) and spark.sql-text (q23)
     * implementations — both must match the same DuckDB result. */
@@ -1584,6 +1614,115 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM p)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // IVF search under the TRAINED codebook (training itself is
+    // spec-gated; this replays assignment + multi-probe top-k over the
+    // materialized codebook parquet — same probe discipline as the
+    // engine: index side = each vector's single nearest cell, probe
+    // side = the query's top-6 cells).
+    "q29_ann_ivf_trained" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |idx AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |prb AS (SELECT vec_id, cell FROM r WHERE rn <= 6),
+         |q AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
+         |  FROM en JOIN prb ON en.vec_id = prb.vec_id),
+         |n AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
+         |  FROM en JOIN idx ON en.vec_id = idx.vec_id),
+         |p AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
+         |  FROM q JOIN n ON q.cell = n.cell AND qid <> nid)
+         |SELECT qid, rank, nid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM p)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // IVF-PQ search under the trained codebooks: PQ-encode each vector
+    // (per-subspace argmin of ‖c‖² − 2·x_s·c, first-wins ties), rank
+    // in-cell candidates by the ADC sum of the 4 subspace LUT dots in
+    // fixed subspace order, exact-re-rank the top-12, emit the top-3.
+    // Constants mirror q44's call: dim=64, m=4 (dsub=16), nprobe=6.
+    "q44_ann_ivfpq" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |pq AS (SELECT subspace, code, cv AS pcv FROM '$oracleWhDir/pq_codebooks/*.parquet'),
+         |sc AS (SELECT e.vec_id, p.subspace, p.code,
+         |    list_dot_product(p.pcv, p.pcv)
+         |      - 2.0 * list_dot_product(list_slice(e.v, p.subspace*16 + 1, p.subspace*16 + 16),
+         |                               p.pcv) AS score
+         |  FROM en e CROSS JOIN pq p),
+         |codes AS (SELECT vec_id,
+         |    max(CASE WHEN subspace = 0 THEN code END) AS c0,
+         |    max(CASE WHEN subspace = 1 THEN code END) AS c1,
+         |    max(CASE WHEN subspace = 2 THEN code END) AS c2,
+         |    max(CASE WHEN subspace = 3 THEN code END) AS c3
+         |  FROM (SELECT vec_id, subspace, code,
+         |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY score, code) AS rn
+         |    FROM sc) WHERE rn = 1 GROUP BY vec_id),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |idx AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |prb AS (SELECT vec_id, cell FROM r WHERE rn <= 6),
+         |q AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
+         |  FROM en JOIN prb ON en.vec_id = prb.vec_id),
+         |n AS (SELECT codes.vec_id AS nid, cell, c0, c1, c2, c3
+         |  FROM codes JOIN idx ON codes.vec_id = idx.vec_id),
+         |cand AS (SELECT qid, nid, va, na,
+         |    ((list_dot_product(list_slice(va, 1, 16), p0.pcv)
+         |      + list_dot_product(list_slice(va, 17, 32), p1.pcv))
+         |      + list_dot_product(list_slice(va, 33, 48), p2.pcv))
+         |      + list_dot_product(list_slice(va, 49, 64), p3.pcv) AS adc
+         |  FROM q JOIN n ON q.cell = n.cell AND qid <> nid
+         |  JOIN pq p0 ON p0.subspace = 0 AND p0.code = c0
+         |  JOIN pq p1 ON p1.subspace = 1 AND p1.code = c1
+         |  JOIN pq p2 ON p2.subspace = 2 AND p2.code = c2
+         |  JOIN pq p3 ON p3.subspace = 3 AND p3.code = c3),
+         |short AS (SELECT qid, nid, va, na FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS srank
+         |    FROM cand) WHERE srank <= 12),
+         |rer AS (SELECT qid, nid, list_dot_product(va, e2.v) / (na * e2.nrm) AS cosine
+         |  FROM short JOIN en e2 ON e2.vec_id = short.nid)
+         |SELECT qid, rank, nid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM rer)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // BPE encode replay under the trained merge table. RE2 has no
+    // lookahead, so the engine's greedy pass " l r(?= )" → " lr" is
+    // replayed with DOUBLED separators: in "  s1  s2  " every boundary
+    // holds two spaces, the literal pattern " l  r " consumes one space
+    // from each boundary, and adjacent occurrences no longer share a
+    // character — ONE plain left-to-right replace() pass merges exactly
+    // the greedy non-overlapping occurrence set (runs like "a a a"
+    // included), and the " lr " replacement restores the two-space
+    // invariant. Rules apply in rank order via the recursive CTE.
+    "q72_bpe_encode" ->
+      s"""WITH RECURSIVE m AS (
+         |  SELECT rank, "left" AS l, "right" AS r
+         |  FROM '$oracleWhDir/bpe_merges/*.parquet'),
+         |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |wp AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM t),
+         |w0 AS (SELECT doc_id, pos,
+         |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS syms
+         |  FROM wp),
+         |enc AS (
+         |  SELECT doc_id, pos, syms, 0 AS rk FROM w0
+         |  UNION ALL
+         |  SELECT e.doc_id, e.pos,
+         |    replace(e.syms, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+         |    e.rk + 1
+         |  FROM enc e JOIN m ON m.rank = e.rk + 1),
+         |fin AS (SELECT doc_id, pos, syms FROM enc
+         |  WHERE rk = (SELECT coalesce(max(rank), 0) FROM m)),
+         |pc AS (SELECT doc_id, pos,
+         |    len(list_filter(str_split(trim(syms), ' '), s -> s <> '')) AS n_pieces
+         |  FROM fin)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(sum(n_pieces * pos) AS BIGINT) AS pieces_checksum
+         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q27_winnow_fingerprints" ->
       """WITH grams AS (
         |  SELECT doc_id, i AS pos,
@@ -1949,6 +2088,6 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN part ON p_partkey = l_partkey
         |GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), p_brand)
-        |ORDER BY yr, qtr, brand""".stripMargin,
+        |ORDER BY yr, qtr, brand, g_yr, g_qtr, g_brand""".stripMargin,
   )
 }

@@ -20,6 +20,16 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Expose the materialized warehouse (codebooks, merge rules) to the
+    // path-reading oracles BEFORE dumping the SQL: oracleSql substitutes
+    // the absolute dir at call time. The queries above already built it
+    // (memoized), so this is a cache hit.
+    try {
+      val wh = graft.warehouse.Warehouse.ensureMaterialized(spark, sfDir)
+      System.setProperty("graft.oracle.whdir", new java.io.File(wh).getAbsolutePath)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] warehouse materialization failed: ${e.getMessage}")
+    }
     def q(s: String): String = Json.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

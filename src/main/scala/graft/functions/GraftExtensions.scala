@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `simhash32(hashes|shingles)` → BIGINT ([[Simhash32]])
   *  - `word_shingles(text, n)` → ARRAY<STRING> ([[WordShingles]])
   *  - `winnow_fps(text, k, w)` → ARRAY<BIGINT> ([[WinnowFps]])
+  *  - `k_min(hash, k)` → ARRAY<BIGINT> aggregate ([[KMinHashes]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -67,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WinnowFps(children.head,
         intLit("winnow_fps", "k")(children(1)),
         intLit("winnow_fps", "w")(children(2)))
+    }
+    // aggregate function: the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression at resolution
+    register("k_min", classOf[KMinHashes]) { children =>
+      require(children.length == 2, "k_min(hash, k)")
+      KMinHashes(children.head, intLit("k_min", "k")(children(1)))
     }
   }
 }

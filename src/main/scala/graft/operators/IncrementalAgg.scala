@@ -22,18 +22,41 @@ object IncrementalAgg {
   /** Partial state of one batch: (key, cnt, hs) where hs holds the at
     * most `k` smallest distinct 60-bit hashes of `hashCol`.
     *
-    * collect_set is bounded here by ONE BATCH's per-key distinct count
-    * (a day's slice, not history). If even a single batch is too
-    * distinct-heavy, swap in a bounded k-min accumulator (a
-    * TypedImperativeAggregate holding a k-capped heap) — the merge and
-    * estimate below are unchanged, which is the point of the state
-    * abstraction. */
+    * `k_min` ([[graft.functions.KMinHashes]]) is the bounded
+    * accumulator: its aggregation buffer never exceeds k longs, so a
+    * distinct-heavy batch cannot blow the state the way
+    * `slice(array_sort(collect_set(h)), 1, k)` would (that formulation
+    * holds EVERY distinct value before slicing; KMinAggSpec pins the
+    * two equal). Map-side partials obey the same cap, so shuffled
+    * state is ≤ k longs per (key × partition). */
   def state(batch: DataFrame, key: String, hashCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     batch.groupBy(col(key)).agg(
       count(lit(1)).as("cnt"),
-      expr(s"slice(array_sort(collect_set($hashCol)), 1, $k)").as("hs"))
+      expr(s"k_min($hashCol, $k)").as("hs"))
   }
+
+  /** Per-batch states as ONE grouped aggregate — `batchCol` (e.g. the
+    * day) rides in the grouping key, so N batches cost one shuffle and
+    * a CONSTANT-SIZE plan instead of N per-batch subplans unioned
+    * driver-side (the round-5 q63 shape, which grew linearly with the
+    * calendar). */
+  def stateByBatch(batch: DataFrame, key: String, batchCol: String,
+                   hashCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    batch.groupBy(col(key), col(batchCol)).agg(
+      count(lit(1)).as("cnt"),
+      expr(s"k_min($hashCol, $k)").as("hs"))
+  }
+
+  /** Exact merge of MANY states in one aggregate (the companion of
+    * [[stateByBatch]]): counts add; hash sets union, dedup, re-truncate.
+    * The flatten is bounded by construction — each input hs carries at
+    * most k longs. */
+  def mergeStates(states: DataFrame, key: String, k: Int): DataFrame =
+    states.groupBy(col(key)).agg(
+      sum(col("cnt")).as("cnt"),
+      expr(s"slice(array_sort(array_distinct(flatten(collect_list(hs)))), 1, $k)").as("hs"))
 
   /** Exact merge of two states: counts add; hash sets union, dedup,
     * and re-truncate to the k smallest. */

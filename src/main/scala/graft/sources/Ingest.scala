@@ -101,7 +101,16 @@ object Ingest {
     * location into ⌈rows / targetRowsPerFile⌉ files via the atomic
     * [[overwriteSwap]]; readers never see a partial state. Returns the
     * new file count. Run it off the write path (the reference's nightly
-    * maintenance slot), sized so one file ≈ one task's worth of rows. */
+    * maintenance slot), sized so one file ≈ one task's worth of rows.
+    *
+    * CONCURRENCY HAZARD (the contract "off the write path" is load-bearing,
+    * not advisory): a batch appended between this method's file listing
+    * (the `spark.read` below) and [[overwriteSwap]]'s delete+rename is
+    * silently deleted with the old directory — the rewrite never saw it.
+    * The caller's scheduler must serialize compact() against append()
+    * on the same location (the reference's nightly slot does exactly
+    * that); a multi-writer deployment needs a location lock or a
+    * table format with real transactions (Delta/Iceberg). */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long = 1048576L): Int = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val n = spark.read.parquet(path).count()

@@ -154,7 +154,9 @@ object TextDedup {
   /** Exact n-gram Jaccard near-duplicate pairs over a fresh shingle
     * projection — see [[ngramJaccardPairsFromShingles]]. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    ngramJaccardPairsFromShingles(shingled(docs).persist(), threshold)
+    // no .persist() on the shingle projection: it is read exactly once to
+    // derive the hashed-set table, which is the cache the joins reuse
+    ngramJaccardPairsFromShingles(shingled(docs), threshold)
 
   /** EXACT n-gram (word-3-gram) Jaccard set-similarity self-join via
     * prefix filtering — the AllPairs/PPJoin family (Bayardo et al.,

@@ -191,6 +191,23 @@ object Warehouse {
     }.toDF("subspace", "code", "cv").repartition(1)
   }
 
+  /** Trained BPE merge table (rank, left, right, pair_freq) — the
+    * tokenizer is corpus state exactly like the IVF/PQ codebooks:
+    * trained once per corpus build, read by every encode query. Corpora
+    * without a documents table get an empty table (encode emits no
+    * rows). */
+  def buildBpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table =
+      if (!fs.exists(p))
+        Seq.empty[(Int, String, String, Long)].toDF("rank", "left", "right", "pair_freq")
+      else graft.text.Bpe.mergeTable(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), 12)
+    table.repartition(1)
+  }
+
   /** fact_orders_created (process_orders_sqls.py:79-90): the first event
     * per order joined to the date dimension for the surrogate key. */
   def buildFactOrders(spark: SparkSession, sfDir: String): DataFrame = {
@@ -214,8 +231,9 @@ object Warehouse {
 
   /** Bump whenever any builder/merge SEMANTIC changes — a stale cache
     * would otherwise silently feed old results to the correctness gate.
-    * v2: + ivf_codebook table (embeddings joined the fingerprint). */
-  private val CacheVersion = "v2"
+    * v2: + ivf_codebook table (embeddings joined the fingerprint).
+    * v3: + bpe_merges table (documents joined the fingerprint). */
+  private val CacheVersion = "v3"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -227,7 +245,8 @@ object Warehouse {
     * (tests point builders at freshly written temp dirs). */
   private def inputFingerprint(spark: SparkSession, sfDir: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = Seq("events.parquet", "part.parquet", "embeddings.parquet").flatMap { t =>
+    val entries = Seq("events.parquet", "part.parquet", "embeddings.parquet",
+        "documents.parquet").flatMap { t =>
       val p = new Path(s"$sfDir/$t")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq(s"$t:absent")
@@ -289,6 +308,7 @@ object Warehouse {
           "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
           "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)),
           "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)),
+          "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
           "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir)))
         tables.foreach { case (name, build) =>
           if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
@@ -325,6 +345,17 @@ object Warehouse {
     * [[buildNearDupClusters]]). */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "neardup_clusters")
+
+  /** Trained BPE merge rules, materialized-once, reassembled in rank
+    * order to the in-memory form [[graft.text.Bpe.encode]] consumes
+    * (vocabulary-training emits a FIXED small rule count — literal-sized
+    * by construction, like the codebooks). */
+  def bpeMerges(spark: SparkSession, sfDir: String): Seq[graft.text.Bpe.Merge] =
+    read(spark, sfDir, "bpe_merges")
+      .collect()
+      .map(r => graft.text.Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq")))
+      .sortBy(_.rank).toSeq
 
   /** Trained PQ codebooks, materialized-once, reassembled to the
     * in-memory matrix form [[graft.vector.ProductQuant]] consumes

@@ -52,4 +52,26 @@ class BpeSpec extends SparkSpec {
   test("training is deterministic run to run") {
     assert(Bpe.train(docs, 4) == Bpe.train(docs, 4))
   }
+
+  test("checkpoint interval never changes the merge sequence (golden corpus)") {
+    val want = Bpe.train(docs, 10, checkpointEvery = 1000) // never checkpoints
+    for (ce <- Seq(1, 2, 3))
+      assert(Bpe.train(docs, 10, checkpointEvery = ce) == want, s"checkpointEvery=$ce")
+  }
+
+  test("50+ merge run: checkpointed training equals the lazy-reapply path") {
+    // a corpus rich enough to sustain >=50 merges: varied multi-char
+    // words with shared prefixes/suffixes so pair frequencies stay >0
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("station", "national", "rationale", "internationally",
+      "operation", "generation", "preparation", "information", "transformation",
+      "configuration", "documentation", "representation", "characterization")
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val lazyPath = Bpe.train(corpus, 55, checkpointEvery = 1000)
+    val checkpointed = Bpe.train(corpus, 55, checkpointEvery = 8)
+    assert(lazyPath.length >= 50, s"corpus too thin: ${lazyPath.length} merges")
+    assert(checkpointed == lazyPath)
+  }
 }

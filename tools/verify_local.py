@@ -22,9 +22,15 @@ if "--skip-spark" not in sys.argv:
     # the compare silently vacuous for queries it doesn't contain (their
     # oracle keys are missing too, so the loop never sees them)
     jars = glob.glob("/root/repo/target/scala-2.13/*.jar")
-    srcs = glob.glob("/root/repo/src/main/scala/**/*.scala", recursive=True)
+    srcs = (glob.glob("/root/repo/src/main/scala/**/*.scala", recursive=True)
+            + glob.glob("/root/repo/build.sbt")
+            + glob.glob("/root/repo/project/*.sbt")
+            + glob.glob("/root/repo/project/*.scala")
+            + glob.glob("/root/repo/src/main/resources/**/*", recursive=True))
+    # compare against the NEWEST jar: with several jars in target/ the
+    # first glob hit is arbitrary and could be a stale leftover
     stale = (not jars) or (srcs and max(map(os.path.getmtime, srcs))
-                           > os.path.getmtime(jars[0]))
+                           > max(map(os.path.getmtime, jars)))
     if stale:
         cp = subprocess.run(["bash", "-c", "cd /root/repo && sbt -batch package"],
             capture_output=True, text=True)
