@@ -545,12 +545,22 @@ object SparkEntry {
         .withColumn("flag_low_likelihood", (col("score_micros") < 100000L).cast("int"))
         .orderBy("doc_id")
     }),
-    // BPE merge training: the tokenizer-training stage. No oracleSql
-    // twin (an iterative argmax loop is not reasonably SQL-expressible)
-    // → rows-only driver check; semantics are spec-gated (hand-computed
-    // golden merge sequence, tie-break determinism, encode roundtrip).
-    // The ENCODE stage under a fixed merge table is oracle-gated: q72.
-    "q64_bpe_merges" -> ((s, d) => graft.text.Bpe.mergeTable(docs(s, d), 12)),
+    // BPE merge table: the trained tokenizer. Like the ANN codebooks,
+    // the rules are CORPUS STATE — trained once per corpus build
+    // (Warehouse.buildBpeMerges; training cost lands in
+    // warehouse_build_sec, exactly the reference's build-nightly/
+    // query-often split) and READ here. No oracleSql twin (the training
+    // argmax loop is not reasonably SQL-expressible) → rows-only driver
+    // check; training semantics are spec-gated (hand-computed golden
+    // merge sequence, tie-break determinism, checkpoint-interval
+    // independence, encode roundtrip). The ENCODE stage under the
+    // fixed table is oracle-gated: q72.
+    "q64_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      graft.warehouse.Warehouse.bpeMerges(s, d)
+        .map(m => (m.rank, m.left, m.right, m.freq))
+        .toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+    }),
     // BPE encode under the corpus-trained merge table (a warehouse
     // artifact, like the ANN codebooks): deterministic greedy string
     // rewriting the oracle replays rule by rule — the per-doc piece
@@ -558,6 +568,29 @@ object SparkEntry {
     // encoder (and, transitively, the trained rules it consumes).
     "q72_bpe_encode" -> ((s, d) => graft.text.Bpe.encode(docs(s, d),
       graft.warehouse.Warehouse.bpeMerges(s, d)).orderBy("doc_id")),
+    // PII scrubbing (pre-release redaction pass). The corpus carries no
+    // natural PII, so each doc is extended with DETERMINISTIC synthetic
+    // contact fields derived from doc_id — the oracle replays the same
+    // augmentation, so the scrubber (counts + redacted text) is what
+    // the hash-match gates, with non-zero per-doc ground truth.
+    "q73_pii_scrub" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val aug = docs(s, d).select(col("doc_id"), concat(
+        coalesce(col("text"), lit("")),
+        lit(" contact user"), id, lit("@mail.example.com tel "),
+        lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("doc_id") * 13, lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("doc_id") * 17, lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id") * 3, lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id") * 5, lit(256)).cast("string"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit(""))).as("text"))
+      graft.text.Pii.scrub(aug)
+        .select(col("doc_id"), col("n_ids"), col("n_emails"), col("n_ips"),
+          col("n_phones"), md5(col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -1723,6 +1756,32 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
          |  CAST(sum(n_pieces * pos) AS BIGINT) AS pieces_checksum
          |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same deterministic augmentation, same restricted-regex rules in
+    // the same order — counts on the original, replaces chained, md5 of
+    // the scrubbed text hash-gates the redaction end to end.
+    "q73_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@mail.example.com tel '
+         |      || lpad(CAST((doc_id*7) % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST((doc_id*13) % 1000 AS VARCHAR), 3, '0') || '-'
+         |      || lpad(CAST((doc_id*17) % 10000 AS VARCHAR), 4, '0')
+         |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id*3) % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id*5) % 256 AS VARCHAR)
+         |      || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ids,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
     "q27_winnow_fingerprints" ->
       """WITH grams AS (
         |  SELECT doc_id, i AS pos,
