@@ -141,28 +141,32 @@ object ProductQuant {
       .persist()
     e.count() // eager fill: assignment, probe and re-rank all read e
     val codes = encode(embeddings, dim, books)
-    // coarse assignment against the broadcast IVF codebook (as ivfSearch)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val ranked = e.crossJoin(broadcast(ivfCodebook.select(col("cid"), col("cv"), col("cnrm"))))
-      .withColumn("ccos", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .select(col("vec_id"), col("cid").as("cell"), col("rn"))
-      .persist()
-    ranked.count() // eager fill: probed by both assignment branches
-    val indexAssign = ranked.where(col("rn") === 1).drop("rn")
-    val probeAssign = ranked.where(col("rn") <= nprobe).drop("rn")
+    // coarse assignment with the codebook as PLAN LITERALS (it is
+    // literal-sized by contract): one map-side array sort per vector
+    // ranks the cells — no crossJoin inflation, no row_number window
+    // shuffle (the Similarity.ivfSearch rationale; tie-break matches
+    // the oracle's ccos DESC, cid via the (−ccos, cid) struct sort).
+    val cents = ivfCodebook.select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
+        lit(cid).as("cid"))
+    }
+    val eA = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
     // query side: full vector + per-subspace LUTs (map-only). The query
     // vector rides through the candidate window here — measured faster
     // at this scale (one re-rank join instead of two). At billion-vector
     // scale with queries ≪ corpus, switch to a narrow (qid, nid, adc)
     // window and re-attach query vectors by qid for shortlist survivors
     // only: the shuffle-byte cut then outweighs the extra join.
-    val q = e.join(probeAssign, Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val q = eA.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"),
+        explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
+      .select(col("qid"), col("__pc.cid").as("cell"), col("va"), col("na"))
     val qLut = q.select(Seq(col("qid"), col("cell"), col("va"), col("na")) ++
       lutCols(books, dsub): _*)
     // index side: CODES ONLY (m bytes of state per vector in the shuffle)
-    val n = codes.join(indexAssign, Seq("vec_id"))
+    val n = codes.join(eA.select(col("vec_id"), expr("__cells[0].cid").as("cell")),
+        Seq("vec_id"))
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
     // ADC score: fixed subspace-order sum of table lookups
     val adc = (0 until m).map(s =>

@@ -233,24 +233,40 @@ object Similarity {
   }
 
   /** Shared IVF search core: coarse-assign every vector against the
-    * (broadcast) centroid table, then exact top-k within the probe's
-    * top-`nprobe` cells against the single-cell index side. */
+    * codebook, then exact top-k within the probe's top-`nprobe` cells
+    * against the single-cell index side.
+    *
+    * The codebook is LITERAL-SIZED by contract (ncells × dim — the
+    * artifact a production system broadcasts), so assignment embeds the
+    * centroids as plan literals and ranks cells with one map-side
+    * array sort per vector: sort_array over (−ccos, cid) structs, top
+    * element = the vector's own cell, top nprobe = its probe set. The
+    * round-5 shape (crossJoin against the codebook table + a
+    * row_number window over vec_id) inflated the stream ×ncells and
+    * paid a full shuffle just to rank 16 numbers per row — at a
+    * billion vectors that window IS the query's dominant shuffle.
+    * Tie-break matches the oracle's `ORDER BY ccos DESC, cid`:
+    * negation reverses the double order exactly, struct sort then
+    * breaks ties on the ascending cid. */
   private def ivfSearch(e: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .select(col("vec_id"), col("cid").as("cell"), col("rn"))
-      .persist() // narrow (vec_id, cell, rn); probed twice below
-    // index side: every vector lives in its ONE nearest cell; probe
-    // side: search the query's top-nprobe cells. Each (qid, nid) pair
-    // appears at most once because the index assignment is unique.
-    val indexAssign = ranked.where(col("rn") === 1).drop("rn")
-    val probeAssign = ranked.where(col("rn") <= nprobe).drop("rn")
-    val q = e.join(probeAssign, Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
-    val n = e.join(indexAssign, Seq("vec_id"))
-      .select(col("vec_id").as("nid"), col("cell"), col("v").as("vb"), col("nrm").as("nb"))
+    val cents = cent.select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    if (cents.isEmpty) // empty codebook (empty corpus) → no pairs, same schema
+      return e.sparkSession.range(0).select(col("id").as("qid"),
+        col("id").cast("int").as("rank"), col("id").as("nid"),
+        col("id").cast("double").as("cosine"))
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
+        lit(cid).as("cid"))
+    }
+    val eA = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+    val q = eA.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"),
+        explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
+      .select(col("qid"), col("va"), col("na"), col("__pc.cid").as("cell"))
+    val n = eA.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"),
+      expr("__cells[0].cid").as("cell"))
+    // each (qid, nid) pair appears at most once: the index assignment
+    // is unique and the probe cells are distinct
     val pairs = q.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
