@@ -591,6 +591,21 @@ object SparkEntry {
           col("n_phones"), md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")
     }),
+    // Frame sampling over the binary payload column (video → every
+    // k-th fixed-size frame): the real mapPartitions/flatMap fan-out
+    // plumbing a codec stage runs in, oracle-gated byte-exactly — the
+    // digest goes over the frame's hex form because the oracle engine
+    // slices BLOBs via hex strings; both engines emit uppercase hex,
+    // so frame boundaries (including mid-codepoint CJK splits) and
+    // digests match bit for bit.
+    "q74_frame_sample" -> ((s, d) => {
+      val media = Multimodal.mediaTable(docs(s, d)).where(col("media").isNotNull)
+      Multimodal.sampleFrames(s, media).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          md5(hex(col("frame"))).as("frame_md5"),
+          length(col("frame")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -1782,6 +1797,19 @@ object SparkEntry {
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
+    // (64-byte) frames → every 4th — same stride, same tail-frame
+    // truncation, digests over the same uppercase hex text.
+    "q74_frame_sample" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |    substring(hx, CAST(i*128 + 1 AS BIGINT), 128) AS fh
+        |  FROM b, unnest(range(CAST(ceil(length(hx) / 128.0) AS BIGINT))) t(i)
+        |  WHERE i % 4 = 0)
+        |SELECT doc_id, frame_idx, md5(fh) AS frame_md5,
+        |  CAST(length(fh) // 2 AS BIGINT) AS n_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q27_winnow_fingerprints" ->
       """WITH grams AS (
         |  SELECT doc_id, i AS pos,
