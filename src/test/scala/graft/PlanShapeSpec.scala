@@ -1,0 +1,50 @@
+package graft
+
+/** Scale-regression guard on PHYSICAL PLAN SHAPE for queries whose
+  * round-6 rewrites removed a specific anti-pattern — the correctness
+  * gate cannot see a silent reintroduction (results stay equal), so
+  * the absence is pinned here:
+  *  - q51/q63: the KMV sketch must come from the bounded aggregate,
+  *    never a per-group rank window (a full per-group sort at scale);
+  *    q63 additionally must stay ONE plan — no per-day Union fan-in.
+  *  - q25 (IVF): cell assignment must stay map-only — exactly the one
+  *    final top-k window, no window for the ×ncells assignment rank.
+  *  - q73/q74 (scrub / frame-sample): map-only operators — no joins,
+  *    no windows, nothing but scan → project/generate → sort.
+  * Assertions are absences (or exact small counts) on the executed
+  * plan string — robust to node renames around them. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def countWindows(p: String): Int = "Window \\[".r.findAllIn(p).size
+
+  test("q51: bounded k_min aggregate, no rank window") {
+    val p = plan("q51_kmv_distinct")
+    assert(!p.contains("Window"), s"q51 regained a window:\n$p")
+  }
+
+  test("q63: one constant-size plan — no per-day Union, no window") {
+    val p = plan("q63_incremental_rollup")
+    assert(!p.contains("Union"), s"q63 regained the per-day union:\n$p")
+    assert(!p.contains("Window"), s"q63 regained a window:\n$p")
+  }
+
+  test("q25: IVF assignment is map-only — only the final top-k window remains") {
+    val p = plan("q25_ann_ivf")
+    assert(countWindows(p) == 1,
+      s"q25 expected exactly the top-k window, got ${countWindows(p)}:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q25 regained a cross join:\n$p")
+  }
+
+  test("q73/q74: map-only — no joins, no windows") {
+    for (q <- Seq("q73_pii_scrub", "q74_frame_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q gained a join:\n$p")
+      assert(!p.contains("Window"), s"$q gained a window:\n$p")
+    }
+  }
+}
