@@ -606,6 +606,11 @@ object SparkEntry {
           length(col("frame")).cast("long").as("n_bytes"))
         .orderBy("doc_id", "frame_idx")
     }),
+    // Curation yield report: per-stage survivor counts for the q28
+    // pipeline in ONE pass (per-doc stage flags + one conditional
+    // aggregate) — the dataset-release funnel summary, oracle-gated
+    // so a silent stage-order or flag regression shifts a count.
+    "q75_curation_funnel" -> ((s, d) => Curation.funnel(docs(s, d))),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -1797,6 +1802,50 @@ object SparkEntry {
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // Same stage flags (exact-dedup keeper, near-dup loser via the
+    // shared LSH pair CTEs, quality floor, language pick), same
+    // single-pass conditional sums.
+    "q75_curation_funnel" ->
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |                        ' +', ' ', 'g'))) AS nh FROM documents) GROUP BY nh),
+         |z AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |t AS (SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |      FROM documents),
+         |meta AS (
+         |  SELECT doc_id,
+         |    (CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
+         |       nullif(CAST(length(text) AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)) +
+         |    (CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
+         |       nullif(CAST(len(ws) AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)) +
+         |    (least(CAST(len(ws) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |       * CAST(0.2 AS DOUBLE)) AS quality_score,
+         |    len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS en_hits,
+         |    len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS de_hits,
+         |    len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS es_hits,
+         |    len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS fr_hits
+         |  FROM t),
+         |f AS (SELECT d.doc_id,
+         |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kf,
+         |    CASE WHEN z.doc_id IS NOT NULL THEN 0 ELSE 1 END AS nlf,
+         |    CASE WHEN m.quality_score >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END AS qf,
+         |    CASE WHEN (CASE WHEN m.en_hits >= m.de_hits AND m.en_hits >= m.es_hits
+         |                         AND m.en_hits >= m.fr_hits THEN 'en'
+         |                    WHEN m.de_hits >= m.es_hits AND m.de_hits >= m.fr_hits THEN 'de'
+         |                    WHEN m.es_hits >= m.fr_hits THEN 'es' ELSE 'fr' END) = 'en'
+         |         THEN 1 ELSE 0 END AS lf
+         |  FROM documents d
+         |  LEFT JOIN keepers k ON k.doc_id = d.doc_id
+         |  LEFT JOIN z ON z.doc_id = d.doc_id
+         |  JOIN meta m ON m.doc_id = d.doc_id)
+         |SELECT count(*) AS n_raw,
+         |  CAST(sum(kf) AS BIGINT) AS n_after_dedup,
+         |  CAST(sum(kf*nlf) AS BIGINT) AS n_after_neardup,
+         |  CAST(sum(kf*nlf*qf) AS BIGINT) AS n_after_quality,
+         |  CAST(sum(kf*nlf*qf*lf) AS BIGINT) AS n_after_lang
+         |FROM f ORDER BY n_raw""".stripMargin,
     // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
     // (64-byte) frames → every 4th — same stride, same tail-frame
     // truncation, digests over the same uppercase hex text.

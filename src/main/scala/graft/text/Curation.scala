@@ -54,4 +54,39 @@ object Curation {
       .select(col("doc_id"), col("quality_score"))
       .orderBy("doc_id")
   }
+
+  /** Per-stage YIELD REPORT for the same pipeline — the one-row summary
+    * every curation run ships with its dataset: how many documents
+    * survive each successive stage (raw → exact/normalized dedup →
+    * near-dup removal → quality floor → language filter). Computed as
+    * ONE pass: per-doc survival flags from the stage operators, then a
+    * single conditional aggregate — no per-stage rescans, so the report
+    * costs one extra aggregate over the flags, not five pipeline runs. */
+  def funnel(docs: DataFrame,
+             jaccardThreshold: Double = 0.5,
+             minQuality: Double = 0.5,
+             lang: String = "en"): DataFrame = {
+    val sh = TextDedup.shingled(docs).persist()
+    val keepers = TextDedup.normalized(docs).select(col("doc_id")).withColumn("kf", lit(1))
+    val losers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct().withColumn("lzf", lit(1))
+    val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))
+    docs.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .select(
+        coalesce(col("kf"), lit(0)).as("kf"),
+        (lit(1) - coalesce(col("lzf"), lit(0))).as("nlf"),
+        coalesce((col("quality_score") >= lit(minQuality)).cast("int"), lit(0)).as("qf"),
+        coalesce((col("lang_guess") === lit(lang)).cast("int"), lit(0)).as("lf"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("kf")).as("n_after_dedup"),
+        sum(col("kf") * col("nlf")).as("n_after_neardup"),
+        sum(col("kf") * col("nlf") * col("qf")).as("n_after_quality"),
+        sum(col("kf") * col("nlf") * col("qf") * col("lf")).as("n_after_lang"))
+  }
 }
