@@ -611,6 +611,16 @@ object SparkEntry {
     // aggregate) — the dataset-release funnel summary, oracle-gated
     // so a silent stage-order or flag regression shifts a count.
     "q75_curation_funnel" -> ((s, d) => Curation.funnel(docs(s, d))),
+    // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
+    // new crawl) against the rest of the corpus — candidates ONLY from
+    // the bipartite (new × old) band join; the historical old×old
+    // pairing never re-runs. The daily shape at 100 TB.
+    "q76_incremental_neardup" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextDedup.minhashLshPairsBetween(
+        dd.where(pmod(col("doc_id"), lit(10)) === 7),
+        dd.where(pmod(col("doc_id"), lit(10)) =!= 7))
+    }),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -1802,6 +1812,33 @@ object SparkEntry {
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // Same bands over the whole corpus, candidate join restricted to
+    // new × old (never old × old), same exact-jaccard verify.
+    "q76_incremental_neardup" ->
+      s"""WITH $ShinglesCte,
+         |hs AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 15), j ->
+         |    coalesce(list_min(list_transform(h28s,
+         |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id,
+         |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+         |  FROM sig, generate_series(0, 7) t(b)),
+         |candx AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |px AS (SELECT new_id, old_id,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
+         |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+         |         CAST(0.0 AS DOUBLE)) AS jaccard
+         |  FROM candx JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = old_id)
+         |SELECT new_id, old_id, jaccard FROM px
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |ORDER BY new_id, old_id""".stripMargin,
     // Same stage flags (exact-dedup keeper, near-dup loser via the
     // shared LSH pair CTEs, quality floor, language pick), same
     // single-pass conditional sums.

@@ -151,6 +151,38 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL MinHash+LSH near-dup: pairs BETWEEN a new batch and an
+    * existing corpus — the daily-crawl shape. The historical corpus is
+    * already internally deduped (its band table a materialized parquet
+    * artifact in production), so candidates are generated ONLY across
+    * the bipartite (new × old) band join: the old×old quadratic never
+    * re-runs, and the candidate volume scales with the BATCH, not with
+    * history. New-batch internal dedup is the ordinary
+    * [[minhashLshPairsFromShingles]] over the batch alone.
+    * Output: (new_id, old_id, jaccard ≥ threshold). */
+  def minhashLshPairsBetween(newDocs: DataFrame, corpus: DataFrame,
+                             threshold: Double = 0.5): DataFrame = {
+    val shNew = shingled(newDocs).persist()
+    val shOld = shingled(corpus).persist()
+    val cand = bandedSignatures(shNew)
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+      .join(bandedSignatures(shOld)
+        .select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    cand
+      .join(shNew.select(col("doc_id").as("new_id"), col("shingles").as("sh_a")), Seq("new_id"))
+      .join(shOld.select(col("doc_id").as("old_id"), col("shingles").as("sh_b")), Seq("old_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs over a fresh shingle
     * projection — see [[ngramJaccardPairsFromShingles]]. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =

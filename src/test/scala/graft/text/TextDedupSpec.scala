@@ -53,6 +53,24 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == truth, s"LSH missed ${truth.diff(lsh)} / extra ${lsh.diff(truth)}")
   }
 
+  test("incremental (new × old) pairs == full-corpus pairs restricted to cross-set") {
+    val docs = corpusDocs
+    val isNew = (id: Long) => id % 10 == 7
+    val between = TextDedup.minhashLshPairsBetween(
+        docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 7))
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    val full = TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = full.collect {
+      case (a, b) if isNew(a) && !isNew(b) => (a, b)
+      case (a, b) if !isNew(a) && isNew(b) => (b, a)
+    }
+    assert(expected.nonEmpty, "cross-set near-duplicates should exist")
+    assert(between == expected,
+      s"missed ${expected.diff(between)} / extra ${between.diff(expected)}")
+  }
+
   test("prefix-filtered ngram jaccard == brute-force jaccard pairs (exact, with scores)") {
     val docs = corpusDocs
     val got = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
