@@ -621,6 +621,17 @@ object SparkEntry {
         dd.where(pmod(col("doc_id"), lit(10)) === 7),
         dd.where(pmod(col("doc_id"), lit(10)) =!= 7))
     }),
+    // Incremental ANN: today's embedding batch (vec_id % 10 = 7)
+    // searched against the existing corpus index under the trained
+    // codebook — the corpus×corpus search never re-runs (q76's shape
+    // for retrieval). Oracle replays assignment + cross-set top-k.
+    "q77_ann_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.annIvfNewAgainstCorpus(
+        e.where(pmod(col("vec_id"), lit(10)) === 7),
+        e.where(pmod(col("vec_id"), lit(10)) =!= 7),
+        graft.warehouse.Warehouse.ivfCodebook(s, d))
+    }),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -1812,6 +1823,28 @@ object SparkEntry {
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // Same codebook assignment, probe side restricted to the new
+    // batch, index side to the corpus — no self-exclusion needed
+    // (the sets are disjoint).
+    "q77_ann_incremental" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |q AS (SELECT en.vec_id AS qid, r.cell, v AS va, nrm AS na
+         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn <= 6
+         |  WHERE en.vec_id % 10 = 7),
+         |n AS (SELECT en.vec_id AS nid, r.cell, v AS vb, nrm AS nb
+         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1
+         |  WHERE en.vec_id % 10 <> 7),
+         |p AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
+         |  FROM q JOIN n ON q.cell = n.cell)
+         |SELECT qid, rank, nid, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM p)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // Same bands over the whole corpus, candidate join restricted to
     // new × old (never old × old), same exact-jaccard verify.
     "q76_incremental_neardup" ->

@@ -248,26 +248,47 @@ object Similarity {
     * Tie-break matches the oracle's `ORDER BY ccos DESC, cid`:
     * negation reverses the double order exactly, struct sort then
     * breaks ties on the ascending cid. */
-  private def ivfSearch(e: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  private def ivfSearch(e: DataFrame, cent: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfSearchCore(e, e, cent, k, nprobe, excludeSelf = true)
+
+  /** Incremental ANN: search a NEW batch of vectors against the
+    * EXISTING corpus under the trained codebook — probe side = the new
+    * vectors' top-nprobe cells, index side = the corpus in its cells
+    * (a materialized artifact in production). The corpus×corpus search
+    * never re-runs: per-batch cost scales with the batch. The daily
+    * retrieval-index update shape at 100 TB. */
+  def annIvfNewAgainstCorpus(newVecs: DataFrame, corpus: DataFrame, codebook: DataFrame,
+                             k: Int = 3, nprobe: Int = 6): DataFrame =
+    ivfSearchCore(prepared(newVecs).persist(), prepared(corpus).persist(),
+      codebook.select(col("cid"), col("cv"), col("cnrm")), k, nprobe,
+      excludeSelf = false)
+
+  /** Bipartite IVF search core (see [[ivfSearch]] for the map-only
+    * assignment rationale): `eQ` probes its top-`nprobe` cells against
+    * `eN` indexed in each vector's single nearest cell. `excludeSelf`
+    * drops qid = nid pairs for the self-search case. */
+  private def ivfSearchCore(eQ: DataFrame, eN: DataFrame, cent: DataFrame,
+                            k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
     val cents = cent.select(col("cid"), col("cv"), col("cnrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     if (cents.isEmpty) // empty codebook (empty corpus) → no pairs, same schema
-      return e.sparkSession.range(0).select(col("id").as("qid"),
+      return eQ.sparkSession.range(0).select(col("id").as("qid"),
         col("id").cast("int").as("rank"), col("id").as("nid"),
         col("id").cast("double").as("cosine"))
     val scored = cents.map { case (cid, cv, cn) =>
       struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
         lit(cid).as("cid"))
     }
-    val eA = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
-    val q = eA.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"),
-        explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
+    def withCells(e: DataFrame) = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+    val q = withCells(eQ).select(col("vec_id").as("qid"), col("v").as("va"),
+        col("nrm").as("na"), explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
       .select(col("qid"), col("va"), col("na"), col("__pc.cid").as("cell"))
-    val n = eA.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"),
-      expr("__cells[0].cid").as("cell"))
+    val n = withCells(eN).select(col("vec_id").as("nid"), col("v").as("vb"),
+      col("nrm").as("nb"), expr("__cells[0].cid").as("cell"))
     // each (qid, nid) pair appears at most once: the index assignment
     // is unique and the probe cells are distinct
-    val pairs = q.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
+    val joined = q.join(n, Seq("cell"))
+    val pairs = (if (excludeSelf) joined.where(col("qid") =!= col("nid")) else joined)
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
