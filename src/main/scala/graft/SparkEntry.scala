@@ -632,6 +632,36 @@ object SparkEntry {
         e.where(pmod(col("vec_id"), lit(10)) =!= 7),
         graft.warehouse.Warehouse.ivfCodebook(s, d))
     }),
+    // Right-to-be-forgotten erasure audit: delete a deterministic
+    // victim set (user_id % 97 = 13) across the event stream and the
+    // SCD2/fact warehouse tables; each audit row carries the counts
+    // AND a leak check re-probed from the erased output.
+    "q79_erasure_audit" -> ((s, d) => {
+      val victims = Tables.events(s, d)
+        .where(pmod(col("user_id"), lit(97)) === 13)
+        .select(col("user_id").as("key")).distinct()
+      graft.operators.Erasure.audit(Seq(
+          ("events", Tables.events(s, d), "user_id"),
+          ("dim_orders", graft.warehouse.Warehouse.dimOrders(s, d), "order_id"),
+          ("fact_orders", graft.warehouse.Warehouse.factOrders(s, d), "order_id")),
+          victims)
+        .orderBy("table_name")
+    }),
+    // Semi-structured extraction: the events' JSON props column parsed
+    // in the scan projection (get_json_object — codegen'd path walk, no
+    // UDF) and aggregated per event type. Missing keys are NULL on both
+    // engines, so presence counts and integer stats hash-match.
+    "q78_props_extract" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
     // Incremental rollup maintenance: per-day partial states (count +
     // KMV hash set) folded in a balanced tree — the oracle recomputes
     // from scratch, so the hash-match PROVES fold ≡ recompute (counts
@@ -1823,6 +1853,30 @@ object SparkEntry {
          |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // Counts replayed over the same version/fact CTE chain; the oracle's
+    // n_after/n_leaked are before−deleted and 0 — matching them proves
+    // the anti-join deleted exactly the victim rows and nothing else.
+    "q79_erasure_audit" ->
+      s"""$VersionsCte,
+         |victims AS (SELECT DISTINCT user_id AS key FROM events WHERE user_id % 97 = 13),
+         |ev AS (SELECT count(*) AS nb,
+         |  count(CASE WHEN user_id IN (SELECT key FROM victims) THEN 1 END) AS nd FROM events),
+         |dv AS (SELECT count(*) AS nb,
+         |  count(CASE WHEN order_id IN (SELECT key FROM victims) THEN 1 END) AS nd FROM versions),
+         |fv AS (SELECT count(*) AS nb,
+         |  count(CASE WHEN order_id IN (SELECT key FROM victims) THEN 1 END) AS nd FROM first_ev)
+         |SELECT 'events' AS table_name, nb AS n_before, nd AS n_deleted,
+         |  nb - nd AS n_after, CAST(0 AS BIGINT) AS n_leaked FROM ev
+         |UNION ALL SELECT 'dim_orders', nb, nd, nb - nd, CAST(0 AS BIGINT) FROM dv
+         |UNION ALL SELECT 'fact_orders', nb, nd, nb - nd, CAST(0 AS BIGINT) FROM fv
+         |ORDER BY table_name""".stripMargin,
+    "q78_props_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same codebook assignment, probe side restricted to the new
     // batch, index side to the corpus — no self-exclusion needed
     // (the sets are disjoint).
