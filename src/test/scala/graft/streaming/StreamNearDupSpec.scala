@@ -67,4 +67,33 @@ class StreamNearDupSpec extends SparkSpec {
       assert(rows.length == 1, s"expected a single deduped pair, got ${rows.length}")
     } finally { q.stop(); corpusShingled.unpersist() }
   }
+
+  test("stream ≡ batch: flagged pairs equal minhashLshPairsBetween on the corpus split") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).where(col("text").isNotNull)
+    val newDocs = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+    val oldDocs = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+    val batch = TextDedup.minhashLshPairsBetween(newDocs, oldDocs)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+
+    val corpusShingled = TextDedup.shingled(oldDocs).persist()
+    corpusShingled.count()
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamNearDup.flagAgainstCorpus(
+      in.toDF.toDF("doc_id", "text", "ingest_ts"), corpusShingled)
+    val q = out.writeStream.format("memory").queryName("stream_neardup3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val batchRows = newDocs.as[(Long, String)].collect()
+        .map { case (id, t) => (id, t, ts("2024-01-01 10:00:00")) }
+      in.addData(batchRows.toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_neardup3")
+        .select($"doc_id", $"corpus_doc").as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "split should contain cross-set near-duplicates")
+      assert(streamed == batch,
+        s"stream missed ${batch.diff(streamed)} / extra ${streamed.diff(batch)}")
+    } finally { q.stop(); corpusShingled.unpersist() }
+  }
 }

@@ -41,4 +41,24 @@ class PiiSpec extends SparkSpec {
     assert((ids, emails, ips, phones) == ((0L, 1L, 2L, 0L)))
     assert(red == "<EMAIL> end and bare <IP>") // email fires first; its inner IP is gone
   }
+
+  test("property: scrubbing is idempotent and leaves zero residual matches") {
+    val rnd = new scala.util.Random(23)
+    val bits = Seq("plain words here", "a@b.co", "999-123-4567", "321-54-9876",
+      "8.8.8.8", "x_1%y@sub.domain.org", "text 42 and 7.5 remain", "12-34-56")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(5)(bits(rnd.nextInt(bits.length))).mkString(" ")))
+    val once = run(docs: _*)
+    // no residual: re-scrubbing the redacted text changes nothing and
+    // every pattern count on it is zero
+    val again = Pii.scrub(once.toSeq.map { case (id, (_, _, _, _, r)) => (id, r) }
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ids"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+          r.getAs[Long]("n_phones"), r.getAs[String]("redacted")))).toMap
+    again.foreach { case (id, (ids, emails, ips, phones, red)) =>
+      assert((ids, emails, ips, phones) == ((0L, 0L, 0L, 0L)), s"residual PII in doc $id: $red")
+      assert(red == once(id)._5, s"scrub not idempotent for doc $id")
+    }
+  }
 }
