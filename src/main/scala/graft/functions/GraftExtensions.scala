@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `word_shingles(text, n)` → ARRAY<STRING> ([[WordShingles]])
   *  - `winnow_fps(text, k, w)` → ARRAY<BIGINT> ([[WinnowFps]])
   *  - `k_min(hash, k)` → ARRAY<BIGINT> aggregate ([[KMinHashes]])
+  *  - `top_k_pairs(id, score, k)` → ARRAY<STRUCT<id,score>> aggregate
+  *    ([[TopKPairs]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -69,11 +71,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intLit("winnow_fps", "k")(children(1)),
         intLit("winnow_fps", "w")(children(2)))
     }
-    // aggregate function: the analyzer wraps the returned
+    // aggregate functions: the analyzer wraps the returned
     // AggregateFunction in an AggregateExpression at resolution
     register("k_min", classOf[KMinHashes]) { children =>
       require(children.length == 2, "k_min(hash, k)")
       KMinHashes(children.head, intLit("k_min", "k")(children(1)))
+    }
+    register("top_k_pairs", classOf[TopKPairs]) { children =>
+      require(children.length == 3, "top_k_pairs(id, score, k)")
+      TopKPairs(children.head, children(1), intLit("top_k_pairs", "k")(children(2)))
     }
   }
 }

@@ -173,18 +173,24 @@ object ProductQuant {
       element_at(col(s"__lut$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
     val cand = qLut.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
       .withColumn("adc", adc)
-    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
-    val short = cand.withColumn("srank", row_number().over(wAdc))
-      .where(col("srank") <= shortlist)
-      .select(col("qid"), col("nid"), col("va"), col("na"))
+    // bounded shortlist selection: top_k_pairs state = `shortlist`
+    // (nid, adc) pairs per query, where the rank window it replaces
+    // sorted EVERY in-cell candidate per query; the query vector (va,
+    // na) is constant per qid and rides through first()
+    val short = cand.groupBy(col("qid")).agg(
+        expr(s"top_k_pairs(nid, adc, $shortlist)").as("tk"),
+        first(col("va")).as("va"), first(col("na")).as("na"))
+      .select(col("qid"), col("va"), col("na"),
+        explode(expr("transform(tk, p -> p.id)")).as("nid"))
     // exact re-rank of the shortlist only
     val rer = short
       .join(e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")),
         Seq("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
-    val wFin = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    rer.withColumn("rank", row_number().over(wFin)).where(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+    rer.groupBy(col("qid")).agg(expr(s"top_k_pairs(nid, cosine, $k)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), col("p.score").as("cosine"))
       .orderBy("qid", "rank")
   }
 }

@@ -50,6 +50,19 @@ object Similarity {
       .withColumn("nrm", sqrt(dotExpr("v", "v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
 
+  /** Per-query top-k of candidate `pairs(qid, nid, cosine)` via the
+    * BOUNDED `top_k_pairs` aggregate ([[graft.functions.TopKPairs]]) —
+    * ≡ `row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid)
+    * <= k`, but the aggregation state is k pairs per query instead of a
+    * full per-query sort of every candidate (the dominant shuffle+sort
+    * of the ANN queries at scale). Output: qid, rank, nid, cosine. */
+  private[vector] def topK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("qid")).agg(expr(s"top_k_pairs(nid, cosine, $k)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("qid"), (col("r0") + 1).as("rank"), col("p.id").as("nid"),
+        col("p.score").as("cosine"))
+      .orderBy("qid", "rank")
+
   /** Exact cosine top-k per vector within its `blockCol` block.
     * Output: qid, rank (1..k), nid, cosine — ties broken by nid.
     * The prepared (vector, norm) table is persisted: the pair join
@@ -71,10 +84,7 @@ object Similarity {
       col("v").as("vb"), col("nrm").as("nb"))
     val pairs = q.join(n, Seq("label")).where(col("qid") =!= col("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
-      .orderBy("qid", "rank")
+    topK(pairs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs inside a
@@ -290,10 +300,7 @@ object Similarity {
     val joined = q.join(n, Seq("cell"))
     val pairs = (if (excludeSelf) joined.where(col("qid") =!= col("nid")) else joined)
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
-      .orderBy("qid", "rank")
+    topK(pairs, k)
   }
 
   /** ANN top-k via hyperplane-LSH bucketing: exact cosine only within a
@@ -310,9 +317,6 @@ object Similarity {
       col("v").as("vb"), col("nrm").as("nb"))
     val pairs = q.join(n, Seq("bucket")).where(col("qid") =!= col("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
-      .orderBy("qid", "rank")
+    topK(pairs, k)
   }
 }

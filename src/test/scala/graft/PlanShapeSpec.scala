@@ -33,10 +33,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q63 regained a window:\n$p")
   }
 
-  test("q25: IVF assignment is map-only — only the final top-k window remains") {
+  test("q25: IVF search is fully window-free (map-only assignment, bounded top-k aggregate)") {
     val p = plan("q25_ann_ivf")
-    assert(countWindows(p) == 1,
-      s"q25 expected exactly the top-k window, got ${countWindows(p)}:\n$p")
+    assert(countWindows(p) == 0,
+      s"q25 regained a rank window (assignment or top-k), got ${countWindows(p)}:\n$p")
     assert(!p.contains("CartesianProduct"), s"q25 regained a cross join:\n$p")
   }
 
