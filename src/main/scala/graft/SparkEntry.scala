@@ -611,6 +611,54 @@ object SparkEntry {
     // aggregate) — the dataset-release funnel summary, oracle-gated
     // so a silent stage-order or flag regression shifts a count.
     "q75_curation_funnel" -> ((s, d) => Curation.funnel(docs(s, d))),
+    // BM25 retrieval over the corpus for a fixed query-term set —
+    // integer-micros scoring (no libm ln), bounded top-k. Terms are
+    // compile-time constants mirrored in the oracle.
+    "q80_bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d), Bm25Terms, 20)),
+    // SemDeDup: semantic near-dup removal within trained IVF cells —
+    // the embedding-space twin of q14's LSH dedup. Training stays
+    // spec-gated (k-means); the dedup stage under the fixed codebook
+    // is assignment + in-cell pairs, which the oracle replays over the
+    // materialized codebook parquet (q29's mechanism).
+    "q81_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
+      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfCodebook(s, d))),
+    // Cross-document duplicated-n-gram coverage — suffix-array dedup's
+    // distributed proxy: per doc, the fraction of its distinct shingles
+    // that recur elsewhere in the corpus (boilerplate detector).
+    "q82_dupgram_coverage" -> ((s, d) => TextDedup.dupGramCoverage(docs(s, d))),
+    // Temperature-based multilingual mixing (the mT5/CC multinomial
+    // recipe, α = ½): per-language keep rates ∝ √n_lang, applied as a
+    // deterministic integer-ppm hash filter (q69's split mechanism).
+    // isqrt via IEEE sqrt + a ±1 integer correction, exact on both
+    // engines; kept_id_sum is an exact integer checksum of the kept
+    // set, so the oracle gates the per-row filter, not just counts.
+    "q83_lang_mix" -> ((s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val x = col("n_docs") * lit(1000000L)
+      val perLang = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("r0", floor(sqrt(x.cast("double"))).cast("long"))
+        .withColumn("w",
+          when(col("r0") * col("r0") > x, col("r0") - 1)
+            .when((col("r0") + 1) * (col("r0") + 1) <= x, col("r0") + 1)
+            .otherwise(col("r0")))
+      val tot = perLang.agg(sum(col("w")).as("w_total"),
+        sum(col("n_docs")).as("n_total"))
+      val rates = perLang.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          expr("(1000000L * ((2 * n_total) div 5) * w) div (w_total * n_docs)")))
+        .select(col("lang"), col("n_docs"), col("w"), col("rate_ppm"))
+      val kept = dd.join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+        .where(pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")),
+          lit(1000000L)) < col("rate_ppm"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("w"), col("rate_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy("lang")
+    }),
     // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
     // new crawl) against the rest of the corpus — candidates ONLY from
     // the bipartite (new × old) band join; the historical old×old
@@ -811,6 +859,11 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("text"))
+
+  /** q80's fixed query-term set — compile-time constants mirrored
+    * literally in the oracle SQL (mid-frequency corpus terms, so the
+    * ranking exercises both the idf and tf-normalization factors). */
+  private val Bm25Terms: Seq[String] = Seq("join", "vector", "key")
 
   /** Shared oracle CTE: the SCD2-EVENTS version chain over `events`
     * (dedup on (id,status) keep-first, re-sequence, chain with lead —
@@ -1970,6 +2023,86 @@ object SparkEntry {
          |  CAST(sum(kf*nlf*qf) AS BIGINT) AS n_after_quality,
          |  CAST(sum(kf*nlf*qf*lf) AS BIGINT) AS n_after_lang
          |FROM f ORDER BY n_raw""".stripMargin,
+    // BM25 replay with the same integer-micros fixed-point arithmetic:
+    // every factor is an exact BIGINT floor-division, every score an
+    // exact integer sum — no ln, no double accumulation order.
+    "q80_bm25_search" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS tok
+         |  FROM documents),
+         |len AS (SELECT doc_id, count(*) AS len FROM t GROUP BY doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(len) AS BIGINT) AS sum_len FROM len),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+         |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT doc_id,
+         |    ((1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
+         |    ((1000000 * 22 * tf * sum_len) //
+         |     (10 * tf * sum_len + 3 * sum_len + 9 * len * n_docs)) AS s
+         |  FROM tf JOIN dfq USING (tok) JOIN len USING (doc_id) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, CAST(sum(s) AS BIGINT) AS bm25_e12
+         |FROM sc GROUP BY doc_id ORDER BY bm25_e12 DESC, doc_id LIMIT 20""".stripMargin,
+    // SemDeDup replay over the materialized IVF codebook (q29's
+    // mechanism): window-ranked nearest cell ≡ the engine's map-side
+    // sort_array assignment (same `ccos DESC, cid` tie-break), then
+    // in-cell pairs, drop rule, and lowest-id witness via arg_min.
+    "q81_semantic_dedup" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |cells AS (SELECT en.vec_id, cell, v, nrm
+         |  FROM en JOIN (SELECT vec_id, cell FROM r WHERE rn = 1) idx USING (vec_id)),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT vec_b AS dropped, min(vec_a) AS witness,
+         |  arg_min(cosine, vec_a) AS witness_cosine,
+         |  CAST(count(*) AS BIGINT) AS n_witnesses
+         |FROM p WHERE cosine >= CAST(0.4 AS DOUBLE)
+         |GROUP BY vec_b ORDER BY dropped""".stripMargin,
+    // Duplicated-n-gram coverage over the SAME 60-bit hashed shingle
+    // sets as q32 — collisions and all, so the compare stays exact.
+    "q82_dupgram_coverage" ->
+      s"""WITH $ShinglesCte,
+         |hsq AS (SELECT doc_id, list_distinct(list_transform(shingles,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hs
+         |  FROM sh),
+         |tok AS (SELECT doc_id, unnest(hs) AS h FROM hsq),
+         |dup AS (SELECT h FROM tok GROUP BY h HAVING count(*) >= 2),
+         |nd AS (SELECT doc_id, count(*) AS n_dup FROM tok JOIN dup USING (h) GROUP BY doc_id)
+         |SELECT q.doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+         |  CASE WHEN len(hs) > 0 THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(len(hs) AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_ratio
+         |FROM hsq q LEFT JOIN nd USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Temperature mixing replay: exact isqrt (IEEE sqrt + ±1 integer
+    // correction), integer-ppm rates, md5-hash keep filter — all
+    // BIGINT floor divisions, bit-identical on both engines.
+    "q83_lang_mix" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |    CASE WHEN r0 * r0 > n_docs * 1000000 THEN r0 - 1
+        |         WHEN (r0 + 1) * (r0 + 1) <= n_docs * 1000000 THEN r0 + 1
+        |         ELSE r0 END AS w
+        |  FROM (SELECT lang, n_docs,
+        |      CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS r0 FROM pl)),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total,
+        |               CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
+        |rates AS (SELECT lang, n_docs, w,
+        |    least(1000000, (1000000 * ((2 * n_total) // 5) * w) // (w_total * n_docs)) AS rate_ppm
+        |  FROM w CROSS JOIN tot),
+        |kept AS (SELECT d.lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |  FROM documents d JOIN rates r ON d.lang = r.lang
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 1000000 < r.rate_ppm
+        |  GROUP BY d.lang)
+        |SELECT r.lang, n_docs, w, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
+        |FROM rates r LEFT JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin,
     // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
     // (64-byte) frames → every 4th — same stride, same tail-frame
     // truncation, digests over the same uppercase hex text.

@@ -217,6 +217,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("kw_rank"), col("tok"), col("tf"), col("df"), col("salience"))
   }
 
+  /** BM25 document ranking for a fixed query-term set — the retrieval
+    * scorer on top of the inverted-index shape (Robertson/Spärck Jones
+    * probabilistic relevance; k1 = 1.2, b = 0.75). All arithmetic is
+    * integer-exact (the q53/q65 integer-micros pattern) so the DuckDB
+    * oracle reproduces every score bit-for-bit — no libm `ln`, no
+    * order-dependent double sums. With integer tf, len, df, N and
+    * S = Σ len, each BM25 term factor is a ratio of integers:
+    *   idf            = (N − df + ½)/(df + ½)          = (2(N−df)+1)/(2df+1)
+    *   tf·(k1+1)/(tf + k1(1−b+b·len·N/S))              = 22·tf·S/(10·tf·S + 3·S + 9·len·N)
+    * and each is materialized in fixed-point micros via one exact
+    * BIGINT `div`; a doc's score is the Σ over matched terms of
+    * idf_micro × tfnorm_micro (units 10⁻¹², hence `bm25_e12`).
+    *
+    * N and S count docs with ≥ 1 token (the indexed corpus). Output:
+    * top-`k` docs by (bm25_e12 DESC, doc_id) with the matched-term
+    * count — a bounded TakeOrderedAndProject, never a global sort.
+    *
+    * Scale: the term filter prunes the exploded token stream before the
+    * (doc, term) aggregate, so the shuffled tf table carries only
+    * query-term hits; df comes from that same small table; N and S are
+    * one scalar aggregate crossJoined as a 1-row broadcast. At web
+    * scale (N ≳ 2⁶³/10⁶ per-term products) the idf factor moves to
+    * DECIMAL on the tiny per-term df table — the dataflow is unchanged. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val toks = graft.Par.fanOut(docs)
+      .select(col("doc_id"), explode(expr(words("text"))).as("tok"))
+    val len = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val totals = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("tok")).join(len, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_micro",
+        expr("(1000000L * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("tfnorm_micro",
+        expr("(1000000L * 22 * tf * sum_len) div " +
+          "(10 * tf * sum_len + 3 * sum_len + 9 * len * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("idf_micro") * col("tfnorm_micro")).as("bm25_e12"))
+      .orderBy(col("bm25_e12").desc, col("doc_id")).limit(k)
+  }
+
   /** Rolling-hash document fingerprint: min 28-bit hash over all char
     * 8-grams (winnowing's global-window degenerate case — one value per
     * doc; [[winnow]] is the full per-window version). */

@@ -317,6 +317,40 @@ object TextDedup {
     * fixed-width representation the jaccard/containment joins shuffle
     * and intersect (see [[ngramJaccardPairsFromShingles]]'s note; the
     * oracles hash identically, keeping the compare exact). */
+  /** Cross-document duplicated-n-gram coverage — the distributed proxy
+    * for suffix-array substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): a
+    * shingle is "duplicated" when it occurs in ≥ 2 distinct documents;
+    * each doc reports how much of it is made of such corpus-repeated
+    * n-grams. High-coverage docs are boilerplate/template candidates
+    * that pairwise near-dup misses (each pair can be under every
+    * jaccard threshold while the doc is still 100% recycled text).
+    * Output per doc: n_shingles (distinct), n_dup, dup_ratio.
+    *
+    * Scale: the exploded (doc, shingle-hash) stream is the inverted
+    * index shape — fixed-width 60-bit longs, never shingle strings; one
+    * hash-keyed count agg (map-side combine), one semi-join back. The
+    * single division per doc is IEEE-exact from integers, so the DuckDB
+    * oracle reproduces every ratio bit-for-bit. */
+  def dupGramCoverage(docs: DataFrame): DataFrame = {
+    val hs = hashedSets(shingled(docs)).persist()
+    hs.count() // eager fill: read by the token stream AND the join-back
+    val tok = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    // arrays are distinct per doc, so count(*) per hash = distinct docs
+    val dup = tok.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+    val nd = tok.join(dup.select("h"), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    hs.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   private def hashedSets(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), expr(
       """array_sort(array_distinct(transform(shingles,

@@ -303,6 +303,52 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** SemDeDup — semantic deduplication via the trained coarse quantizer
+    * (Abbas et al., arXiv:2303.09540: cluster the embedding space, drop
+    * near-identical vectors WITHIN a cluster, keep one canonical per
+    * duplicate relation). Each vector is map-assigned to its single
+    * nearest codebook cell (same literal-centroid sort_array assignment
+    * as [[annIvfWithCodebook]] — no shuffle, no window); within a cell,
+    * pairs with cosine ≥ `threshold` mark the HIGHER vec_id as dropped.
+    * Output, one row per dropped vector: its lowest-id in-cell witness,
+    * that witness pair's cosine, and the witness count.
+    *
+    * Scale: this is the dedup twin of IVF search — candidate pairs
+    * exist only inside a cell, so the quadratic blowup is bounded by
+    * the largest cell, not the corpus; the codebook is the build-once
+    * warehouse artifact, broadcast as plan literals. Cross-cell near
+    * dups at the cell boundary are the accepted SemDeDup trade-off
+    * (recall rises with finer codebooks, cost falls — the ncells knob). */
+  def semanticDedup(embeddings: DataFrame, codebook: DataFrame,
+                    threshold: Double = 0.4): DataFrame = {
+    val cents = codebook.select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val e = prepared(embeddings)
+    if (cents.isEmpty) // empty codebook (empty corpus) → nothing to drop
+      return e.sparkSession.range(0).select(col("id").as("dropped"),
+        col("id").as("witness"), col("id").cast("double").as("witness_cosine"),
+        col("id").as("n_witnesses"))
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
+        lit(cid).as("cid"))
+    }
+    val cells = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+      .select(col("vec_id"), col("v"), col("nrm"), expr("__cells[0].cid").as("cell"))
+      .persist() // probed by both sides of the in-cell self-join
+    val a = cells.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = cells.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+      .where(col("cosine") >= lit(threshold))
+      .groupBy(col("vec_b").as("dropped"))
+      .agg(min(col("vec_a")).as("witness"),
+        min_by(col("cosine"), col("vec_a")).as("witness_cosine"),
+        count(lit(1)).as("n_witnesses"))
+      .orderBy("dropped")
+  }
+
   /** ANN top-k via hyperplane-LSH bucketing: exact cosine only within a
     * bucket. Vectors in sparse buckets may return fewer than k
     * neighbors — the accepted ANN trade-off (recall measured in tests). */

@@ -123,4 +123,21 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(banded == truth)
   }
+
+  test("dupGramCoverage counts corpus-repeated shingles per doc") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles {a b c, b c d}; "a b c" shared with d2
+      (2L, "a b c x"),     // shingles {a b c, b c x}
+      (3L, "z z z z z"),   // one distinct shingle, unique to d3
+      (4L, "q")            // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dupGramCoverage(docs)
+      .select("doc_id", "n_shingles", "n_dup", "dup_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0),
+      (4L, 0L, 0L, 0.0)))
+  }
 }
