@@ -653,7 +653,7 @@ object SparkEntry {
           lit(1000000L)) < col("rate_ppm"))
         .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("kept_id_sum"))
-      rates.join(kept, Seq("lang"), "left")
+      rates.join(broadcast(kept), Seq("lang"), "left")
         .select(col("lang"), col("n_docs"), col("w"), col("rate_ppm"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
