@@ -659,6 +659,17 @@ object SparkEntry {
           coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
         .orderBy("lang")
     }),
+    // Positional phrase search: adjacency join over the (doc, pos, tok)
+    // posting stream, filtered to the phrase's terms before any join.
+    // Counts overlapping occurrences — substring replace can't.
+    "q84_phrase_search" -> ((s, d) =>
+      graft.text.InvertedIndex.phraseSearch(docs(s, d), PhraseTerms)),
+    // Label-noise detection: per-label fixed-point centroid (exact
+    // integer mean — engine- and order-independent), then the 3 least
+    // centroid-similar vectors per label via the bounded top-k
+    // aggregate on the negated cosine.
+    "q85_label_outliers" -> ((s, d) =>
+      Similarity.labelOutliers(Tables.embeddings(s, d))),
     // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
     // new crawl) against the rest of the corpus — candidates ONLY from
     // the bipartite (new × old) band join; the historical old×old
@@ -864,6 +875,10 @@ object SparkEntry {
     * literally in the oracle SQL (mid-frequency corpus terms, so the
     * ranking exercises both the idf and tf-normalization factors). */
   private val Bm25Terms: Seq[String] = Seq("join", "vector", "key")
+
+  /** q84's fixed phrase — two mid-frequency terms whose adjacency is
+    * rare enough to be selective, mirrored literally in the oracle. */
+  private val PhraseTerms: Seq[String] = Seq("join", "hash")
 
   /** Shared oracle CTE: the SCD2-EVENTS version chain over `events`
     * (dedup on (id,status) keep-first, re-sequence, chain with lead —
@@ -2103,6 +2118,39 @@ object SparkEntry {
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
         |FROM rates r LEFT JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin,
+    // Phrase replay on the SAME token stream the engine splits (not a
+    // substring scan): consecutive-element check over the filtered
+    // word list, so overlap counting and multi-space handling agree by
+    // construction.
+    "q84_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |occ AS (SELECT doc_id, len(list_filter(generate_series(1, len(ws) - 1),
+         |    i -> ws[i] = '${PhraseTerms(0)}' AND ws[i + 1] = '${PhraseTerms(1)}'))
+         |    AS n_occurrences
+         |  FROM t WHERE len(ws) >= 2)
+         |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences FROM occ
+         |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
+    // Fixed-point centroid replay: identical integer floor/sum/div
+    // arithmetic, then IEEE cosine against the bit-identical centroid;
+    // rank window ≡ the engine's bounded top-k on the negated score.
+    "q85_label_outliers" ->
+      s"""WITH $VecCte,
+         |fx AS (SELECT label, i,
+         |    CAST(sum(CAST(floor((v[i] + 1) * 1048576) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM en, generate_series(1, 64) t(i) GROUP BY label, i),
+         |cent AS (SELECT label,
+         |    list(CAST(s // n AS DOUBLE) / 1048576.0 - 1 ORDER BY i) AS cv
+         |  FROM fx GROUP BY label),
+         |sc AS (SELECT e.label, e.vec_id,
+         |    list_dot_product(e.v, c.cv)
+         |      / (e.nrm * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+         |  FROM en e JOIN cent c ON e.label = c.label)
+         |SELECT label, rank, vec_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
     // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
     // (64-byte) frames → every 4th — same stride, same tail-frame
     // truncation, digests over the same uppercase hex text.

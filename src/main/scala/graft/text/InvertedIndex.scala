@@ -37,4 +37,34 @@ object InvertedIndex {
       .agg(count(lit(1)).as("df_seg"),
         concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
   }
+
+  /** Positional phrase search — the adjacency join over a positional
+    * posting stream: a document matches when its token stream (split on
+    * space, empties dropped) contains `phrase` as CONSECUTIVE tokens.
+    * Output: (doc_id, n_occurrences) for matching docs, by doc_id.
+    * Occurrences may overlap ("a a a" contains "a a" twice) — position
+    * arithmetic counts all of them, which substring-replace counting
+    * cannot.
+    *
+    * Scale: the exploded (doc, pos, tok) stream is filtered to the
+    * phrase's terms BEFORE any join, so each adjacency join is keyed by
+    * (doc_id, pos) over posting-list-sized inputs — the standard
+    * phrase-query plan over a positional inverted index; at 100 TB the
+    * filtered stream comes straight from the materialized index instead
+    * of a re-tokenize, same joins. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least two tokens")
+    val toks = graft.Par.fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), w -> w <> '')")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase.distinct: _*))
+      .persist() // probed once per phrase term by the adjacency joins
+    val first = toks.where(col("tok") === phrase.head).select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(toks.where(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }
+    matches.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
 }

@@ -349,6 +349,47 @@ object Similarity {
       .orderBy("dropped")
   }
 
+  /** Per-label centroid outliers — label-noise detection: each label's
+    * centroid is a FIXED-POINT integer mean (per coordinate,
+    * floor((x+1)·2²⁰) summed as BIGINT, one floor-division by n), so the
+    * centroid is bit-identical on any engine and any summation order —
+    * no decimal rounding-mode coupling, no float accumulation. The 2⁻²⁰
+    * quantization (±1 ulp at the 6th decimal) is noise relative to the
+    * centroid's own sampling error. The `+1` offset keeps sums
+    * nonnegative (inputs are unit-scale, |x| < 1), making truncating
+    * and flooring division agree across engines; it is subtracted back
+    * after the divide. The k vectors LEAST cosine-similar to their own
+    * label's centroid are flagged (ties → lowest vec_id) via the
+    * bounded top-k aggregate on the negated score — never a per-label
+    * sort window.
+    *
+    * Scale: one (label, pos) aggregate (map-side combine) builds the
+    * centroid table — label-count × dim rows, broadcast back; scoring
+    * is a pure map stage; the flag is k rows of aggregate state per
+    * label. */
+  def labelOutliers(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0)
+    val e = prepared(embeddings).persist()
+    val fix = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor((col("x") + 1) * lit(1048576L)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val cent = fix
+      .withColumn("c", expr("s div n").cast("double") / lit(1048576.0) - 1)
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").as("cv"))
+      .withColumn("cnrm", sqrt(dotExpr("cv", "cv")))
+    e.join(broadcast(cent), Seq("label"))
+      .withColumn("cosine", dotExpr("v", "cv") / (col("nrm") * col("cnrm")))
+      .select(col("label").cast("long").as("qid"), col("vec_id").as("nid"),
+        (-col("cosine")).as("cosine"))
+      .groupBy(col("qid")).agg(expr(s"top_k_pairs(nid, cosine, $k)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("qid").cast("int").as("label"), (col("r0") + 1).as("rank"),
+        col("p.id").as("vec_id"), (-col("p.score")).as("cosine"))
+      .orderBy("label", "rank")
+  }
+
   /** ANN top-k via hyperplane-LSH bucketing: exact cosine only within a
     * bucket. Vectors in sparse buckets may return fewer than k
     * neighbors — the accepted ANN trade-off (recall measured in tests). */
