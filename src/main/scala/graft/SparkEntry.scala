@@ -670,6 +670,10 @@ object SparkEntry {
     // aggregate on the negated cosine.
     "q85_label_outliers" -> ((s, d) =>
       Similarity.labelOutliers(Tables.embeddings(s, d))),
+    // Per-source quota: keep the 10 highest-quality docs per source —
+    // hard caps against domain dominance (q83 thins, q86 caps).
+    "q86_source_quota" -> ((s, d) => Curation.sourceQuota(
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")))),
     // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
     // new crawl) against the rest of the corpus — candidates ONLY from
     // the bipartite (new × old) band join; the historical old×old
@@ -2151,6 +2155,32 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id) AS rank
          |  FROM sc)
          |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
+    // Quota replay: q20's quality formula + a per-source rank window ≡
+    // the engine's bounded top-k (quality DESC, doc_id ties).
+    "q86_source_quota" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE) /
+        |      nullif(CAST(length(text) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS alpha_ratio,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS DOUBLE) /
+        |      nullif(CAST(len(ws) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS stopword_ratio,
+        |    CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    (alpha_ratio * CAST(0.5 AS DOUBLE)) + (stopword_ratio * CAST(0.3 AS DOUBLE)) +
+        |    (least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |     * CAST(0.2 AS DOUBLE)) AS quality_score
+        |  FROM s)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, quality_score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id) AS rank
+        |  FROM q WHERE quality_score IS NOT NULL)
+        |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
     // (64-byte) frames → every 4th — same stride, same tail-frame
     // truncation, digests over the same uppercase hex text.

@@ -89,4 +89,35 @@ object Curation {
         sum(col("kf") * col("nlf") * col("qf")).as("n_after_quality"),
         sum(col("kf") * col("nlf") * col("qf") * col("lf")).as("n_after_lang"))
   }
+
+  /** Per-source quota cap — the curation staple that stops one crawl
+    * domain from dominating the training mix: keep only the `quota`
+    * highest-quality documents of each source (quality DESC, doc_id
+    * ties). The complement of [[graft.SparkEntry]] q83's rate-based
+    * mixing: quotas cap hard, rates thin proportionally.
+    *
+    * `docs` columns: doc_id, text, source. Output: (source, rank,
+    * doc_id, quality_score), rank 1..quota per source.
+    *
+    * Scale: selection is the bounded `top_k_pairs` aggregate — quota
+    * rows of state per source with map-side partials, never a
+    * per-source sort window (a hot domain at 100 TB has billions of
+    * docs; a rank window would sort all of them inside the shuffle).
+    * Docs with NULL quality (empty text) are ineligible by definition.
+    * The quality join is doc_id-keyed; in production the score is a
+    * scan-projection column of the curated table, same plan minus the
+    * join. */
+  def sourceQuota(docs: DataFrame, quota: Int = 10): DataFrame = {
+    require(quota > 0)
+    val q = TextAnalysis.stats(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_score"))
+      .where(col("quality_score").isNotNull)
+    docs.select(col("doc_id"), col("source")).join(q, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr(s"top_k_pairs(doc_id, quality_score, $quota)").as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("source"), (col("r0") + 1).as("rank"),
+        col("p.id").as("doc_id"), col("p.score").as("quality_score"))
+      .orderBy("source", "rank")
+  }
 }

@@ -22,4 +22,22 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors.subsetOf(meta))
   }
+
+  test("sourceQuota keeps the k best-quality docs per source, quality DESC with id ties") {
+    val d = Seq(
+      (1L, "the cat sat of the mat and more words here", "a"),
+      (2L, "zz", "a"),
+      (3L, "the dog and the cat of the house sat down", "a"),
+      (4L, "qq xx", "b"),
+      (5L, "", "b") // empty text → NULL quality → ineligible
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.sourceQuota(d, quota = 2)
+      .select("source", "rank", "doc_id").as[(String, Int, Long)].collect().toSeq
+    val scores = TextAnalysis.stats(d.select(col("doc_id"), col("text")))
+      .select("doc_id", "quality_score").as[(Long, Option[Double])].collect().toMap
+    // source a: the two best of {1,2,3}; source b: only doc 4 is eligible
+    val bestA = Seq(1L, 2L, 3L).sortBy(id => (-scores(id).get, id)).take(2)
+    assert(out == Seq(("a", 1, bestA(0)), ("a", 2, bestA(1)), ("b", 1, 4L)))
+    assert(scores(5L).isEmpty)
+  }
 }
