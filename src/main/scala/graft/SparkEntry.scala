@@ -674,6 +674,105 @@ object SparkEntry {
     // hard caps against domain dominance (q83 thins, q86 caps).
     "q86_source_quota" -> ((s, d) => Curation.sourceQuota(
       Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")))),
+    // Pivot: month × order-status matrix with EXPLICIT pivot values, so
+    // the output schema is static (a values-less pivot collects the
+    // distinct statuses to the driver and bakes corpus state into the
+    // schema — wrong for a 100 TB table and nondeterministic columns).
+    // One hash aggregate; pivot cells are conditional counts.
+    "q87_status_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"), col("o_orderstatus"))
+        .groupBy(col("month")).pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P"))
+        .select(col("month"), col("O").as("n_open"), col("F").as("n_filled"),
+          col("P").as("n_partial"))
+        .orderBy("month")),
+    // CUBE over (year, brand) — all four grouping sets in ONE pass
+    // (Spark expands grouping sets before the partial aggregate, so the
+    // scan is paid once); q57's rollup tie-break lesson applies: g_*
+    // columns join the sort keys so subtotal rows can't tie with 'ALL'
+    // data rows.
+    "q88_cube_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+        year(col("o_orderdate")).as("yr"))
+      val p = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      li.join(o, Seq("l_orderkey")).join(p, Seq("l_partkey"))
+        .cube(col("yr"), col("p_brand"))
+        .agg(grouping(col("yr")).cast("long").as("g_yr"),
+          grouping(col("p_brand")).cast("long").as("g_brand"),
+          count(lit(1)).as("n_items"),
+          sum(col("price")).cast("double").as("revenue"))
+        .select(coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("p_brand"), lit("ALL")).as("brand"),
+          col("g_yr"), col("g_brand"), col("n_items"), col("revenue"))
+        .orderBy("yr", "brand", "g_yr", "g_brand")
+    }),
+    // Exponential-decay engagement (recency-weighted user score): the
+    // decay factor is 2^(−weeks_old) — an EXACT dyadic scale, applied
+    // as an integer right-shift of the fixed-point value (v_fix div
+    // 2^w), so every score is engine- and order-exact; libm pow never
+    // runs. The as-of anchor is one 1-row broadcast (max day). Shift
+    // capped at 62: beyond it the quotient is exactly 0 anyway.
+    "q90_decay_engagement" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(1048576L)).cast("long").as("v_fix"))
+      val mx = ev.agg(max(col("day")).as("max_day"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("w", expr("datediff(max_day, day) div 7"))
+        .withColumn("dec", expr("v_fix div shiftleft(1L, cast(least(w, 62L) as int))"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("dec")).cast("double") / lit(1048576.0)).as("score"))
+        .orderBy("user_id")
+    }),
+    // Z-score outlier counts per event type WITHOUT a single float in
+    // the test: |v − mean| > 1.5σ  ⟺  4(n·v − s)² > 9(n·ssq − s²) over
+    // (multiply the σ² form (n·ssq − s²)/n² through by n²) —
+    // exact fixed-point integers (DECIMAL(38,0) — the squares reach
+    // ~10²⁷, 64-bit would wrap), so the flag is bit-exact on both
+    // engines; only the REPORTED mean is a double (exact: s < 2⁵³).
+    // One grouped aggregate + a broadcast join back + one conditional
+    // count — two scans of events, no shuffle beyond the type key.
+    "q91_zscore_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        floor(col("value") * lit(1048576L)).cast("long").as("v"))
+      val st = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("ssq"))
+      ev.join(broadcast(st), Seq("event_type"))
+        .withColumn("lhs",
+          expr("cast(4 * cast(n * v - s as decimal(38,0)) * cast(n * v - s as decimal(38,0)) as decimal(38,0))"))
+        .withColumn("rhs",
+          expr("cast(9 * (cast(n as decimal(38,0)) * ssq - cast(s as decimal(38,0)) * cast(s as decimal(38,0))) as decimal(38,0))"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          (max(col("s")).cast("double") / max(col("n")).cast("double")
+            / lit(1048576.0)).as("mean_value"),
+          sum(when(col("lhs") > col("rhs"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+    // Trailing 7-observed-day moving aggregates over the PRE-AGGREGATED
+    // daily table — the window sees calendar-sized input (the per-event
+    // shuffle happened in the grouped aggregate with map-side combine),
+    // so the single-partition ordered window is bounded by the calendar,
+    // not the corpus; value sums are fixed-point integers (floor(v·2²⁰))
+    // so every mean is engine- and order-exact.
+    "q89_moving_average" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"),
+          floor(col("value") * lit(1048576L)).cast("long").as("v_fix"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v_fix")).as("s_fix"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"), col("n_events"),
+          sum(col("n_events")).over(w).as("n_7d"),
+          (sum(col("s_fix")).over(w).cast("double") / lit(1048576.0)).as("v_7d"))
+        .orderBy("day")
+    }),
     // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
     // new crawl) against the rest of the corpus — candidates ONLY from
     // the bipartite (new × old) band join; the historical old×old
@@ -2181,6 +2280,64 @@ object SparkEntry {
         |    ORDER BY quality_score DESC, doc_id) AS rank
         |  FROM q WHERE quality_score IS NOT NULL)
         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    // Decay replay: same integer shift — 2^(−w) never touches libm.
+    "q90_decay_engagement" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1048576) AS BIGINT) AS v_fix FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM ev),
+        |dc AS (SELECT user_id,
+        |    v_fix // (CAST(1 AS BIGINT) << CAST(least(date_diff('day', day, max_day) // 7, 62) AS INT)) AS dec
+        |  FROM ev CROSS JOIN mx)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(CAST(sum(dec) AS BIGINT) AS DOUBLE) / 1048576.0 AS score
+        |FROM dc GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Z-score replay: the identical integer inequality — the 1.5σ test
+    // never leaves exact arithmetic, so outlier flags can't drift.
+    "q91_zscore_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 1048576) AS BIGINT) AS v FROM events),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |    sum(CAST(v AS HUGEINT) * v) AS ssq
+        |  FROM ev GROUP BY event_type)
+        |SELECT ev.event_type, max(n) AS n_events,
+        |  CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 1048576.0 AS mean_value,
+        |  CAST(sum(CASE WHEN 4 * CAST(n * ev.v - s AS HUGEINT) * (n * ev.v - s)
+        |                     > 9 * (CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN st USING (event_type)
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+    // Pivot ≡ conditional aggregation (the portable form).
+    "q87_status_pivot" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |  CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+        |  CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_partial
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "q88_cube_revenue" ->
+      """SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        |  coalesce(p_brand, 'ALL') AS brand,
+        |  CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr,
+        |  CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN part ON p_partkey = l_partkey
+        |GROUP BY CUBE (year(o_orderdate), p_brand)
+        |ORDER BY yr, brand, g_yr, g_brand""".stripMargin,
+    // Moving window over the pre-aggregated daily table; fixed-point
+    // value sums make the 7-day mean exact on both engines.
+    "q89_moving_average" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |         sum(CAST(floor(value * 1048576) AS BIGINT)) AS s_fix
+        |  FROM events GROUP BY day)
+        |SELECT day, n_events,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS n_7d,
+        |  CAST(CAST(sum(s_fix) OVER w AS BIGINT) AS DOUBLE) / 1048576.0 AS v_7d
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
     // (64-byte) frames → every 4th — same stride, same tail-frame
     // truncation, digests over the same uppercase hex text.
