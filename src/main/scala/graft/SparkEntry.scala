@@ -568,6 +568,20 @@ object SparkEntry {
     // encoder (and, transitively, the trained rules it consumes).
     "q72_bpe_encode" -> ((s, d) => graft.text.Bpe.encode(docs(s, d),
       graft.warehouse.Warehouse.bpeMerges(s, d)).orderBy("doc_id")),
+    // Tokenizer fertility (pieces per word) by language under the
+    // warehouse-trained merges — THE multilingual-fairness metric for a
+    // tokenizer: a language with high fertility pays more tokens per
+    // word in every downstream budget. Integer piece/word sums, one
+    // double division per lang.
+    "q92_bpe_fertility" -> ((s, d) =>
+      graft.text.Bpe.encode(docs(s, d), graft.warehouse.Warehouse.bpeMerges(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"))
+        .withColumn("fertility",
+          col("n_pieces").cast("double") / col("n_words").cast("double"))
+        .orderBy("lang")),
     // PII scrubbing (pre-release redaction pass). The corpus carries no
     // natural PII, so each doc is extended with DETERMINISTIC synthetic
     // contact fields derived from doc_id — the oracle replays the same
@@ -1085,6 +1099,33 @@ object SparkEntry {
     * the compare gates the computation, not a copy of itself. */
   private def oracleWhDir: String =
     sys.props.getOrElse("graft.oracle.whdir", "target/graft-warehouse/UNSET")
+
+  /** Shared oracle CTE chain: the q72 BPE-encode replay under the
+    * warehouse merge table (doubled-separator greedy pass — RE2 has no
+    * lookahead, see the q72 comment). Ends in `pc(doc_id, pos,
+    * n_pieces)`, one row per word; compose under `WITH RECURSIVE`. */
+  private def bpeEncodeCtes: String =
+    s"""m AS (
+       |  SELECT rank, "left" AS l, "right" AS r
+       |  FROM '$oracleWhDir/bpe_merges/*.parquet'),
+       |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |wp AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM t),
+       |w0 AS (SELECT doc_id, pos,
+       |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS syms
+       |  FROM wp),
+       |enc AS (
+       |  SELECT doc_id, pos, syms, 0 AS rk FROM w0
+       |  UNION ALL
+       |  SELECT e.doc_id, e.pos,
+       |    replace(e.syms, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
+       |    e.rk + 1
+       |  FROM enc e JOIN m ON m.rank = e.rk + 1),
+       |fin AS (SELECT doc_id, pos, syms FROM enc
+       |  WHERE rk = (SELECT coalesce(max(rank), 0) FROM m)),
+       |pc AS (SELECT doc_id, pos,
+       |    len(list_filter(str_split(trim(syms), ' '), s -> s <> '')) AS n_pieces
+       |  FROM fin)""".stripMargin
 
   /** Q1 oracle, shared by the DataFrame (q08) and spark.sql-text (q23)
     * implementations — both must match the same DuckDB result. */
@@ -1974,30 +2015,24 @@ object SparkEntry {
     // included), and the " lr " replacement restores the two-space
     // invariant. Rules apply in rank order via the recursive CTE.
     "q72_bpe_encode" ->
-      s"""WITH RECURSIVE m AS (
-         |  SELECT rank, "left" AS l, "right" AS r
-         |  FROM '$oracleWhDir/bpe_merges/*.parquet'),
-         |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
-         |  FROM documents),
-         |wp AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM t),
-         |w0 AS (SELECT doc_id, pos,
-         |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS syms
-         |  FROM wp),
-         |enc AS (
-         |  SELECT doc_id, pos, syms, 0 AS rk FROM w0
-         |  UNION ALL
-         |  SELECT e.doc_id, e.pos,
-         |    replace(e.syms, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
-         |    e.rk + 1
-         |  FROM enc e JOIN m ON m.rank = e.rk + 1),
-         |fin AS (SELECT doc_id, pos, syms FROM enc
-         |  WHERE rk = (SELECT coalesce(max(rank), 0) FROM m)),
-         |pc AS (SELECT doc_id, pos,
-         |    len(list_filter(str_split(trim(syms), ' '), s -> s <> '')) AS n_pieces
-         |  FROM fin)
+      s"""WITH RECURSIVE $bpeEncodeCtes
          |SELECT doc_id, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
          |  CAST(sum(n_pieces * pos) AS BIGINT) AS pieces_checksum
          |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Tokenizer fertility by language (pieces per word — the
+    // multilingual-fairness metric): the same encode replay, rolled up
+    // per lang; docs with zero tokens have no words to encode and are
+    // absent on both sides by construction.
+    "q92_bpe_fertility" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |ag AS (SELECT doc_id, count(*) AS w, CAST(sum(n_pieces) AS BIGINT) AS p
+         |  FROM pc GROUP BY doc_id)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(p) AS BIGINT) AS n_pieces,
+         |  CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+         |    AS fertility
+         |FROM ag JOIN documents USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Same deterministic augmentation, same restricted-regex rules in
     // the same order — counts on the original, replaces chained, md5 of
     // the scrubbed text hash-gates the redaction end to end.
