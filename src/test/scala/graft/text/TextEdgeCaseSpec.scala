@@ -49,4 +49,22 @@ class TextEdgeCaseSpec extends SparkSpec {
     val w = TextAnalysis.winnow(edge).select("doc_id").as[Long].collect().toSeq
     assert(w == Seq(5L))
   }
+
+  test("round-6 operators are total on degenerate texts") {
+    // bm25: no doc contains a query term → empty ranking, not an error
+    assert(TextAnalysis.bm25(edge, Seq("zzz_absent")).count() == 0)
+    // NULL/empty/whitespace texts contribute no tokens; doc 5 matches
+    val b = TextAnalysis.bm25(edge, Seq("a", "b")).select("doc_id").as[Long].collect()
+    assert(b.toSeq == Seq(5L))
+    // dupGramCoverage: every doc with a non-NULL text gets a row;
+    // sub-shingle docs report 0/0 shingles with ratio 0.0
+    val cov = TextDedup.dupGramCoverage(edge).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cov(2L) == ((0L, 0L, 0.0)))
+    assert(cov(5L)._1 > 0 && cov(5L)._2 == 0) // unique shingles, no dups
+    // phraseSearch: absent phrase → empty; NULL text never matches
+    assert(InvertedIndex.phraseSearch(edge, Seq("zz", "yy")).count() == 0)
+    assert(InvertedIndex.phraseSearch(edge, Seq("a", "b"))
+      .as[(Long, Long)].collect().toSeq == Seq((5L, 1L)))
+  }
 }
