@@ -678,6 +678,37 @@ object SparkEntry {
     // Counts overlapping occurrences — substring replace can't.
     "q84_phrase_search" -> ((s, d) =>
       graft.text.InvertedIndex.phraseSearch(docs(s, d), PhraseTerms)),
+    // Skip-gram co-occurrence with an integer PMI surrogate — the
+    // word-embedding / collocation training-prep table. Window ±3 as a
+    // map-side offset explode + (doc, pos) EQUI-join (never a range
+    // join); pairs are canonicalized (least, greatest); the ranking
+    // score is linear-space PMI in micros — (10⁶·n_pair·T) div (n_a·n_b),
+    // order-equivalent to log-PMI with no libm. Top-20 is a bounded
+    // TakeOrdered with full tie-break (score, tok_a, tok_b) — ties are
+    // common in a small vocab and MUST be broken for a stable cut.
+    // Unigram table broadcast (vocab ≪ corpus; at web scale this
+    // becomes an ordinary shuffle join, same dataflow).
+    "q93_cooccurrence" -> ((s, d) => {
+      val tok = graft.Par.fanOut(docs(s, d))
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), w -> w <> '')")).as(Seq("pos", "tok")))
+      val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = tok.agg(count(lit(1)).as("n_tokens"))
+      val left = tok.select(col("doc_id"), col("pos"), col("tok").as("ta"))
+        .withColumn("off", explode(expr("sequence(1, 3)")))
+        .select(col("doc_id"), (col("pos") + col("off")).as("pos"), col("ta"))
+      left.join(tok.select(col("doc_id"), col("pos"), col("tok").as("tb")),
+          Seq("doc_id", "pos"))
+        .select(least(col("ta"), col("tb")).as("tok_a"),
+          greatest(col("ta"), col("tb")).as("tok_b"))
+        .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_pair"))
+        .join(broadcast(uni.select(col("tok").as("tok_a"), col("n").as("na"))), Seq("tok_a"))
+        .join(broadcast(uni.select(col("tok").as("tok_b"), col("n").as("nb"))), Seq("tok_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi_micro", expr("(1000000L * n_pair * n_tokens) div (na * nb)"))
+        .select(col("tok_a"), col("tok_b"), col("n_pair"), col("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("tok_a"), col("tok_b")).limit(20)
+    }),
     // Label-noise detection: per-label fixed-point centroid (exact
     // integer mean — engine- and order-independent), then the 3 least
     // centroid-similar vectors per label via the bounded top-k
@@ -2256,6 +2287,23 @@ object SparkEntry {
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(kept_id_sum, 0) AS BIGINT) AS kept_id_sum
         |FROM rates r LEFT JOIN kept k ON r.lang = k.lang ORDER BY r.lang""".stripMargin,
+    // Co-occurrence replay: same window offsets, same canonical pair,
+    // same integer PMI surrogate — ranking ties fully broken.
+    "q93_cooccurrence" ->
+      """WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM t),
+        |uni AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok),
+        |pr AS (SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2, 3)),
+        |pc AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM pr GROUP BY tok_a, tok_b)
+        |SELECT tok_a, tok_b, n_pair,
+        |  CAST((1000000 * n_pair * n_tokens) // (ua.n * ub.n) AS BIGINT) AS pmi_micro
+        |FROM pc JOIN uni ua ON ua.tok = pc.tok_a JOIN uni ub ON ub.tok = pc.tok_b
+        |CROSS JOIN tot
+        |ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 20""".stripMargin,
     // Phrase replay on the SAME token stream the engine splits (not a
     // substring scan): consecutive-element check over the filtered
     // word list, so overlap counting and multi-space handling agree by
