@@ -755,6 +755,33 @@ object SparkEntry {
           col("g_yr"), col("g_brand"), col("n_items"), col("revenue"))
         .orderBy("yr", "brand", "g_yr", "g_brand")
     }),
+    // Last-touch attribution: each purchase is attributed to the same
+    // user's most recent PRECEDING click within a 7-day window — the
+    // classic event-stream as-of lookup, done as ONE pass: a running
+    // `last(click, ignoreNulls)` window over (ts, event_id) — no
+    // self-join, no per-purchase probe. The (ts, event_id) order key is
+    // unique, so the ROWS frame is deterministic; gaps are exact epoch
+    // micros (integer — no timestamp float math). Per-user state is the
+    // single carried click — the same carry-forward shape as W5.
+    "q94_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"),
+          when(col("click_ts").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("click_ts")) <= lit(604800000000L), 1L)
+            .otherwise(0L).as("attributed"))
+        .orderBy("event_id")
+    }),
     // Exponential-decay engagement (recency-weighted user score): the
     // decay factor is 2^(−weeks_old) — an EXACT dyadic scale, applied
     // as an integer right-shift of the fixed-point value (v_fix div
@@ -2363,6 +2390,23 @@ object SparkEntry {
         |    ORDER BY quality_score DESC, doc_id) AS rank
         |  FROM q WHERE quality_score IS NOT NULL)
         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    // Attribution replay: the same ignore-nulls running window over
+    // the unique (ts, event_id) key; gaps in exact epoch micros.
+    "q94_attribution" ->
+      """WITH w AS (SELECT event_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER uw AS click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER uw AS click_ts
+        |  FROM events
+        |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, click_id,
+        |  CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS gap_us,
+        |  CAST(CASE WHEN click_ts IS NOT NULL
+        |              AND epoch_us(ts) - epoch_us(click_ts) <= 604800000000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS attributed
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // Decay replay: same integer shift — 2^(−w) never touches libm.
     "q90_decay_engagement" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
