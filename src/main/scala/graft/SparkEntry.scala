@@ -156,6 +156,27 @@ object SparkEntry {
         .select(col("source"), col("cnt").as("n_distinct_exact"), col("kmv_estimate"))
         .orderBy("source")
     }),
+    // HyperLogLog distinct tokens per source — the register-sketch twin
+    // of q51's KMV: per-key state is ≤64 registers (vs k hashes), merge
+    // is register-wise max (associative — the same incremental-rollup
+    // shape as q63), and the alpha·m²/Σ2^−M estimator runs entirely in
+    // BIGINT (scale 2^40, alpha = 726/1024) so the estimate itself
+    // hash-matches the oracle. Exact distinct rides along as the
+    // out-of-family ground-truth probe (the q91 lesson).
+    "q95_hll_distinct" -> ((s, d) => {
+      val tok = graft.Par.fanOut(Tables.documents(s, d))
+        .select(col("source"),
+          explode(expr("filter(split(text, ' '), w -> w <> '')")).as("tok"))
+      val h = tok.select(col("source"), graft.functions.PortableHash.h60(col("tok")).as("h"))
+      val exact = tok.dropDuplicates("source", "tok")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_exact"))
+      graft.operators.Hll.estimate(
+          graft.operators.Hll.registers(h, "source", "h"), "source")
+        .join(exact, Seq("source"))
+        .select(col("source"), col("n_regs"), col("s_sum"),
+          col("hll_estimate"), col("n_distinct_exact"))
+        .orderBy("source")
+    }),
     // Ordered conversion funnel view → click → purchase: each stage's
     // timestamp must strictly follow the previous stage's first
     // occurrence (three chained user-keyed min aggregates — all
@@ -1475,6 +1496,32 @@ object SparkEntry {
         |       ELSE CAST(n_distinct_exact AS DOUBLE) END AS kmv_estimate
         |FROM nd LEFT JOIN kth ON kth.source = nd.source
         |ORDER BY nd.source""".stripMargin,
+    // Bit-for-bit replay of the integer HLL: same md5-derived hash, same
+    // bin()-length rho (DuckDB's bin matches Spark's — minimal binary,
+    // bin(0)='0'), same 2^40-scaled harmonic sum, same 726/1024 alpha.
+    // CASTs to BIGINT guard against DuckDB's sum() widening to HUGEINT.
+    "q95_hll_distinct" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT source, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |r AS (SELECT source, h % 64 AS reg,
+        |    max(CASE WHEN h // 64 = 0 THEN 55
+        |             ELSE 55 - length(bin(h // 64)) END) AS m_j
+        |  FROM h GROUP BY source, h % 64),
+        |s AS (SELECT source, count(*) AS n_regs,
+        |    CAST(sum(1::BIGINT << (40 - least(m_j, 40))) AS BIGINT) AS s_obs
+        |  FROM r GROUP BY source),
+        |x AS (SELECT source, count(DISTINCT tok) AS n_distinct_exact
+        |  FROM tok GROUP BY source),
+        |f AS (SELECT source, n_regs,
+        |    s_obs + (64 - n_regs) * (1::BIGINT << 40) AS s_sum FROM s)
+        |SELECT f.source, f.n_regs, f.s_sum,
+        |  ((4503599627370496 // f.s_sum) * 726) // 1024 AS hll_estimate,
+        |  x.n_distinct_exact
+        |FROM f JOIN x ON x.source = f.source
+        |ORDER BY f.source""".stripMargin,
     "q49_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.PortableHash
+
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashed(vals: Seq[(String, String)]) =
+    vals.toDF("k", "v").select(col("k"), PortableHash.h60(col("v")).as("h"))
+
+  test("registers merge: union of batches == register-wise max of parts") {
+    val a = (1 to 4000).map(i => ("s", s"tok$i"))
+    val b = (2000 to 6000).map(i => ("s", s"tok$i")) // overlapping range
+    val full = Hll.registers(hashed(a ++ b), "k", "h")
+    val merged = Hll.merge(
+      Hll.registers(hashed(a), "k", "h"),
+      Hll.registers(hashed(b), "k", "h"), "k")
+    assert(rowsOf(full) == rowsOf(merged))
+    // and the finalized estimates agree exactly (same integer formula)
+    assert(rowsOf(Hll.estimate(full, "k")) == rowsOf(Hll.estimate(merged, "k")))
+  }
+
+  test("estimate tracks true cardinality within m=64 sketch error") {
+    // raw HLL (no linear-counting correction) is reliable above ~2.5m;
+    // standard error at m=64 is ~13% — assert a generous 3-sigma band.
+    for (n <- Seq(500, 2000, 10000)) {
+      val data = (1 to n).map(i => ("s", s"item-$i-$n"))
+      val est = Hll.estimate(Hll.registers(hashed(data), "k", "h"), "k")
+        .select("hll_estimate").as[Long].head()
+      assert(math.abs(est - n).toDouble / n < 0.40, s"n=$n est=$est")
+    }
+  }
+
+  test("duplicates do not move the estimate (distinct-ness)") {
+    val uniq = (1 to 3000).map(i => ("s", s"w$i"))
+    val dup = uniq ++ uniq ++ uniq.take(500)
+    val e1 = rowsOf(Hll.estimate(Hll.registers(hashed(uniq), "k", "h"), "k"))
+    val e2 = rowsOf(Hll.estimate(Hll.registers(hashed(dup), "k", "h"), "k"))
+    assert(e1 == e2)
+  }
+
+  test("single-value key yields a total, in-range row") {
+    val one = Hll.estimate(Hll.registers(hashed(Seq(("s", "only"))), "k", "h"), "k")
+      .collect().head
+    assert(one.getAs[Long]("n_regs") == 1L)
+    assert(one.getAs[Long]("hll_estimate") >= 0L)
+  }
+}
