@@ -177,6 +177,34 @@ object SparkEntry {
           col("hll_estimate"), col("n_distinct_exact"))
         .orderBy("source")
     }),
+    // Blocked fuzzy entity match over the part-name registry: distinct
+    // names first (the registry is tiny next to the fact table), then
+    // levenshtein only within blocks — candidate generation bounded by
+    // block size, never all-pairs. Blocking is two-pass (first token ∪
+    // last token) so a typo inside either key still pairs. Support
+    // counts ride along for survivorship.
+    "q96_fuzzy_match" -> ((s, d) =>
+      graft.operators.FuzzyMatch.blockedPairs(
+          Tables.part(s, d).select(col("p_name")), "p_name",
+          Seq(graft.operators.FuzzyMatch.firstToken _,
+            graft.operators.FuzzyMatch.lastToken _), maxDist = 3)
+        .orderBy("name_a", "name_b")),
+    // CDC apply (MERGE INTO): replay the q62 change feed onto the older
+    // snapshot — inserts/updates land new values, deletes drop keys,
+    // untouched rows pass through. apply(s1, diff(s1,s2)) ≡ s2 is the
+    // operator's contract (property-gated in SnapshotDiffSpec); the
+    // oracle replays the apply algebra itself, not the shortcut.
+    "q97_cdc_apply" -> ((s, d) => {
+      val dim = graft.warehouse.Warehouse.dimOrders(s, d)
+      def at(t: String) = graft.operators.AsOfJoin.currentAt(dim, t)
+        .select(col("order_id"), col("status"))
+      val s1 = at("2024-01-08 00:00:00")
+      val s2 = at("2024-01-15 00:00:00")
+      graft.operators.SnapshotDiff
+        .applyChanges(s1, graft.operators.SnapshotDiff.diff(s1, s2, "order_id", Seq("status")),
+          "order_id", Seq("status"))
+        .orderBy("order_id")
+    }),
     // Ordered conversion funnel view → click → purchase: each stage's
     // timestamp must strictly follow the previous stage's first
     // occurrence (three chained user-keyed min aggregates — all
@@ -1522,6 +1550,53 @@ object SparkEntry {
         |  x.n_distinct_exact
         |FROM f JOIN x ON x.source = f.source
         |ORDER BY f.source""".stripMargin,
+    // Same registry → two blocking passes (first ∪ last token, UNION
+    // dedups) → levenshtein; DuckDB's levenshtein is the same unit-cost
+    // edit distance as Spark's.
+    "q96_fuzzy_match" ->
+      """WITH reg AS (SELECT p_name AS name, count(*) AS n_rows,
+        |    list_extract(str_split(p_name, ' '), 1) AS b1,
+        |    list_extract(str_split(p_name, ' '), -1) AS b2
+        |  FROM part GROUP BY p_name),
+        |cand AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |      a.n_rows AS n_a, b.n_rows AS n_b
+        |  FROM reg a JOIN reg b ON a.b1 = b.b1 AND a.name < b.name
+        |  UNION
+        |  SELECT a.name, b.name, a.n_rows, b.n_rows
+        |  FROM reg a JOIN reg b ON a.b2 = b.b2 AND a.name < b.name)
+        |SELECT name_a, name_b,
+        |  CAST(levenshtein(name_a, name_b) AS INT) AS dist, n_a, n_b
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    // Replays the apply algebra over s1 + the diff feed (keep untouched
+    // via anti-join, land upserts) — NOT the s2 shortcut, so the oracle
+    // proves the MERGE semantics, with the roundtrip making it exact.
+    "q97_cdc_apply" ->
+      s"""$VersionsCte,
+         |s1 AS (SELECT order_id, status FROM versions
+         |  WHERE TIMESTAMP '2024-01-08 00:00:00' >= start_time
+         |    AND TIMESTAMP '2024-01-08 00:00:00' < end_time),
+         |s2 AS (SELECT order_id, status FROM versions
+         |  WHERE TIMESTAMP '2024-01-15 00:00:00' >= start_time
+         |    AND TIMESTAMP '2024-01-15 00:00:00' < end_time),
+         |d AS (SELECT coalesce(s1.order_id, s2.order_id) AS order_id,
+         |    CASE WHEN s1.order_id IS NULL THEN 'insert'
+         |         WHEN s2.order_id IS NULL THEN 'delete'
+         |         WHEN s1.status IS DISTINCT FROM s2.status THEN 'update' END
+         |      AS change_type,
+         |    s2.status AS new_status
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.order_id = s2.order_id),
+         |ch AS (SELECT * FROM d WHERE change_type IS NOT NULL),
+         |keep AS (SELECT s1.order_id, s1.status FROM s1
+         |  LEFT JOIN ch ON ch.order_id = s1.order_id
+         |  WHERE ch.order_id IS NULL),
+         |up AS (SELECT order_id, new_status AS status FROM ch
+         |  WHERE change_type <> 'delete')
+         |SELECT order_id, status FROM keep
+         |UNION ALL SELECT order_id, status FROM up
+         |ORDER BY order_id""".stripMargin,
     "q49_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity matching (entity resolution / record linkage).
+  *
+  * Reference analog: the warehouse dims key on exact business ids
+  * (`/root/reference/docs/guides.md` SCD2 on product_id/order_id); real
+  * registries also need the fuzzy half — "red widgit" and "red widget"
+  * are the same part. The classic shape is candidate generation by a
+  * BLOCKING key (cheap, high recall within the block) followed by an
+  * exact pairwise edit-distance test — never an all-pairs join.
+  *
+  * Scale posture (100 TB): (1) collapse the raw table to the distinct
+  * name registry first (a map-side-combined groupBy — the registry is
+  * orders of magnitude smaller than the fact table); (2) self-join ONLY
+  * within blocks, so the quadratic term is bounded by the largest block,
+  * not the registry; (3) blocking is MULTI-PASS (union of independent
+  * block keys, deduped before the distance test) — a single key misses
+  * exactly the pairs whose typo falls inside the key ("red widget" /
+  * "red widgit" differ in their last token), the textbook failure mode
+  * the first cut of this operator's own spec caught; (4) `levenshtein`
+  * is a codegen'd built-in with identical DP semantics in Spark and
+  * DuckDB (verified by the q96 hash-match). Recall is explicitly scoped
+  * to pairs sharing AT LEAST ONE block key — the standard blocking
+  * tradeoff, pinned both ways by the spec (≡ brute force restricted to
+  * shared-block pairs; fully-blocked-apart pairs out of scope).
+  */
+object FuzzyMatch {
+
+  /** Candidate pairs from the distinct registry of `nameCol`: a pair is
+    * a candidate when ANY of the `blockKeys` agree, kept when edit
+    * distance ≤ maxDist. Output: (name_a, name_b, dist, n_a, n_b) with
+    * name_a < name_b; n_* are the raw-row support counts, so downstream
+    * survivorship can keep the majority spelling. */
+  def blockedPairs(df: DataFrame, nameCol: String, blockKeys: Seq[Column => Column],
+                   maxDist: Int): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    val reg = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    // one candidate pass per key, pass id prefixed so keys can't collide
+    val passes = blockKeys.zipWithIndex.map { case (bk, i) =>
+      reg.select(concat_ws(":", lit(i.toString), bk(col("name"))).as("blk"),
+        col("name"), col("n_rows"))
+    }
+    val blocked = passes.reduce(_ unionByName _)
+    val a = blocked.select(col("blk"), col("name").as("name_a"), col("n_rows").as("n_a"))
+    val b = blocked.select(col("blk"), col("name").as("name_b"), col("n_rows").as("n_b"))
+    a.join(b, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      // dedup candidates ACROSS passes before paying the distance test
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+      .dropDuplicates("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+  }
+
+  /** Block key: the last whitespace token (for "adjective noun"
+    * registries the noun is the stable head word). */
+  def lastToken(name: Column): Column = element_at(split(name, " "), -1)
+
+  /** Block key: the first whitespace token — the complementary pass that
+    * catches typos in the head word. */
+  def firstToken(name: Column): Column = element_at(split(name, " "), 1)
+}

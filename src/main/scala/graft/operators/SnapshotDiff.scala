@@ -48,4 +48,25 @@ object SnapshotDiff {
           compareCols.flatMap(c =>
             Seq(col(c).as(s"old_$c"), col(s"${c}_a").as(s"new_$c"))): _*)
   }
+
+  /** Apply a [[diff]]-shaped change feed to `before` — the MERGE INTO /
+    * CDC-apply half of the pair: inserts and updates land their `new_*`
+    * values, deletes drop the key, untouched rows pass through. Exact
+    * inverse of [[diff]]: `applyChanges(a, diff(a, b), k, cs) ≡ b`
+    * (property-gated in SnapshotDiffSpec, oracle-replayed in q97).
+    *
+    * Scale posture: a changeset is normally ≪ the snapshot, so the
+    * left-anti probe broadcasts; at comparable sizes both sides hash-
+    * partition on the key (exchange-free when the snapshot is bucketed,
+    * same as [[diff]]). The union adds no shuffle.
+    */
+  def applyChanges(before: DataFrame, changes: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val touched = changes.select(col(key))
+    val upserts = changes.where(col("change_type") =!= "delete")
+      .select(col(key) +: compareCols.map(c => col(s"new_$c").as(c)): _*)
+    before.select((key +: compareCols).map(col): _*)
+      .join(touched, Seq(key), "left_anti")
+      .unionByName(upserts)
+  }
 }

@@ -35,6 +35,30 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(run(Seq((1L, Some("a"))), Seq((1L, Some("a")))).isEmpty)
   }
 
+  test("applyChanges is the exact inverse of diff (roundtrip, incl. NULLs)") {
+    val before = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]),
+      (5L, Option("e"))).toDF("id", "v")
+    val after = Seq((2L, Option("b")), (3L, Option("x")), (4L, Option.empty[String]),
+      (5L, Option("e"))).toDF("id", "v")
+    val changes = SnapshotDiff.diff(before, after, "id", Seq("v"))
+    val applied = SnapshotDiff.applyChanges(before, changes, "id", Seq("v"))
+    assert(rowsOf(applied) == rowsOf(after))
+  }
+
+  test("applyChanges with an empty change feed is identity") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val none = SnapshotDiff.diff(snap, snap, "id", Seq("v"))
+    assert(rowsOf(SnapshotDiff.applyChanges(snap, none, "id", Seq("v"))) == rowsOf(snap))
+  }
+
+  test("multi-column applyChanges roundtrip") {
+    val before = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n")
+    val after = Seq((1L, "a", 11), (3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "n")
+    val changes = SnapshotDiff.diff(before, after, "id", Seq("v", "n"))
+    assert(rowsOf(SnapshotDiff.applyChanges(before, changes, "id", Seq("v", "n")))
+      == rowsOf(after))
+  }
+
   test("multi-column compare flags a change in ANY tracked column") {
     val before = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n")
     val after = Seq((1L, "a", 11), (2L, "b", 20)).toDF("id", "v", "n")
