@@ -177,6 +177,15 @@ object SparkEntry {
           col("hll_estimate"), col("n_distinct_exact"))
         .orderBy("source")
     }),
+    // Content-defined chunking + CAS block dedup: rolling-hash cut
+    // points (md5 gram ≡ 0 mod 64), so identical spans chunk
+    // identically at any offset — fixed-offset blocking measures ZERO
+    // dups on this corpus, CDC finds the real 1–4%. Map-only chunking;
+    // shuffles only on (source, digest).
+    "q98_cas_chunks" -> ((s, d) =>
+      graft.text.CasChunk.stats(graft.Par.fanOut(
+          Tables.documents(s, d).select(col("source"), col("text"))))
+        .orderBy("source")),
     // Blocked fuzzy entity match over the part-name registry: distinct
     // names first (the registry is tiny next to the fact table), then
     // levenshtein only within blocks — candidate generation bounded by
@@ -1550,6 +1559,34 @@ object SparkEntry {
         |  x.n_distinct_exact
         |FROM f JOIN x ON x.source = f.source
         |ORDER BY f.source""".stripMargin,
+    // Same rolling-hash cuts (28-bit md5 gram hash mod 64), same
+    // shifted-list zip into chunks, same digest grouping — dup and
+    // cross-share stats hash-match. Struct fields from list_zip are
+    // accessed positionally (DuckDB's zip structs are unnamed).
+    "q98_cas_chunks" ->
+      """WITH d AS (SELECT source, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (SELECT source, text, list_sort(list_distinct(list_transform(
+        |    list_filter(generate_series(1, length(text)),
+        |      i -> i + 7 <= length(text)
+        |       AND CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)
+        |           % 64 = 0),
+        |    i -> i + 7) || [length(text)])) AS cuts FROM d),
+        |ch AS (SELECT source, md5(substring(text, p[1] + 1, p[2] - p[1])) AS block_md5
+        |  FROM c, unnest(list_filter(list_zip(list_prepend(0, cuts),
+        |    list_append(cuts, -1)), p -> p[2] > p[1])) t(p)),
+        |per AS (SELECT source, block_md5, count(*) AS n FROM ch
+        |  GROUP BY source, block_md5),
+        |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,
+        |    count(*) AS n_distinct FROM per GROUP BY source),
+        |cb AS (SELECT block_md5, count(*) AS nsrc FROM per GROUP BY block_md5),
+        |cs AS (SELECT per.source, count(*) AS n_cross_shared
+        |  FROM per JOIN cb USING (block_md5) WHERE cb.nsrc > 1 GROUP BY per.source)
+        |SELECT src.source, n_chunks, n_distinct,
+        |  ((n_chunks - n_distinct) * 1000000) // n_chunks AS dup_ppm,
+        |  coalesce(cs.n_cross_shared, 0) AS n_cross_shared
+        |FROM src LEFT JOIN cs ON cs.source = src.source
+        |ORDER BY src.source""".stripMargin,
     // Same registry → two blocking passes (first ∪ last token, UNION
     // dedups) → levenshtein; DuckDB's levenshtein is the same unit-cost
     // edit distance as Spark's.
