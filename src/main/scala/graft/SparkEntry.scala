@@ -177,6 +177,33 @@ object SparkEntry {
           col("hll_estimate"), col("n_distinct_exact"))
         .orderBy("source")
     }),
+    // Retrieval-quality eval INSIDE the engine (the langid-eval q46
+    // pattern applied to ANN): recall@3 of the hyperplane-LSH index
+    // (q18) against blocked exact kNN (q17) as ground truth, rolled up
+    // per label — integer ppm recall, denominator = actual exact-
+    // neighbor count per query (robust to labels smaller than k). The
+    // eval is itself a distributed query: two index scans, one
+    // hash-join on (qid, nid), no collect.
+    "q99_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
+      val ann = Similarity.annLsh(emb)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      val perQ = exact
+        .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
+      perQ.join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("sum_hits"),
+          sum(col("n_exact")).as("sum_exact"),
+          sum(when(col("hits") === col("n_exact"), 1L).otherwise(0L)).as("n_perfect"))
+        .select(col("label"), col("n_queries"), col("sum_hits"), col("sum_exact"),
+          col("n_perfect"),
+          expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+        .orderBy("label")
+    }),
     // Content-defined chunking + CAS block dedup: rolling-hash cut
     // points (md5 gram ≡ 0 mod 64), so identical spans chunk
     // identically at any offset — fixed-offset blocking measures ZERO
@@ -1559,6 +1586,45 @@ object SparkEntry {
         |  x.n_distinct_exact
         |FROM f JOIN x ON x.source = f.source
         |ORDER BY f.source""".stripMargin,
+    // Replays BOTH index scans (q17's label-blocked exact top-3, q18's
+    // hyperplane buckets) and the hit-join; the float cosine ranking is
+    // already proven engine-identical by the q17/q18 hash-matches.
+    "q99_ann_recall" ->
+      s"""WITH $VecCte,
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+         |          b.vec_id) AS rank
+         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  WHERE rank <= 3),
+         |bk AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
+         |    CASE WHEN list_dot_product(
+         |        list_transform(generate_series(1, 64), i ->
+         |          CAST(CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 7)) AS BIGINT)
+         |               % 2001 - 1000 AS DOUBLE)),
+         |        v) > CAST(0.0 AS DOUBLE)
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM en),
+         |an AS (SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+         |          b.vec_id) AS rank
+         |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |  WHERE rank <= 3),
+         |h AS (SELECT ex.qid, count(an.nid) AS hits, count(*) AS n_exact
+         |  FROM ex LEFT JOIN an ON an.qid = ex.qid AND an.nid = ex.nid
+         |  GROUP BY ex.qid)
+         |SELECT en.label, count(*) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+         |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+         |  CAST(sum(CASE WHEN hits = n_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+         |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
+         |    AS recall_ppm
+         |FROM h JOIN en ON en.vec_id = h.qid
+         |GROUP BY en.label ORDER BY en.label""".stripMargin,
     // Same rolling-hash cuts (28-bit md5 gram hash mod 64), same
     // shifted-list zip into chunks, same digest grouping — dup and
     // cross-share stats hash-match. Struct fields from list_zip are
