@@ -47,15 +47,21 @@ object Hll {
   private def rho(rem: Column): Column =
     when(rem === 0L, lit(RhoMax)).otherwise(lit(RhoMax) - length(bin(rem)))
 
+  /** Register index of a 60-bit hash (h is nonnegative, so % is mod). */
+  def regOf(h: Column): Column = h % M
+
+  /** rho of a 60-bit hash: leading-zero rank of the remainder after the
+    * 6 index bits (shiftright 6 = div 64 for nonnegative h). */
+  def rhoOf(h: Column): Column = rho(shiftright(h, 6))
+
   /** Per-key register table: (key, reg, m_j). Mergeable: the registers of
     * a union of batches are the register-wise MAX of per-batch tables —
     * the partial aggregate is map-side combined, so the shuffle carries at
     * most m rows per key per partition regardless of input size. */
   def registers(df: DataFrame, key: String, hashCol: String): DataFrame =
-    // h is nonnegative (60-bit), so % is mod and shiftright(…, 6) is div 64
-    df.select(col(key), (col(hashCol) % M).as("reg"), shiftright(col(hashCol), 6).as("rem"))
+    df.select(col(key), regOf(col(hashCol)).as("reg"), rhoOf(col(hashCol)).as("rho"))
       .groupBy(col(key), col("reg"))
-      .agg(max(rho(col("rem"))).as("m_j"))
+      .agg(max(col("rho")).as("m_j"))
 
   /** Merge two register tables (associative + commutative). */
   def merge(a: DataFrame, b: DataFrame, key: String): DataFrame =
