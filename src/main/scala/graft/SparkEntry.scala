@@ -177,6 +177,35 @@ object SparkEntry {
           col("hll_estimate"), col("n_distinct_exact"))
         .orderBy("source")
     }),
+    // Within-doc repetition profile (the Gopher rep-removal metrics
+    // q47's word-frequency flag doesn't cover): duplicate-sentence and
+    // duplicate word-5-gram fractions, in exact integer ppm. Entirely
+    // MAP-ONLY — dup counts are array_distinct deltas per row, so the
+    // operator adds zero shuffles at any corpus size.
+    "q100_doc_repetition" -> ((s, d) =>
+      graft.Par.fanOut(docs(s, d)).where(col("text").isNotNull)
+        .withColumn("sents", expr(
+          "filter(transform(split(text, '\\\\. '), x -> trim(x)), x -> x <> '')"))
+        .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+        .withColumn("g5", expr(
+          """CASE WHEN size(ws) >= 5
+            |  THEN transform(sequence(1, size(ws) - 4),
+            |         i -> concat_ws(' ', slice(ws, i, 5)))
+            |  ELSE slice(ws, 1, 0) END""".stripMargin))
+        .select(col("doc_id"),
+          size(col("sents")).as("n_sents"),
+          (size(col("sents")) - size(array_distinct(col("sents")))).as("n_dup_sents"),
+          expr("""CASE WHEN size(sents) > 0
+                 |  THEN ((size(sents) - size(array_distinct(sents))) * 1000000L)
+                 |       div size(sents)
+                 |  ELSE 0L END""".stripMargin).as("dup_sent_ppm"),
+          size(col("g5")).as("n_grams5"),
+          (size(col("g5")) - size(array_distinct(col("g5")))).as("n_dup_grams5"),
+          expr("""CASE WHEN size(g5) > 0
+                 |  THEN ((size(g5) - size(array_distinct(g5))) * 1000000L)
+                 |       div size(g5)
+                 |  ELSE 0L END""".stripMargin).as("dup_gram5_ppm"))
+        .orderBy("doc_id")),
     // Retrieval-quality eval INSIDE the engine (the langid-eval q46
     // pattern applied to ANN): recall@3 of the hyperplane-LSH index
     // (q18) against blocked exact kNN (q17) as ground truth, rolled up
@@ -1586,6 +1615,34 @@ object SparkEntry {
         |  x.n_distinct_exact
         |FROM f JOIN x ON x.source = f.source
         |ORDER BY f.source""".stripMargin,
+    // Same literal '. ' sentence split, same sliding 5-gram join with
+    // single spaces, same distinct-delta arithmetic; len() is cast to
+    // INT to match Spark's size().
+    "q100_doc_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(list_transform(str_split(text, '. '), x -> trim(x)),
+        |      x -> x <> '') AS sents,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, sents,
+        |    CASE WHEN len(ws) >= 5
+        |      THEN list_transform(generate_series(1, len(ws) - 4),
+        |             i -> array_to_string(list_slice(ws, i, i + 4), ' '))
+        |      ELSE [] END AS g5
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS INT) AS n_sents,
+        |  CAST(len(sents) - len(list_distinct(sents)) AS INT) AS n_dup_sents,
+        |  CASE WHEN len(sents) > 0
+        |    THEN ((len(sents) - len(list_distinct(sents))) * 1000000)
+        |         // len(sents)
+        |    ELSE 0 END AS dup_sent_ppm,
+        |  CAST(len(g5) AS INT) AS n_grams5,
+        |  CAST(len(g5) - len(list_distinct(g5)) AS INT) AS n_dup_grams5,
+        |  CASE WHEN len(g5) > 0
+        |    THEN ((len(g5) - len(list_distinct(g5))) * 1000000) // len(g5)
+        |    ELSE 0 END AS dup_gram5_ppm
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Replays BOTH index scans (q17's label-blocked exact top-3, q18's
     // hyperplane buckets) and the hit-join; the float cosine ranking is
     // already proven engine-identical by the q17/q18 hash-matches.
