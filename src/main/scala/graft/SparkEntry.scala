@@ -64,26 +64,34 @@ object SparkEntry {
     "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
     "q28_curation_pipeline" -> ((s, d) => Curation.curate(docs(s, d))),
     // Training (k-means) is not SQL-expressible and stays spec-gated
-    // (recall floor in SimilaritySpec); the SEARCH stage — broadcast
-    // assignment + in-cell top-k against the fixed codebook — IS, so the
-    // oracle replays it over the materialized codebook parquet (the
-    // verify dump exposes the warehouse dir; see [[oracleWhDir]]). The
-    // codebook is a build-once warehouse artifact — the query pays
-    // assignment + search only.
-    "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfWithCodebook(
-      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfCodebook(s, d))),
+    // (recall floor in SimilaritySpec); the SEARCH stage IS, so the
+    // oracle replays it over the materialized CODEBOOK parquet (the
+    // verify dump exposes the warehouse dir; see [[oracleWhDir]]),
+    // re-deriving the cell ranking independently — while the engine
+    // reads the materialized ivf_assign index. The hash gate therefore
+    // checks the warehouse assignment against DuckDB's recomputation
+    // from the codebook: a stale or mis-ranked index table fails the
+    // compare. Per-query cost = two joins on a three-int parquet, not
+    // ncells literal-centroid dots per vector (the r6 cold-path cost).
+    "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfWithAssign(
+      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))),
     "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
     // IVF-PQ with exact re-rank (FAISS recipe): codes are the only
-    // per-vector state in the candidate shuffle; codebooks come from
-    // the warehouse like the IVF centroids. Codebook TRAINING stays
+    // per-vector state in the candidate shuffle. Codebook TRAINING stays
     // spec-gated (exhaustive-params equality vs knnBruteForce, recall
-    // floor at defaults); the search stage — PQ encode, ADC ranking,
-    // shortlist, exact re-rank under the fixed codebooks — is replayed
-    // by the oracle over the materialized codebook parquet.
+    // floor at defaults). The engine reads the MATERIALIZED index state
+    // (pq_codes + ivf_assign — encoded/ranked once per corpus build);
+    // the oracle re-derives codes and assignment from the codebook
+    // parquet independently, so the hash gate verifies the materialized
+    // index against a from-scratch DuckDB replay. Per-query work is ADC
+    // lookup + shortlist + re-rank — no per-query corpus re-encode
+    // (q44's r6 regression was exactly that encode codegen).
     "q44_ann_ivfpq" -> ((s, d) => graft.vector.ProductQuant.annIvfPq(
       Tables.embeddings(s, d),
       graft.warehouse.Warehouse.ivfCodebook(s, d),
-      graft.warehouse.Warehouse.pqCodebooks(s, d), dim = 64)),
+      graft.warehouse.Warehouse.pqCodebooks(s, d), dim = 64,
+      codesOpt = Some(graft.warehouse.Warehouse.pqCodes(s, d)),
+      assignOpt = Some(graft.warehouse.Warehouse.ivfAssign(s, d)))),
     // Skew-salted join, oracle-gated through an aggregate: the salt must
     // neither drop nor duplicate rows, or the per-brand sums shift.
     // Exact n-gram Jaccard self-join (prefix filtering): deterministic

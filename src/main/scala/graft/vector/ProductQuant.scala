@@ -112,11 +112,17 @@ object ProductQuant {
 
   /** ADC lookup tables for a query vector column `v`: for each subspace,
     * the array of dot(q_s, c_j) over the codebook — shipped as one
-    * column per subspace so the score is m element_at lookups. */
+    * column per subspace so the score is m element_at lookups.
+    * `transform` over ONE literal codebook matrix instead of `array` of
+    * ksub separate literal dots: the expression tree shrinks m·ksub× (64
+    * codegen'd dot nodes → 4 transform nodes), which is most of the
+    * query's cold plan/codegen cost; the per-row work is identical (ksub
+    * dots of dsub doubles per subspace) and the hot ADC lookup +
+    * shortlist stages stay codegen'd. */
   private def lutCols(books: Seq[Seq[Seq[Double]]], dsub: Int): Seq[Column] =
     books.zipWithIndex.map { case (book, s) =>
-      array(book.map(c =>
-        dotCol(typedLit(c), expr(s"slice(va, ${s * dsub + 1}, $dsub)"))): _*).as(s"__lut$s")
+      transform(typedLit(book), c =>
+        dotCol(expr(s"slice(va, ${s * dsub + 1}, $dsub)"), c)).as(s"__lut$s")
     }
 
   /** IVF-PQ search with exact re-rank: coarse IVF cells confine the
@@ -126,7 +132,9 @@ object ProductQuant {
     * Output: qid, rank, nid, cosine (exact — re-ranked). */
   def annIvfPq(embeddings: DataFrame, ivfCodebook: DataFrame,
                books: Seq[Seq[Seq[Double]]], dim: Int,
-               k: Int = 3, nprobe: Int = 6, shortlist: Int = 12): DataFrame = {
+               k: Int = 3, nprobe: Int = 6, shortlist: Int = 12,
+               codesOpt: Option[DataFrame] = None,
+               assignOpt: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k)
     if (books.isEmpty) // no corpus → no codebooks → empty result, same schema
       return embeddings.sparkSession.range(0)
@@ -140,33 +148,42 @@ object ProductQuant {
       .select(col("vec_id"), col("v"), col("nrm"))
       .persist()
     e.count() // eager fill: assignment, probe and re-rank all read e
-    val codes = encode(embeddings, dim, books)
-    // coarse assignment with the codebook as PLAN LITERALS (it is
-    // literal-sized by contract): one map-side array sort per vector
-    // ranks the cells — no crossJoin inflation, no row_number window
-    // shuffle (the Similarity.ivfSearch rationale; tie-break matches
-    // the oracle's ccos DESC, cid via the (−ccos, cid) struct sort).
-    val cents = ivfCodebook.select(col("cid"), col("cv"), col("cnrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    val scored = cents.map { case (cid, cv, cn) =>
-      struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
-        lit(cid).as("cid"))
+    // Codes and cell assignment are CORPUS STATE (encoded/ranked once
+    // per corpus build): production passes the materialized warehouse
+    // tables (graft.warehouse.Warehouse pq_codes / ivf_assign) so the
+    // per-query plan pays lookup + re-rank only — the inline fallback
+    // (encode + literal-centroid sort; the Similarity.ivfSearch
+    // rationale, tie-break (−ccos, cid) = the oracle's ccos DESC, cid)
+    // exists for ad-hoc codebooks in specs.
+    val codes = codesOpt.getOrElse(encode(embeddings, dim, books))
+    val (probeCells, idxCells) = assignOpt match {
+      case Some(a) =>
+        (a.where(col("rn") <= nprobe).select(col("vec_id"), col("cell")),
+         a.where(col("rn") === 1).select(col("vec_id"), col("cell")))
+      case None =>
+        val cents = ivfCodebook.select(col("cid"), col("cv"), col("cnrm")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        val scored = cents.map { case (cid, cv, cn) =>
+          struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
+            lit(cid).as("cid"))
+        }
+        val eA = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+        (eA.select(col("vec_id"), explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
+           .select(col("vec_id"), col("__pc.cid").as("cell")),
+         eA.select(col("vec_id"), expr("__cells[0].cid").as("cell")))
     }
-    val eA = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
     // query side: full vector + per-subspace LUTs (map-only). The query
     // vector rides through the candidate window here — measured faster
     // at this scale (one re-rank join instead of two). At billion-vector
     // scale with queries ≪ corpus, switch to a narrow (qid, nid, adc)
     // window and re-attach query vectors by qid for shortlist survivors
     // only: the shuffle-byte cut then outweighs the extra join.
-    val q = eA.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"),
-        explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
-      .select(col("qid"), col("__pc.cid").as("cell"), col("va"), col("na"))
+    val q = probeCells.join(e, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
     val qLut = q.select(Seq(col("qid"), col("cell"), col("va"), col("na")) ++
       lutCols(books, dsub): _*)
     // index side: CODES ONLY (m bytes of state per vector in the shuffle)
-    val n = codes.join(eA.select(col("vec_id"), expr("__cells[0].cid").as("cell")),
-        Seq("vec_id"))
+    val n = codes.join(idxCells, Seq("vec_id"))
       .select(col("vec_id").as("nid"), col("cell"), col("codes"))
     // ADC score: fixed subspace-order sum of table lookups
     val adc = (0 until m).map(s =>

@@ -175,6 +175,53 @@ object Similarity {
     ivfSearch(prepared(embeddings).persist(),
       codebook.select(col("cid"), col("cv"), col("cnrm")), k, nprobe)
 
+  /** The full ranked cell assignment (vec_id, cell, rn) for every vector
+    * against a trained codebook — rn = 1 is the vector's own (index)
+    * cell, rn ≤ nprobe its probe set. This IS the IVF index a production
+    * system materializes beside the codebook (FAISS's inverted lists,
+    * relationally): per-vector state bounded by ncells rows of three
+    * ints, built once per corpus so retrieval queries join it instead of
+    * re-ranking centroids per query (see graft.warehouse.Warehouse).
+    * Tie-break matches [[ivfSearchCore]]: (−ccos, cid) struct sort. */
+  def cellAssignments(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = codebook.select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    if (cents.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
+        col("id").cast("int").as("rn"))
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
+        lit(cid).as("cid"))
+    }
+    prepared(embeddings)
+      .withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+      .select(col("vec_id"), posexplode(col("__cells")).as(Seq("r0", "c")))
+      .select(col("vec_id"), col("c.cid").as("cell"),
+        (col("r0") + 1).cast("int").as("rn"))
+  }
+
+  /** IVF search over a MATERIALIZED cell assignment ([[cellAssignments]]
+    * read back from the warehouse): probe side = each query's rn ≤
+    * nprobe cells, index side = each vector's rn = 1 cell. Equivalent to
+    * [[annIvfWithCodebook]] by construction, but the per-query plan pays
+    * two joins against a three-int-column parquet instead of re-scoring
+    * ncells literal centroids per vector — at a billion vectors the
+    * assignment is computed once per corpus build, not once per query. */
+  def annIvfWithAssign(embeddings: DataFrame, assign: DataFrame,
+                       k: Int = 3, nprobe: Int = 6): DataFrame = {
+    val e = prepared(embeddings).persist()
+    val q = assign.where(col("rn") <= nprobe).select(col("vec_id"), col("cell"))
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
+    val n = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("cell"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = q.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+    topK(pairs, k)
+  }
+
   /** Deterministic spherical k-means for IVF coarse quantization.
     * Init = first `ncells` vectors by id; each Lloyd iteration assigns
     * every vector to its max-cosine centroid (ties → lowest cell id) and

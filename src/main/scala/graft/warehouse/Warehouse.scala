@@ -191,6 +191,37 @@ object Warehouse {
     }.toDF("subspace", "code", "cv").repartition(1)
   }
 
+  /** Ranked IVF cell assignment (vec_id, cell, rn) under the trained
+    * codebook — the inverted-list index itself, the per-vector half of
+    * the FAISS artifact pair (codebook = literal-sized, assignment =
+    * per-vector). Materialized so retrieval queries pay two parquet
+    * joins instead of re-scoring ncells literal centroids per vector
+    * per query (the q29/q44 cold-path cost was exactly that codegen). */
+  def buildIvfAssign(spark: SparkSession, sfDir: String, codebook: DataFrame): DataFrame = {
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      // repartition(1): see buildIvfCodebook — an empty write must still
+      // land one part file or the read-back has no schema to infer
+      return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
+        col("id").cast("int").as("rn")).repartition(1)
+    graft.vector.Similarity.cellAssignments(Tables.embeddings(spark, sfDir), codebook)
+  }
+
+  /** PQ codes (vec_id, codes array<int>) under the trained codebooks —
+    * the compressed per-vector index state (m bytes/vector; the only
+    * data-sized piece of the PQ artifact). Encoded once per corpus
+    * build; q44's search joins these instead of re-encoding the corpus
+    * inside every query. */
+  def buildPqCodes(spark: SparkSession, sfDir: String,
+                   books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    if (books.isEmpty ||
+        !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("vec_id"),
+        array().cast("array<int>").as("codes")).repartition(1)
+    graft.vector.ProductQuant.encode(Tables.embeddings(spark, sfDir), dim = 64, books)
+  }
+
   /** Trained BPE merge table (rank, left, right, pair_freq) — the
     * tokenizer is corpus state exactly like the IVF/PQ codebooks:
     * trained once per corpus build, read by every encode query. Corpora
@@ -232,8 +263,10 @@ object Warehouse {
   /** Bump whenever any builder/merge SEMANTIC changes — a stale cache
     * would otherwise silently feed old results to the correctness gate.
     * v2: + ivf_codebook table (embeddings joined the fingerprint).
-    * v3: + bpe_merges table (documents joined the fingerprint). */
-  private val CacheVersion = "v3"
+    * v3: + bpe_merges table (documents joined the fingerprint).
+    * v4: + ivf_assign and pq_codes (the per-vector index state — q29/q44
+    *   read these instead of re-assigning/re-encoding per query). */
+  private val CacheVersion = "v4"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -307,7 +340,13 @@ object Warehouse {
           "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
           "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
           "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)),
+          // index state builds read the codebooks LANDED just above
+          // (ordered seq): re-training them here would fork the artifact
+          "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
+            spark.read.parquet(s"$dir/ivf_codebook"))),
           "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)),
+          "pq_codes" -> (() => buildPqCodes(spark, sfDir,
+            decodeBooks(spark.read.parquet(s"$dir/pq_codebooks")))),
           "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
           "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir)))
         tables.foreach { case (name, build) =>
@@ -361,9 +400,19 @@ object Warehouse {
     * in-memory matrix form [[graft.vector.ProductQuant]] consumes
     * (m × ksub × dsub — literal-sized by construction). */
   def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Double]]] =
-    read(spark, sfDir, "pq_codebooks")
-      .collect()
+    decodeBooks(read(spark, sfDir, "pq_codebooks"))
+
+  private def decodeBooks(df: DataFrame): Seq[Seq[Seq[Double]]] =
+    df.collect()
       .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"), r.getSeq[Double](2).toSeq))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3).toSeq)
+
+  /** Materialized ranked IVF cell assignment (see [[buildIvfAssign]]). */
+  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "ivf_assign")
+
+  /** Materialized PQ codes (see [[buildPqCodes]]). */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "pq_codes")
 }
