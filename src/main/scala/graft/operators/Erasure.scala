@@ -28,17 +28,32 @@ object Erasure {
   /** One audit row per (name, table, keyCol): n_before, n_deleted,
     * n_after, n_leaked — the leak count comes from re-probing the
     * ERASED output against the victim set, so a broken erase shows up
-    * as n_leaked > 0 rather than being defined away. */
+    * as n_leaked > 0 rather than being defined away.
+    *
+    * Each table is scanned exactly TWICE: one broadcast-marker pass over
+    * the original (count(*) = n_before, count(marker) = n_deleted) and
+    * one over the erased output (n_after, n_leaked — measured, not
+    * derived). The r6 shape was four 1-row aggregates per table
+    * crossJoined; re-probing the same table once per count made the
+    * audit's cost depend on session cache state (the BENCH_r06 q79
+    * steady run measured 4× its cold run re-paying those scans).
+    *
+    * The deduped victim set stays persisted for the session — it is
+    * probed 2× per table, is tiny relative to the corpus (the broadcast
+    * side), and like Curation's intermediates it stays cached until the
+    * caller drops it (`spark.catalog.clearCache()` between runs, which
+    * is what Bench and Verify do; a production deployment materializes
+    * the victim list to parquet beside the erasure manifest anyway). */
   def audit(tables: Seq[(String, DataFrame, String)], victims: DataFrame): DataFrame = {
     require(tables.nonEmpty, "audit needs at least one table")
     val v = victims.select(col("key")).dropDuplicates("key").persist()
     tables.map { case (name, df, keyCol) =>
-      val vk = v.withColumnRenamed("key", keyCol)
-      val kept = erase(df, keyCol, v)
-      df.agg(count(lit(1)).as("n_before"))
-        .crossJoin(df.join(vk, Seq(keyCol), "left_semi").agg(count(lit(1)).as("n_deleted")))
-        .crossJoin(kept.agg(count(lit(1)).as("n_after")))
-        .crossJoin(kept.join(vk, Seq(keyCol), "left_semi").agg(count(lit(1)).as("n_leaked")))
+      val vk = broadcast(v.withColumnRenamed("key", keyCol).withColumn("__v", lit(1)))
+      def pass(d: DataFrame, total: String, hits: String) =
+        d.join(vk, Seq(keyCol), "left_outer")
+          .agg(count(lit(1)).as(total), count(col("__v")).as(hits))
+      pass(df, "n_before", "n_deleted")
+        .crossJoin(pass(erase(df, keyCol, v), "n_after", "n_leaked"))
         .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
           col("n_after"), col("n_leaked"))
     }.reduce(_ union _)
