@@ -671,12 +671,14 @@ object SparkEntry {
     // the rules are CORPUS STATE — trained once per corpus build
     // (Warehouse.buildBpeMerges; training cost lands in
     // warehouse_build_sec, exactly the reference's build-nightly/
-    // query-often split) and READ here. No oracleSql twin (the training
-    // argmax loop is not reasonably SQL-expressible) → rows-only driver
-    // check; training semantics are spec-gated (hand-computed golden
-    // merge sequence, tie-break determinism, checkpoint-interval
-    // independence, encode roundtrip). The ENCODE stage under the
-    // fixed table is oracle-gated: q72.
+    // query-often split) and READ here. Oracle-gated since r7: the
+    // iteration count is a fixed training constant, so the argmax loop
+    // unrolls into plain SQL ([[bpeTrainSql]]) — DuckDB re-trains the
+    // whole merge table from `documents` independently and the hash
+    // compare proves the warehouse artifact equals that re-training.
+    // Specs additionally pin tie-break determinism, checkpoint-interval
+    // independence, and the encode roundtrip; the ENCODE stage under
+    // the fixed table is oracle-gated separately (q72).
     "q64_bpe_merges" -> ((s, d) => {
       import s.implicits._
       graft.warehouse.Warehouse.bpeMerges(s, d)
@@ -1306,6 +1308,44 @@ object SparkEntry {
        |pc AS (SELECT doc_id, pos,
        |    len(list_filter(str_split(trim(syms), ' '), s -> s <> '')) AS n_pieces
        |  FROM fin)""".stripMargin
+
+  /** q64 oracle: a FULLY INDEPENDENT DuckDB replay of BPE merge
+    * training, unrolled for the fixed `nMerges` the warehouse trains
+    * (iteration count is a training constant, so unrolling is legal —
+    * each step is one CTE pair). Builds its own distinct-word frequency
+    * table from `documents`, then per rank g: pair-count argmax with the
+    * engine's tie-break (freq DESC, left, right) and a doubled-separator
+    * greedy rewrite (the q72 trick — RE2 has no lookahead, so two-space
+    * boundaries make plain replace() reproduce the engine's
+    * ` l r(?= )` non-overlapping merge scan exactly). Nothing is read
+    * from the warehouse: a training bug cannot mirror itself into this
+    * oracle. */
+  private def bpeTrainSql(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { g =>
+      s"""g$g AS MATERIALIZED (SELECT l, r, pf FROM (
+         |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS pf FROM (
+         |      SELECT unnest(ss[1:len(ss)-1]) AS l, unnest(ss[2:len(ss)]) AS r, freq
+         |      FROM (SELECT list_filter(str_split(trim(syms), ' '), s -> s <> '') AS ss,
+         |            freq FROM w${g - 1}))
+         |    GROUP BY l, r)
+         |  ORDER BY pf DESC, l, r LIMIT 1),
+         |w$g AS MATERIALIZED (SELECT replace(syms,
+         |    (SELECT ' ' || l || '  ' || r || ' ' FROM g$g),
+         |    (SELECT ' ' || l || r || ' ' FROM g$g)) AS syms, freq FROM w${g - 1})""".stripMargin
+    }
+    val ranks = (1 to nMerges).map(g =>
+      s"""SELECT CAST($g AS INT) AS rank, l AS "left", r AS "right", pf AS pair_freq FROM g$g""")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wt AS MATERIALIZED (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS syms, freq FROM wt),
+       |${steps.mkString(",\n")}
+       |SELECT * FROM (
+       |  $ranks)
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Q1 oracle, shared by the DataFrame (q08) and spark.sql-text (q23)
     * implementations — both must match the same DuckDB result. */
@@ -2353,6 +2393,11 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM rer)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // BPE merge TRAINING replayed from scratch (see [[bpeTrainSql]]):
+    // the oracle builds its own word table from `documents` and runs
+    // the full 12-rank argmax/rewrite loop unrolled — the engine's
+    // warehouse-trained table must equal an independent re-training.
+    "q64_bpe_merges" -> bpeTrainSql(12),
     // BPE encode replay under the trained merge table. RE2 has no
     // lookahead, so the engine's greedy pass " l r(?= )" → " lr" is
     // replayed with DOUBLED separators: in "  s1  s2  " every boundary

@@ -10,10 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntryRegistrySpec extends AnyFunSuite {
 
   /** Queries intentionally gated rows-only (no reasonable SQL twin).
-    * Round 6 moved q29/q44 OUT of this set: their search stages are
-    * oracle-replayed over the materialized codebooks; only the BPE
-    * training argmax loop remains (its encode stage is gated by q72). */
-  private val RowsOnly = Set("q64_bpe_merges")
+    * EMPTY since round 7: q29/q44's search stages are oracle-replayed
+    * over the materialized codebooks (r6), and q64's training loop is
+    * unrolled into a from-scratch DuckDB re-training (bpeTrainSql) —
+    * every registered query is hash-gated. */
+  private val RowsOnly = Set.empty[String]
 
   test("every oracle entry points at a registered query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
