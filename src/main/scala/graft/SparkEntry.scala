@@ -1737,15 +1737,27 @@ object SparkEntry {
     "q98_cas_chunks" ->
       """WITH d AS (SELECT source, text FROM documents
         |  WHERE text IS NOT NULL AND length(text) > 0),
-        |c AS (SELECT source, text, list_sort(list_distinct(list_transform(
-        |    list_filter(generate_series(1, length(text)),
-        |      i -> i + 7 <= length(text)
-        |       AND CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)
-        |           % 64 = 0),
-        |    i -> i + 7) || [length(text)])) AS cuts FROM d),
-        |ch AS (SELECT source, md5(substring(text, p[1] + 1, p[2] - p[1])) AS block_md5
-        |  FROM c, unnest(list_filter(list_zip(list_prepend(0, cuts),
-        |    list_append(cuts, -1)), p -> p[2] > p[1])) t(p)),
+        |c0 AS (SELECT source, text, list_reduce(
+        |    list_prepend([CAST(0 AS BIGINT)], list_transform(
+        |      list_transform(list_filter(generate_series(1, length(text)),
+        |        i -> i + 7 <= length(text)
+        |         AND CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 7)) AS BIGINT)
+        |             % 64 = 0),
+        |      i -> i + 7), q -> [CAST(q AS BIGINT)])),
+        |    (acc, x) -> acc
+        |      || list_transform(generate_series(1, (x[1] - acc[-1] - 1) // 256),
+        |           j -> acc[-1] + j * 256)
+        |      || (CASE WHEN x[1] - (acc[-1] + ((x[1] - acc[-1] - 1) // 256) * 256) >= 16
+        |          THEN [x[1]] ELSE [] END)) AS cuts0 FROM d),
+        |c AS (SELECT source, text, cuts0
+        |    || list_transform(generate_series(1, (length(text) - cuts0[-1] - 1) // 256),
+        |         j -> cuts0[-1] + j * 256)
+        |    || (CASE WHEN length(text) > cuts0[-1]
+        |        THEN [CAST(length(text) AS BIGINT)] ELSE [] END) AS cuts
+        |  FROM c0),
+        |ch AS (SELECT source, md5(substring(text, CAST(p[1] + 1 AS INT),
+        |    CAST(p[2] - p[1] AS INT))) AS block_md5
+        |  FROM c, unnest(list_zip(cuts[1:len(cuts)-1], cuts[2:len(cuts)])) t(p)),
         |per AS (SELECT source, block_md5, count(*) AS n FROM ch
         |  GROUP BY source, block_md5),
         |src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_chunks,

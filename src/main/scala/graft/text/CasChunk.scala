@@ -27,34 +27,76 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB): chunking is MAP-ONLY (no window, no shuffle
   * carrying text — the chunk list is built per row before the explode);
   * the only shuffles are the map-side-combined groupBys on (source,
-  * digest) and the digest-keyed cross-source count. Real deployments add
-  * min/max chunk-size clamps; the hash-cut core is the same.
+  * digest) and the digest-keyed cross-source count.
+  *
+  * Chunk-size clamps (restic-style, ¼×–4× of `modulus` by default): a
+  * candidate cut closer than `minLen` to the previous ACCEPTED cut is
+  * skipped, and a span that reaches `maxLen` without an accepted cut is
+  * force-cut at exactly `maxLen` — so no chunk exceeds `maxLen` (a
+  * payload whose rolling hash never fires still splits) and no
+  * non-final chunk is shorter than `minLen`. The greedy left-to-right
+  * scan is inherently sequential PER ROW, so it runs as an `aggregate`
+  * fold over the candidate list — still a pure map-only array
+  * expression, mirrored in DuckDB via `list_reduce`.
   */
 object CasChunk {
 
   /** Per-(source, chunk) digests: (source, block_md5), one row per chunk
     * occurrence. Input needs (source, text). */
-  def chunks(docs: DataFrame, modulus: Int = 64): DataFrame =
+  def chunks(docs: DataFrame, modulus: Int = 64,
+             minLen: Int = -1, maxLen: Int = -1): DataFrame = {
+    val mn = if (minLen > 0) minLen else modulus / 4
+    val mx = if (maxLen > 0) maxLen else modulus * 4
+    require(mx >= mn && mn >= 1, s"need 1 <= minLen ($mn) <= maxLen ($mx)")
     docs.where(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("source"),
-        // ascending cut positions; the gram filter self-eliminates for
-        // len < 8 (sequence(1, len) is ascending for every len ≥ 1)
+      // ascending candidate cut positions; the gram filter
+      // self-eliminates for len < 8 (sequence(1, len) is ascending for
+      // every len ≥ 1)
+      .select(col("source"), col("text"),
         expr(
-          s"""array_sort(array_union(
-             |  transform(filter(sequence(1, length(text)),
+          s"""transform(filter(sequence(1, length(text)),
              |    i -> i + 7 <= length(text) AND
              |      CAST(conv(substring(md5(substring(text, i, 8)), 1, 7), 16, 10)
              |        AS BIGINT) % $modulus = 0),
-             |    i -> i + 7),
-             |  array(length(text))))""".stripMargin).as("cuts"),
-        col("text"))
+             |  i -> CAST(i + 7 AS BIGINT))""".stripMargin).as("cand"))
+      // greedy clamp fold: acc = accepted cuts so far (sentinel 0 =
+      // payload start; element_at(acc, -1) = last accepted). Per
+      // candidate p: first force (p - last - 1) div maxLen cuts at
+      // last + j·maxLen (the spans the scan crossed without a cut),
+      // then accept p iff it sits ≥ minLen past the final forced cut.
+      .select(col("source"), col("text"),
+        expr(
+          s"""aggregate(cand, array(CAST(0 AS BIGINT)),
+             |  (acc, p) -> concat(
+             |    acc,
+             |    CASE WHEN (p - element_at(acc, -1) - 1) div $mx >= 1
+             |         THEN transform(sequence(1, (p - element_at(acc, -1) - 1) div $mx),
+             |                        j -> element_at(acc, -1) + j * $mx)
+             |         ELSE CAST(array() AS ARRAY<BIGINT>) END,
+             |    CASE WHEN p - (element_at(acc, -1)
+             |           + ((p - element_at(acc, -1) - 1) div $mx) * $mx) >= $mn
+             |         THEN array(p) ELSE CAST(array() AS ARRAY<BIGINT>) END))""".stripMargin)
+          .as("cuts0"))
+      // tail: force-cut any remaining over-long span, then close at len
+      .select(col("source"), col("text"),
+        expr(
+          s"""concat(cuts0,
+             |  CASE WHEN (length(text) - element_at(cuts0, -1) - 1) div $mx >= 1
+             |       THEN transform(
+             |         sequence(1, (length(text) - element_at(cuts0, -1) - 1) div $mx),
+             |         j -> element_at(cuts0, -1) + j * $mx)
+             |       ELSE CAST(array() AS ARRAY<BIGINT>) END,
+             |  CASE WHEN length(text) > element_at(cuts0, -1)
+             |       THEN array(CAST(length(text) AS BIGINT))
+             |       ELSE CAST(array() AS ARRAY<BIGINT>) END)""".stripMargin).as("cuts"))
       .select(col("source"),
         explode(expr(
-          """filter(zip_with(concat(array(0), cuts), concat(cuts, array(-1)),
-            |  (a, b) -> struct(a AS s, b AS e)), p -> p.e > p.s)""".stripMargin)).as("p"),
+          """zip_with(slice(cuts, 1, size(cuts) - 1), slice(cuts, 2, size(cuts) - 1),
+            |  (a, b) -> struct(a AS s, b AS e))""".stripMargin)).as("p"),
         col("text"))
       .select(col("source"),
-        md5(expr("substring(text, p.s + 1, p.e - p.s)")).as("block_md5"))
+        md5(expr("substring(text, CAST(p.s + 1 AS INT), CAST(p.e - p.s AS INT))")).as("block_md5"))
+  }
 
   /** Per-source CAS store stats: total chunk writes, distinct stored
     * blocks, dup rate (ppm, integer), and how many of the source's

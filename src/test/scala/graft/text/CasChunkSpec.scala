@@ -48,6 +48,31 @@ class CasChunkSpec extends SparkSpec {
     assert(st._1 == 1L && st._2 == 1L && st._3 == 0L)
   }
 
+  test("a payload whose rolling hash never fires still splits (max clamp)") {
+    // md5("aaaaaaaa") 28-bit gram hash % 64 = 10, so "a"*1000 has ZERO
+    // candidate cuts at the default modulus — pre-clamp this was one
+    // unbounded 1000-char chunk. Forced cuts at 4×modulus = 256 land at
+    // 256/512/768, closing at 1000: three identical 256-blocks + a
+    // 232-tail.
+    val ch = CasChunk.chunks(Seq(("s", "a" * 1000)).toDF("source", "text"))
+      .collect().map(_.getString(1))
+    assert(ch.length == 4, s"chunks=${ch.length}")
+    val sizes = ch.groupBy(identity).map(_._2.length).toSeq.sorted
+    assert(sizes == Seq(1, 3), s"dup profile=$sizes")
+  }
+
+  test("cut candidates closer than minLen to the last cut are skipped (min clamp)") {
+    // md5("xxxxxxxx") gram hash % 64 = 0: EVERY window fires, so "x"*100
+    // offers cuts at 8..100. The greedy min clamp (modulus/4 = 16)
+    // accepts 16,32,48,64,80,96 and the tail closes at 100: six
+    // 16-blocks + one 4-tail.
+    val ch = CasChunk.chunks(Seq(("s", "x" * 100)).toDF("source", "text"))
+      .collect().map(_.getString(1))
+    assert(ch.length == 7, s"chunks=${ch.length}")
+    val sizes = ch.groupBy(identity).map(_._2.length).toSeq.sorted
+    assert(sizes == Seq(1, 6), s"dup profile=$sizes")
+  }
+
   test("chunks cover the text: digests of re-split never lose content") {
     // two different payloads → no shared digests, all counts positive
     val st = statsOf(Seq(("a", base), ("b", base.toUpperCase)))
