@@ -1642,7 +1642,7 @@ object SparkEntry {
     // bin(0)='0'), same 2^40-scaled harmonic sum, same 726/1024 alpha.
     // CASTs to BIGINT guard against DuckDB's sum() widening to HUGEINT.
     "q95_hll_distinct" ->
-      """WITH tok AS (SELECT source,
+      s"""WITH tok AS (SELECT source,
         |    unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS tok
         |  FROM documents WHERE text IS NOT NULL),
         |h AS (SELECT source, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -1657,12 +1657,17 @@ object SparkEntry {
         |x AS (SELECT source, count(DISTINCT tok) AS n_distinct_exact
         |  FROM tok GROUP BY source),
         |f AS (SELECT source, n_regs,
-        |    s_obs + (64 - n_regs) * (1::BIGINT << 40) AS s_sum FROM s)
-        |SELECT f.source, f.n_regs, f.s_sum,
-        |  ((4503599627370496 // f.s_sum) * 726) // 1024 AS hll_estimate,
+        |    s_obs + (64 - n_regs) * (1::BIGINT << 40) AS s_sum FROM s),
+        |e AS (SELECT source, n_regs, s_sum,
+        |    ((4503599627370496 // s_sum) * 726) // 1024 AS est_raw FROM f)
+        |SELECT e.source, e.n_regs, e.s_sum,
+        |  CASE WHEN e.n_regs < 64 AND e.est_raw <= ${graft.operators.Hll.LcThreshold}
+        |       THEN CAST(list_extract(${graft.operators.Hll.lcTableDuck},
+        |                              CAST(64 - e.n_regs AS INT) + 1) AS BIGINT)
+        |       ELSE e.est_raw END AS hll_estimate,
         |  x.n_distinct_exact
-        |FROM f JOIN x ON x.source = f.source
-        |ORDER BY f.source""".stripMargin,
+        |FROM e JOIN x ON x.source = e.source
+        |ORDER BY e.source""".stripMargin,
     // Same literal '. ' sentence split, same sliding 5-gram join with
     // single spaces, same distinct-delta arithmetic; len() is cast to
     // INT to match Spark's size().

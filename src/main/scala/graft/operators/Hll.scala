@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *  - alpha_64 ≈ 0.709 is the dyadic rational 726/1024, applied as
   *    `raw·726 div 1024` (max product ≈ 5.1e16 — inside int64).
   * No float ever participates, so the estimates themselves hash-match the
-  * oracle. Small-range (linear-counting) correction is deliberately
-  * omitted — it needs ln() — and the raw estimator is the documented
-  * contract; accuracy is spec-gated (HllSpec) while determinism is
-  * oracle-gated (q95).
+  * oracle. Small-range correction (Flajolet et al.'s linear counting,
+  * used below 2.5·m where the raw estimator is badly biased) would need
+  * ln() — except that with m registers the empty-register count V takes
+  * only m−1 possible values, so m·ln(m/V) is a 64-entry INTEGER LOOKUP
+  * TABLE ([[lcTable]]), computed once here and embedded as the same
+  * literal array in the oracle SQL. The full estimator stays integer-
+  * exact and hash-gated (q95); accuracy at n ≈ m is spec-gated (HllSpec).
   */
 object Hll {
   /** Number of registers m (p = 6 index bits). Small by production
@@ -42,6 +45,24 @@ object Hll {
 
   private val Scale = 40
   private val RawNum = 4096L << Scale // m² · 2^40 = 2^52
+
+  /** Linear-counting threshold: below 2.5·m the raw estimator's bias
+    * dominates and LC takes over (the textbook switch point). */
+  val LcThreshold: Long = 5L * M / 2
+
+  /** lcTable(V) = round(m·ln(m/V)) for V = 1..m−1 empty registers —
+    * linear counting as a closed integer table (V is discrete, so ln
+    * never runs at query time on either engine). Index 0 is a never-used
+    * placeholder (V = 0 keeps the raw estimate). */
+  val lcTable: Seq[Long] =
+    0L +: (1 until M).map(v => math.round(M * math.log(M.toDouble / v)))
+
+  /** The table as engine / oracle array literals — the same integers
+    * rendered in each dialect, so both replay identical estimates
+    * (1-based element access in both; position V+1 holds the V-empties
+    * estimate). */
+  private[graft] def lcTableSpark: String = lcTable.mkString("array(", "L, ", "L)")
+  def lcTableDuck: String = lcTable.mkString("[", ", ", "]")
 
   /** rho of the 54-bit remainder column (BIGINT, null-free). */
   private def rho(rem: Column): Column =
@@ -68,7 +89,10 @@ object Hll {
     a.unionByName(b).groupBy(col(key), col("reg")).agg(max(col("m_j")).as("m_j"))
 
   /** Finalize: (key, n_regs, s_sum, hll_estimate) — one row per key.
-    * State in: ≤ m rows per key; no further scan of the raw data. */
+    * State in: ≤ m rows per key; no further scan of the raw data. The
+    * estimate is the raw biased HLL, replaced by the linear-counting
+    * table below [[LcThreshold]] when empty registers exist (V = m −
+    * n_regs > 0) — the standard small-range switch, integer end to end. */
   def estimate(registers: DataFrame, key: String): DataFrame =
     registers
       .groupBy(col(key))
@@ -76,6 +100,9 @@ object Hll {
         sum(expr(s"shiftleft(1L, cast($Scale - least(m_j, $Scale) as int))")).as("s_obs"))
       .withColumn("s_sum",
         col("s_obs") + (lit(M.toLong) - col("n_regs")) * lit(1L << Scale))
+      .withColumn("est_raw", expr(s"(($RawNum div s_sum) * 726) div 1024"))
       .select(col(key), col("n_regs"), col("s_sum"),
-        expr(s"(($RawNum div s_sum) * 726) div 1024").as("hll_estimate"))
+        expr(s"""CASE WHEN n_regs < ${M}L AND est_raw <= ${LcThreshold}L
+                |     THEN element_at($lcTableSpark, cast(${M}L - n_regs as int) + 1)
+                |     ELSE est_raw END""".stripMargin).as("hll_estimate"))
 }

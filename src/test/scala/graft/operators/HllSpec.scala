@@ -33,6 +33,26 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("linear counting keeps small ranges accurate (n near and below m)") {
+    // pre-correction, the raw estimator at n≈m was biased high by 2-3×;
+    // linear counting m·ln(m/V) brings the whole small range inside
+    // ±30% (LC stderr at m=64 is a few % here — the wide band only
+    // hedges hash-collision luck on specific token sets).
+    for (n <- Seq(5, 16, 40, 64, 100)) {
+      val data = (1 to n).map(i => ("s", s"small-$i-$n"))
+      val est = Hll.estimate(Hll.registers(hashed(data), "k", "h"), "k")
+        .select("hll_estimate").as[Long].head()
+      assert(math.abs(est - n).toDouble / n <= 0.30, s"n=$n est=$est")
+    }
+  }
+
+  test("single-value key estimates exactly 1 (V=63 linear counting)") {
+    val est = Hll.estimate(Hll.registers(hashed(Seq(("s", "only"))), "k", "h"), "k")
+      .select("hll_estimate").as[Long].head()
+    assert(est == Hll.lcTable(63), s"est=$est")
+    assert(Hll.lcTable(63) == 1L)
+  }
+
   test("duplicates do not move the estimate (distinct-ness)") {
     val uniq = (1 to 3000).map(i => ("s", s"w$i"))
     val dup = uniq ++ uniq ++ uniq.take(500)
