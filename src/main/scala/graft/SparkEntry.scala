@@ -912,6 +912,12 @@ object SparkEntry {
     // 2^w), so every score is engine- and order-exact; libm pow never
     // runs. The as-of anchor is one 1-row broadcast (max day). Shift
     // capped at 62: beyond it the quotient is exactly 0 anyway.
+    // CONTRACT: event `value` is nonnegative (corpus-generated scores).
+    // For negative values the shift-divide decays toward zero rather
+    // than toward −∞ — Spark `div` and DuckDB `//` BOTH truncate on
+    // BIGINT operands (measured: (−300)//7 = −42 in DuckDB 1.0), so the
+    // hash gate stays aligned either way; only the decay semantics,
+    // not the compare, would be debatable for negatives.
     "q90_decay_engagement" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"),
         floor(col("value") * lit(1048576L)).cast("long").as("v_fix"))

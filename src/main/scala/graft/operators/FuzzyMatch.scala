@@ -39,10 +39,15 @@ object FuzzyMatch {
     require(blockKeys.nonEmpty, "need at least one blocking key")
     val reg = df.groupBy(col(nameCol).as("name"))
       .agg(count(lit(1)).as("n_rows"))
-    // one candidate pass per key, pass id prefixed so keys can't collide
+    // one candidate pass per key, pass id prefixed so keys can't
+    // collide; a NULL block key drops the row from THAT pass (matching
+    // the oracle's equi-join, which never matches NULL keys —
+    // concat_ws would otherwise silently fold every NULL-keyed name
+    // into one shared "<i>" block)
     val passes = blockKeys.zipWithIndex.map { case (bk, i) =>
-      reg.select(concat_ws(":", lit(i.toString), bk(col("name"))).as("blk"),
-        col("name"), col("n_rows"))
+      reg.where(bk(col("name")).isNotNull)
+        .select(concat_ws(":", lit(i.toString), bk(col("name"))).as("blk"),
+          col("name"), col("n_rows"))
     }
     val blocked = passes.reduce(_ unionByName _)
     val a = blocked.select(col("blk"), col("name").as("name_a"), col("n_rows").as("n_a"))

@@ -74,13 +74,19 @@ object SkewJoin {
         .select(kc :+ least(lit(maxBuckets.toLong),
           ceil(col("__cnt").cast("double") / col("__med"))).cast("int").as("__buckets"): _*)
     }
-    val saltedBig = big.join(broadcast(hot), keys, "left")
+    // clamp __buckets to >= 1: the computed audit always produces >= 3,
+    // but precomputedHot is an external input — a 0/negative bucket
+    // count would otherwise DROP every row of that key silently (empty
+    // sequence() on the small side, NULL pmod salt on the big side)
+    val hotSafe = hot.withColumn("__buckets",
+      greatest(lit(1), col("__buckets").cast("int")))
+    val saltedBig = big.join(broadcast(hotSafe), keys, "left")
       .withColumn("__salt",
         when(col("__buckets").isNotNull,
           pmod(xxhash64(big.columns.map(col): _*), col("__buckets")).cast("int"))
           .otherwise(lit(0)))
       .drop("__buckets")
-    val saltedSmall = small.join(broadcast(hot), keys, "left")
+    val saltedSmall = small.join(broadcast(hotSafe), keys, "left")
       .withColumn("__salt", explode(expr("sequence(0, coalesce(__buckets, 1) - 1)")))
       .drop("__buckets")
     saltedBig.join(saltedSmall, keys :+ "__salt").drop("__salt")
