@@ -40,6 +40,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q25 regained a cross join:\n$p")
   }
 
+  test("q29/q44: materialized-index ANN — window-free, no literal-codebook re-encode") {
+    // r7 moved the cell assignment and PQ codes into warehouse tables;
+    // the per-query plan must stay two parquet joins + bounded top-k
+    // aggregates — no rank window, no crossJoin, and (for q44) no
+    // 64-expression encode stage re-materializing per query.
+    for (q <- Seq("q29_ann_ivf_trained", "q44_ann_ivfpq")) {
+      val p = plan(q)
+      assert(countWindows(p) == 0, s"$q regained a rank window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q regained a cross join:\n$p")
+    }
+  }
+
+  test("bounded global windows stay bounded-by-construction (q52/q61/q71)") {
+    // These three queries legitimately use unpartitioned windows, each
+    // over an input bounded INDEPENDENT of corpus size:
+    //  - q52: one row per day (calendar-bounded) before the fold;
+    //  - q61: ntile over the deduped ≤1024² z-order key grid;
+    //  - q71: the skew audit's frequency-of-frequency table (≤ distinct
+    //    counts observed) feeding the median.
+    // Pin the EXACT global-window count so a new unpartitioned window
+    // over data-sized input can't slip in silently behind them.
+    val expected = Map(
+      "q52_volume_spikes" -> 2, "q61_zorder_layout" -> 2, "q71_skew_audit" -> 1)
+    for ((q, n) <- expected) {
+      val p = plan(q)
+      assert(countWindows(p) == n,
+        s"$q global-window count drifted (want $n, got ${countWindows(p)}):\n$p")
+    }
+  }
+
   test("q73/q74: map-only — no joins, no windows") {
     for (q <- Seq("q73_pii_scrub", "q74_frame_sample")) {
       val p = plan(q)
