@@ -1,0 +1,71 @@
+package graft
+
+/** Per-query bench regression gate — run before closing a round.
+  *
+  * The r5→r6 drift (q44 2.6→15.6 s cold, plus six smaller regressions)
+  * shipped because nothing in-round compared per-query times against a
+  * recorded budget: the aggregate bench total moved ~20 s across 101
+  * queries and read as noise. This gate re-runs the historically most
+  * expensive queries BenchRepeat-style (N runs, one JVM, teardown
+  * between runs) and fails loudly when a steady median exceeds
+  * [[Headroom]] × its recorded budget.
+  *
+  * Budgets are the steady medians recorded in BASELINE.md §Measured
+  * (r7 in-repo run, sf0.1 local[32]) rounded UP to absorb run-to-run
+  * jitter; 1.5× headroom on top means a trip signals a real plan or
+  * codegen change, not variance. Re-record budgets when a query is
+  * deliberately made faster/slower — the budget is a ratchet, not a
+  * history.
+  *
+  * Usage: `runMain graft.BenchGuard [sfDir] [runs]` (defaults sf0.1,
+  * 3 runs). Exit 1 on any budget trip — wire into the round-close
+  * checklist next to the full verify.
+  */
+object BenchGuard {
+  /** Recorded steady-median budgets (seconds) — BASELINE.md r7 row. */
+  val Budgets: Seq[(String, Double)] = Seq(
+    "q32_ngram_jaccard" -> 2.5,
+    "q27_winnow_fingerprints" -> 2.5,
+    "q61_zorder_layout" -> 2.2,
+    "q29_ann_ivf_trained" -> 2.0,
+    "q40_contamination" -> 1.8,
+    "q82_dupgram_coverage" -> 1.8,
+    "q44_ann_ivfpq" -> 1.6,
+    "q59_peak_concurrency" -> 1.6,
+    "q06_stock_category_day" -> 1.6,
+    "q39_keywords" -> 1.5)
+
+  val Headroom = 1.5
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    graft.warehouse.Warehouse.ensureMaterialized(spark, sfDir)
+
+    val failures = Budgets.flatMap { case (name, budget) =>
+      val times = (1 to runs).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // median of runs AFTER the first (the first pays this query's
+      // plan/codegen construction — BenchRepeat's "cold" row)
+      val steady = times.drop(1).sorted.apply((runs - 1) / 2)
+      val limit = budget * Headroom
+      val verdict = if (steady > limit) "FAIL" else "ok"
+      println(f"[guard] $verdict $name steady=$steady%.2f s budget=$budget%.2f (limit $limit%.2f)")
+      if (steady > limit) Some(name -> steady) else None
+    }
+    spark.stop()
+    if (failures.nonEmpty) {
+      println(s"[guard] ${failures.size} budget trip(s): " +
+        failures.map { case (n, s) => f"$n=$s%.2f s" }.mkString(", "))
+      sys.exit(1)
+    }
+    println(s"[guard] all ${Budgets.size} budgets hold")
+  }
+}
