@@ -214,6 +214,19 @@ object SparkEntry {
                  |       div size(g5)
                  |  ELSE 0L END""".stripMargin).as("dup_gram5_ppm"))
         .orderBy("doc_id")),
+    // TextRank keywords: PageRank over the q93 co-occurrence graph,
+    // fixed 5 iterations in integer micros (graph is vocabulary-
+    // bounded; each iteration one join + one map-side-combined sum).
+    // The oracle unrolls the identical recurrence in DuckDB CTEs.
+    "q101_textrank" -> ((s, d) => graft.text.TextRank.keywords(docs(s, d))),
+    // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
+    // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
+    // RRF, fused over the bounded lists only (never the corpus). The
+    // oracle replays both searches AND the fusion.
+    "q102_rrf_ensemble" -> ((s, d) => Similarity.rrfFuse(Seq(
+      Similarity.annLsh(Tables.embeddings(s, d)),
+      Similarity.annIvfWithAssign(
+        Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))))),
     // Retrieval-quality eval INSIDE the engine (the langid-eval q46
     // pattern applied to ANN): recall@3 of the hyperplane-LSH index
     // (q18) against blocked exact kNN (q17) as ground truth, rolled up
@@ -2689,6 +2702,76 @@ object SparkEntry {
         |FROM pc JOIN uni ua ON ua.tok = pc.tok_a JOIN uni ub ON ub.tok = pc.tok_b
         |CROSS JOIN tot
         |ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+    // TextRank replay: the same co-occurrence pairing as q93, edges
+    // symmetrized with strengths, then the weighted-PageRank recurrence
+    // unrolled 5 iterations in the engine's exact integer-micros
+    // arithmetic (init 10^6; contribution (w·ws)//strength; damping
+    // 150000 + (85·S)//100). AS MATERIALIZED: each iteration references
+    // the edge CTE, which DuckDB would otherwise inline per reference.
+    "q101_textrank" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM t),
+         |pr AS (SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2, 3)),
+         |pc AS MATERIALIZED (SELECT tok_a, tok_b, count(*) AS w FROM pr
+         |  WHERE tok_a <> tok_b GROUP BY tok_a, tok_b),
+         |ed AS MATERIALIZED (
+         |  SELECT tok_a AS src, tok_b AS dst, w FROM pc
+         |  UNION ALL SELECT tok_b, tok_a, w FROM pc),
+         |sw AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM ed GROUP BY src),
+         |ws0 AS (SELECT src AS tok, CAST(1000000 AS BIGINT) AS ws FROM sw),
+         |${(1 to 5).map(i =>
+             s"""ws$i AS (SELECT ed.dst AS tok,
+                |    150000 + (85 * CAST(sum((ed.w * ws${i - 1}.ws) // sw.sw) AS BIGINT)) // 100 AS ws
+                |  FROM ed JOIN ws${i - 1} ON ws${i - 1}.tok = ed.src
+                |    JOIN sw ON sw.src = ed.src
+                |  GROUP BY ed.dst)""".stripMargin).mkString(",\n")}
+         |SELECT tok, ws AS ws_micro FROM ws5
+         |ORDER BY ws_micro DESC, tok LIMIT 20""".stripMargin,
+    // RRF replay: the q18 LSH pairs and the q29 IVF pairs (identical
+    // CTE text), each ranked top-3, fused with integer-micros
+    // reciprocal ranks, re-ranked by (rrf DESC, nid).
+    "q102_rrf_ensemble" ->
+      s"""WITH $VecCte,
+         |bk AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
+         |    CASE WHEN list_dot_product(
+         |        list_transform(generate_series(1, 64), i ->
+         |          CAST(CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 7)) AS BIGINT)
+         |               % 2001 - 1000 AS DOUBLE)),
+         |        v) > CAST(0.0 AS DOUBLE)
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM en),
+         |lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |lr AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM lp) WHERE rank <= 3),
+         |asn AS (SELECT vec_id, cell, rn FROM (
+         |  SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN
+         |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)),
+         |iq AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
+         |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn <= 6),
+         |ix AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
+         |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn = 1),
+         |ip AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
+         |  FROM iq JOIN ix ON iq.cell = ix.cell AND qid <> nid),
+         |ir AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM ip) WHERE rank <= 3),
+         |fu AS (SELECT qid, nid, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+         |  FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir) GROUP BY qid, nid)
+         |SELECT qid, rank, nid, rrf_micro FROM (
+         |  SELECT qid, nid, rrf_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     // Phrase replay on the SAME token stream the engine splits (not a
     // substring scan): consecutive-element check over the filtered
     // word list, so overlap counting and multi-space handling agree by

@@ -350,6 +350,36 @@ object Similarity {
     topK(pairs, k)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard
+    * ensemble trick for hybrid retrieval: each ranked list contributes
+    * 1/(c + rank) per hit, summed per (qid, nid); items surfaced by
+    * several retrievers with decent ranks beat items one retriever
+    * ranked first. Scores are integer micros (10^6 div (c + rank)) so
+    * fusion is exact and oracle-replayable. Input lists carry
+    * (qid, rank, nid); output is the fused top-`k`:
+    * (qid, rank, nid, rrf_micro).
+    *
+    * Scale posture: fusion touches only the retrievers' TOP-K LISTS
+    * (≤ Σk rows per query — bounded state), never the corpora; the one
+    * shuffle keys on (qid, nid) over those bounded lists, then the
+    * bounded top-k aggregate emits the fused ranking. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 3, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val all = lists.map(_.select(col("qid"), col("rank"), col("nid"))).reduce(_ unionByName _)
+    val fused = all
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(expr(s"1000000L div ($c + rank)")).as("rrf_micro"))
+      // exact in double (micros ≤ 10^6·lists), so the bounded top-k
+      // aggregate replaces a per-query rank window; ties → lowest nid,
+      // matching the oracle's ORDER BY rrf DESC, nid
+      .select(col("qid"), col("nid"), col("rrf_micro").cast("double").as("score"))
+    fused.groupBy(col("qid")).agg(expr(s"top_k_pairs(nid, score, $k)").as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("qid"), (col("r0") + 1).cast("long").as("rank"),
+        col("p.id").as("nid"), col("p.score").cast("long").as("rrf_micro"))
+      .orderBy("qid", "rank")
+  }
+
   /** SemDeDup — semantic deduplication via the trained coarse quantizer
     * (Abbas et al., arXiv:2303.09540: cluster the embedding space, drop
     * near-identical vectors WITHIN a cluster, keep one canonical per
