@@ -227,6 +227,16 @@ object SparkEntry {
       Similarity.annLsh(Tables.embeddings(s, d)),
       Similarity.annIvfWithAssign(
         Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))))),
+    // PQ index-quality audit: per-cell reconstruction error from the
+    // materialized codes/codebooks/assignment — integer fixed-point
+    // squared error, one corpus pass, bounded joins. The oracle
+    // re-derives codes AND assignment from the codebook parquet (the
+    // q44 replay), so the gate checks the whole materialized index.
+    "q103_pq_recon_error" -> ((s, d) => graft.vector.ProductQuant.cellReconstructionError(
+      Tables.embeddings(s, d),
+      graft.warehouse.Warehouse.pqCodes(s, d),
+      s.read.parquet(s"${graft.warehouse.Warehouse.ensureMaterialized(s, d)}/pq_codebooks"),
+      graft.warehouse.Warehouse.ivfAssign(s, d), dim = 64)),
     // Retrieval-quality eval INSIDE the engine (the langid-eval q46
     // pattern applied to ANN): recall@3 of the hyperplane-LSH index
     // (q18) against blocked exact kNN (q17) as ground truth, rolled up
@@ -2429,6 +2439,47 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM rer)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // PQ reconstruction-error replay: codes and assignment re-derived
+    // from the codebook parquet exactly as in q44, then the per-dim
+    // fixed-point squared error (floor(diff·2^20), exact int64 sums)
+    // rolled up per cell.
+    "q103_pq_recon_error" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |pq AS (SELECT subspace, code, cv AS pcv FROM '$oracleWhDir/pq_codebooks/*.parquet'),
+         |sc AS (SELECT e.vec_id, p.subspace, p.code,
+         |    list_dot_product(p.pcv, p.pcv)
+         |      - 2.0 * list_dot_product(list_slice(e.v, p.subspace*16 + 1, p.subspace*16 + 16),
+         |                               p.pcv) AS score
+         |  FROM en e CROSS JOIN pq p),
+         |codes AS (SELECT vec_id,
+         |    max(CASE WHEN subspace = 0 THEN code END) AS c0,
+         |    max(CASE WHEN subspace = 1 THEN code END) AS c1,
+         |    max(CASE WHEN subspace = 2 THEN code END) AS c2,
+         |    max(CASE WHEN subspace = 3 THEN code END) AS c3
+         |  FROM (SELECT vec_id, subspace, code,
+         |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY score, code) AS rn
+         |    FROM sc) WHERE rn = 1 GROUP BY vec_id),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |idx AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |er AS (SELECT c.vec_id,
+         |  ${(0 until 4).map(s =>
+              s"""list_sum(list_transform(list_transform(generate_series(1, 16),
+                 |      i -> CAST(floor((e.v[${s * 16} + i] - p$s.pcv[i]) * 1048576) AS BIGINT)),
+                 |    d -> d*d))""".stripMargin).mkString("(", "\n   + ", ")")} AS err
+         |  FROM codes c JOIN en e ON e.vec_id = c.vec_id
+         |  JOIN pq p0 ON p0.subspace = 0 AND p0.code = c.c0
+         |  JOIN pq p1 ON p1.subspace = 1 AND p1.code = c.c1
+         |  JOIN pq p2 ON p2.subspace = 2 AND p2.code = c.c2
+         |  JOIN pq p3 ON p3.subspace = 3 AND p3.code = c.c3)
+         |SELECT idx.cell, count(*) AS n_vectors,
+         |  CAST(sum(er.err) AS BIGINT) // count(*) AS mean_err_fix,
+         |  CAST(max(er.err) AS BIGINT) AS max_err_fix
+         |FROM er JOIN idx ON idx.vec_id = er.vec_id
+         |GROUP BY idx.cell ORDER BY idx.cell""".stripMargin,
     // BPE merge TRAINING replayed from scratch (see [[bpeTrainSql]]):
     // the oracle builds its own word table from `documents` and runs
     // the full 12-rank argmax/rewrite loop unrolled — the engine's

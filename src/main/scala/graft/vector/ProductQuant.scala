@@ -125,6 +125,51 @@ object ProductQuant {
         dotCol(expr(s"slice(va, ${s * dsub + 1}, $dsub)"), c)).as(s"__lut$s")
     }
 
+  /** Per-IVF-cell PQ reconstruction-error audit — the index-quality
+    * eval that tells you WHICH cells need codebook retraining (the q99
+    * pattern applied to quantization): for every vector, reconstruct it
+    * from its m codes, take the squared error against the original in
+    * integer fixed point (per-dim diff floored at 2^20), and roll up
+    * per assigned cell.
+    *
+    * Determinism: the per-dim diff (x − c) is the same double on both
+    * engines (both read the same embedding/codebook parquet), so
+    * floor(diff·2^20) is the same BIGINT; squares (≤ ~4·10^12 per dim,
+    * ≤ ~3·10^14 per vector) sum exactly in int64.
+    *
+    * Scale posture: codes/codebook/assignment are the materialized
+    * warehouse index state; the audit is two bounded joins (codebook is
+    * literal-sized; assignment is 3 ints/vector) + map-side-combined
+    * aggregates — one pass over the corpus vectors, no candidate pairs
+    * at all. Output: (cell, n_vectors, mean_err_fix, max_err_fix). */
+  def cellReconstructionError(embeddings: DataFrame, codes: DataFrame,
+                              booksTable: DataFrame, assign: DataFrame,
+                              dim: Int, m: Int = 4): DataFrame = {
+    require(m > 0 && dim % m == 0)
+    val dsub = dim / m
+    val e = graft.Par.fanOut(embeddings)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("v"))
+    val perSub = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(booksTable.select(col("subspace"), col("code"), col("cv"))),
+        Seq("subspace", "code"))
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"), expr(
+        s"""aggregate(
+           |  zip_with(slice(v, subspace * $dsub + 1, $dsub), cv,
+           |           (x, c) -> CAST(floor((x - c) * 1048576) AS BIGINT)),
+           |  0L, (a, dd) -> a + dd * dd)""".stripMargin).as("serr"))
+    perSub
+      .groupBy(col("vec_id")).agg(sum(col("serr")).as("err"))
+      .join(assign.where(col("rn") === 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("err")).as("se"), max(col("err")).as("max_err_fix"))
+      .select(col("cell"), col("n_vectors"),
+        expr("se div n_vectors").as("mean_err_fix"), col("max_err_fix"))
+      .orderBy("cell")
+  }
+
   /** IVF-PQ search with exact re-rank: coarse IVF cells confine the
     * candidate set ([[Similarity]]'s cell discipline), ADC ranks the
     * in-cell candidates from codes alone, the top `shortlist` per query
