@@ -227,6 +227,37 @@ object SparkEntry {
       Similarity.annLsh(Tables.embeddings(s, d)),
       Similarity.annIvfWithAssign(
         Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))))),
+    // Ensemble-recall eval: recall@3 per label for LSH, IVF, and their
+    // RRF fusion against blocked-exact ground truth — the q99 eval
+    // extended to answer "does the ensemble pay for itself" inside the
+    // engine. The two index scans persist for the session (each feeds
+    // its own eval AND the fusion — Curation's cache-policy note).
+    // Measured at sf0.01: ivf 100666 ppm, ens_rrf 100000, lsh 56000 —
+    // fusing a much weaker retriever DILUTES the stronger one slightly
+    // (rank-only RRF can't tell which list to trust), the classic
+    // ensemble caveat this eval exists to surface.
+    "q104_ensemble_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
+      val lsh = Similarity.annLsh(emb).persist()
+      val ivf = Similarity.annIvfWithAssign(
+        emb, graft.warehouse.Warehouse.ivfAssign(s, d)).persist()
+      val fused = Similarity.rrfFuse(Seq(lsh, ivf))
+      Seq(("lsh", lsh), ("ivf", ivf), ("ens_rrf", fused)).map { case (name, df) =>
+        val ann = df.select(col("qid").as("aqid"), col("nid").as("anid"))
+        exact
+          .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
+          .join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("hits")).as("sum_hits"), sum(col("n_exact")).as("sum_exact"))
+          .select(col("label"), lit(name).as("method"), col("n_queries"),
+            col("sum_hits"), col("sum_exact"),
+            expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("label", "method")
+    }),
     // PQ index-quality audit: per-cell reconstruction error from the
     // materialized codes/codebooks/assignment — integer fixed-point
     // squared error, one corpus pass, bounded joins. The oracle
@@ -2439,6 +2470,70 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM rer)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Ensemble-recall replay: blocked-exact truth (q99's ex), the q102
+    // LSH/IVF/fused lists, then one eval per method via a method-keyed
+    // union — recall arithmetic identical to q99's.
+    "q104_ensemble_recall" ->
+      s"""WITH $VecCte,
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+         |          b.vec_id) AS rank
+         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  WHERE rank <= 3),
+         |bk AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
+         |    CASE WHEN list_dot_product(
+         |        list_transform(generate_series(1, 64), i ->
+         |          CAST(CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 7)) AS BIGINT)
+         |               % 2001 - 1000 AS DOUBLE)),
+         |        v) > CAST(0.0 AS DOUBLE)
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM en),
+         |lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |lr AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM lp) WHERE rank <= 3),
+         |asn AS (SELECT vec_id, cell, rn FROM (
+         |  SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN
+         |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)),
+         |iq AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
+         |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn <= 6),
+         |ix AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
+         |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn = 1),
+         |ip AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
+         |  FROM iq JOIN ix ON iq.cell = ix.cell AND qid <> nid),
+         |ir AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         |  FROM ip) WHERE rank <= 3),
+         |fu AS (SELECT qid, nid, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+         |  FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir) GROUP BY qid, nid),
+         |fr AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 3),
+         |al AS MATERIALIZED (
+         |  SELECT 'lsh' AS method, qid, nid FROM lr
+         |  UNION ALL SELECT 'ivf', qid, nid FROM ir
+         |  UNION ALL SELECT 'ens_rrf', qid, nid FROM fr),
+         |h AS (SELECT m.method, ex.qid, count(a.nid) AS hits, count(*) AS n_exact
+         |  FROM (SELECT DISTINCT method FROM al) m
+         |  CROSS JOIN ex
+         |  LEFT JOIN al a ON a.method = m.method AND a.qid = ex.qid AND a.nid = ex.nid
+         |  GROUP BY m.method, ex.qid)
+         |SELECT en.label, h.method, count(*) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+         |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+         |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
+         |    AS recall_ppm
+         |FROM h JOIN en ON en.vec_id = h.qid
+         |GROUP BY en.label, h.method ORDER BY en.label, h.method""".stripMargin,
     // PQ reconstruction-error replay: codes and assignment re-derived
     // from the codebook parquet exactly as in q44, then the per-dim
     // fixed-point squared error (floor(diff·2^20), exact int64 sums)
