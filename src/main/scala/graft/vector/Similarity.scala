@@ -217,10 +217,23 @@ object Similarity {
     val n = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
       .join(e, Seq("vec_id"))
       .select(col("vec_id").as("nid"), col("cell"), col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = q.join(n, Seq("cell")).where(col("qid") =!= col("nid"))
+    // the pair join keys on `cell` alone — ncells distinct values, so an
+    // unsalted shuffle caps the pair-evaluation (and top-k partial-agg)
+    // parallelism at ncells tasks regardless of cluster width. Salt the
+    // probe side so each cell fans out over CellSalt buckets; the index
+    // side replicates ×CellSalt (bounded: the index is one row per
+    // corpus vector, and the dot-product work it feeds is ~N²/ncells).
+    val pairs = graft.operators.SkewJoin.salted(q, n, Seq("cell"), CellSalt)
+      .where(col("qid") =!= col("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     topK(pairs, k)
   }
+
+  /** Salt-bucket fanout for IVF cell joins: cells are few (8–64) by
+    * design, so cell-keyed joins under-parallelize any cluster wider
+    * than ncells; ncells × CellSalt shuffle keys restore full width.
+    * Correctness is salt-invariant (SkewJoinSpec pins row equality). */
+  val CellSalt = 8
 
   /** Deterministic spherical k-means for IVF coarse quantization.
     * Init = first `ncells` vectors by id; each Lloyd iteration assigns
@@ -343,8 +356,10 @@ object Similarity {
     val n = withCells(eN).select(col("vec_id").as("nid"), col("v").as("vb"),
       col("nrm").as("nb"), expr("__cells[0].cid").as("cell"))
     // each (qid, nid) pair appears at most once: the index assignment
-    // is unique and the probe cells are distinct
-    val joined = q.join(n, Seq("cell"))
+    // is unique and the probe cells are distinct. Salted for the same
+    // reason as [[annIvfWithAssign]]: ncells join keys alone would cap
+    // the pair-evaluation parallelism at ncells tasks.
+    val joined = graft.operators.SkewJoin.salted(q, n, Seq("cell"), CellSalt)
     val pairs = (if (excludeSelf) joined.where(col("qid") =!= col("nid")) else joined)
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     topK(pairs, k)
