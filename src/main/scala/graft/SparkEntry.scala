@@ -219,6 +219,20 @@ object SparkEntry {
     // bounded; each iteration one join + one map-side-combined sum).
     // The oracle unrolls the identical recurrence in DuckDB CTEs.
     "q101_textrank" -> ((s, d) => graft.text.TextRank.keywords(docs(s, d))),
+    // Corpus-graph centrality: fixed-iteration integer PageRank over
+    // the MinHash-LSH near-dup graph (q14's pairs) — ranks documents
+    // WITHIN their duplicate blobs (canonical-representative pick) and
+    // leaves singletons at the teleport base. One shuffle join + sum
+    // per iteration, Pregel-shaped, no driver state.
+    "q105_pagerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = graft.text.TextDedup.minhashLshPairs(dd)
+      graft.operators.PageRank.ranks(
+          dd.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("id").as("doc_id"), col("pr_fix"))
+        .orderBy("doc_id")
+    }),
     // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
     // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
     // RRF, fused over the bounded lists only (never the corpus). The
@@ -2185,6 +2199,28 @@ object SparkEntry {
          |       CAST(doc_id = cluster_id AS INT) AS is_keeper
          |FROM comp JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Replays the q14 pair graph, then 5 chained integer power
+    // iterations (PageRank.Scale/DampNum/TeleportFix) — nonneg operands
+    // so DuckDB // and Spark div agree; singletons via the final LEFT
+    // JOIN at the teleport base.
+    "q105_pagerank" -> {
+      val iterCtes = (1 to 5).map { k =>
+        s"""r$k AS (SELECT e.dst AS id,
+           |  CAST(150000 AS BIGINT) + sum(((r.pr * 85) // 100) // d.outdeg) AS pr
+           |  FROM es e JOIN r${k - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |es AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM es GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$iterCtes
+         |SELECT doc_id, coalesce(r.pr, CAST(150000 AS BIGINT)) AS pr_fix
+         |FROM documents LEFT JOIN r5 r ON r.id = doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
     "q34_corpus_profile" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
