@@ -224,6 +224,12 @@ object SparkEntry {
     // WITHIN their duplicate blobs (canonical-representative pick) and
     // leaves singletons at the teleport base. One shuffle join + sum
     // per iteration, Pregel-shaped, no driver state.
+    // Learned-quality-filter inference: hashed unigram+bigram features
+    // × integer milli-weights, exact BIGINT logit, keep = logit >= 0.
+    // Map-only (one projection of codegen'd builtins; the only
+    // exchange is the output sort) — the deployment shape of a
+    // fasttext-style classifier at corpus scale.
+    "q106_model_filter" -> ((s, d) => graft.text.HashedLinearModel.score(docs(s, d))),
     "q105_pagerank" -> ((s, d) => {
       val dd = docs(s, d)
       val pairs = graft.text.TextDedup.minhashLshPairs(dd)
@@ -2199,6 +2205,33 @@ object SparkEntry {
          |       CAST(doc_id = cluster_id AS INT) AS is_keeper
          |FROM comp JOIN sizes USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Replays HashedLinearModel's two-stage md5 derivation (feature →
+    // bucket → milli-weight) and the exact integer logit sum; list_sum
+    // of an empty list is NULL in DuckDB, hence the coalesce (Spark's
+    // aggregate() returns its BIGINT init for empty arrays).
+    "q106_model_filter" -> {
+      val h28 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 7)) AS BIGINT)"
+      val w = (x: String) =>
+        s"(${h28(s"'w:' || CAST(${h28(x)} % 4096 AS VARCHAR)")} % 2001 - 1000)"
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) >= 2 THEN
+         |      list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+         |    ELSE []::VARCHAR[] END AS bis
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) + len(bis) AS BIGINT) AS n_feats,
+         |    CAST(coalesce(list_sum(list_transform(ws,  x -> ${w("x")})), 0)
+         |       + coalesce(list_sum(list_transform(bis, x -> ${w("x")})), 0) AS BIGINT)
+         |      AS logit_milli
+         |  FROM f)
+         |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // Replays the q14 pair graph, then 5 chained integer power
     // iterations (PageRank.Scale/DampNum/TeleportFix) — nonneg operands
     // so DuckDB // and Spark div agree; singletons via the final LEFT

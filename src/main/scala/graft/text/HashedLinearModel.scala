@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear classifier INFERENCE — the deployment shape of
+  * a fasttext-style learned quality filter (reference quality flags:
+  * q47 is the heuristic variant; this is the model-driven one): tokens
+  * and token bigrams are hashed into a FIXED bucket space (the hashing
+  * trick — the model is `NBuckets` weights regardless of vocabulary
+  * size), each bucket carries an integer milli-weight, and a document's
+  * logit is the exact BIGINT sum of its feature weights. keep = logit
+  * >= 0 (comparing the logit against a threshold is sigmoid-free — the
+  * sigmoid is monotone, so the decision needs no floating point).
+  *
+  * In production the weight table is a trained artifact shipped with
+  * the pipeline (like the PQ codebooks, [[graft.vector.ProductQuant]]);
+  * here the weights are derived deterministically from md5 of the
+  * bucket id ([[graft.functions.PortableHash]] conventions) so the
+  * DuckDB oracle replays scoring end-to-end. The operator under test is
+  * the inference PLAN: map-only, codegen'd builtins inside one
+  * projection, no UDF, no shuffle — at 100 TB it is a single scan that
+  * parallelizes to any cluster width.
+  */
+object HashedLinearModel {
+  /** Model size: weights live in buckets 0..NBuckets-1. */
+  val NBuckets = 4096L
+  /** Milli-weight span: weights are integers in [-1000, 1000]. */
+  val WSpan = 2001L
+
+  private def h28(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 7), 16, 10) AS BIGINT)"
+
+  /** Integer milli-weight of feature string `x`: bucket = h28(x) mod
+    * NBuckets, weight = h28('w:' || bucket) mod WSpan - 1000. Both
+    * hashes are nonnegative, so Spark `%` and DuckDB `%` agree. */
+  private def weightExpr(x: String): String =
+    s"(${h28(s"concat('w:', CAST(${h28(x)} % $NBuckets AS STRING))")} % $WSpan - 1000)"
+
+  /** Per-document score: (doc_id, n_feats, logit_milli, keep).
+    * `docs` needs columns doc_id, text. */
+  def score(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
+      // bigrams: 1-based element_at + inclusive sequence mirror DuckDB's
+      // 1-based list indexing; the size guard keeps sequence() ascending
+      .withColumn("bis", expr(
+        """CASE WHEN size(ws) >= 2
+          |THEN transform(sequence(1, size(ws) - 1),
+          |               i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .withColumn("logit_milli", expr(
+        s"""aggregate(ws,  CAST(0 AS BIGINT), (acc, x) -> acc + ${weightExpr("x")}) +
+           |aggregate(bis, CAST(0 AS BIGINT), (acc, x) -> acc + ${weightExpr("x")})""".stripMargin))
+      .select(col("doc_id"),
+        (size(col("ws")) + size(col("bis"))).cast("long").as("n_feats"),
+        col("logit_milli"),
+        (col("logit_milli") >= 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+}
