@@ -239,6 +239,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
     }),
+    // Near-dup graph density: degree-ordered triangle counts + integer
+    // clustering coefficient — distinguishes clique-shaped duplicate
+    // blobs (template spam) from chain-shaped ones (drifted revisions).
+    "q107_triangles" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = graft.text.TextDedup.minhashLshPairs(dd)
+      graft.operators.Triangles.perNode(
+          dd.select(col("doc_id").as("id")),
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("id").as("doc_id"), col("degree"), col("n_tri"), col("cc_ppm"))
+        .orderBy("doc_id")
+    }),
     // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
     // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
     // RRF, fused over the bounded lists only (never the corpus). The
@@ -2232,6 +2244,34 @@ object SparkEntry {
          |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // Replays the q14 pair graph, degree-ordered orientation, and the
+    // once-per-triangle wedge+close join (Triangles.perNode).
+    "q107_triangles" ->
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |es AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS d FROM es GROUP BY src),
+         |ori AS (SELECT e.src AS u, e.dst AS v, dv.d AS dv
+         |  FROM es e JOIN deg du ON du.id = e.src JOIN deg dv ON dv.id = e.dst
+         |  WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+         |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM ori a JOIN ori b ON a.u = b.u
+         |    AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))
+         |  JOIN ori c ON c.u = a.v AND c.v = b.v),
+         |tn AS (SELECT id, count(*) AS n_tri FROM (
+         |    SELECT x AS id FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY id)
+         |SELECT doc_id, coalesce(deg.d, 0) AS degree, coalesce(tn.n_tri, 0) AS n_tri,
+         |  CASE WHEN coalesce(deg.d, 0) >= 2
+         |       THEN (2 * coalesce(tn.n_tri, 0) * 1000000) // (deg.d * (deg.d - 1))
+         |       ELSE CAST(0 AS BIGINT) END AS cc_ppm
+         |FROM documents
+         |LEFT JOIN deg ON deg.id = doc_id
+         |LEFT JOIN tn ON tn.id = doc_id
+         |ORDER BY doc_id""".stripMargin,
     // Replays the q14 pair graph, then 5 chained integer power
     // iterations (PageRank.Scale/DampNum/TeleportFix) — nonneg operands
     // so DuckDB // and Spark div agree; singletons via the final LEFT

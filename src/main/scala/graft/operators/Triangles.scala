@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counting + integer clustering coefficient over an
+  * undirected edge list — the graph-density diagnostic for near-dup
+  * graphs: components ([[Components]]) say which docs clump, centrality
+  * ([[PageRank]]) ranks them, triangle density says whether a clump is
+  * a mutually-similar CLIQUE (template spam — every variant matches
+  * every other) or a sparse CHAIN (drifted revisions that only match
+  * their neighbors) — different curation treatments.
+  *
+  * Algorithm: degree-ordered orientation ("compact-forward", Latapy
+  * 2008): orient each edge u→v iff (deg(u), u) < (deg(v), v), then a
+  * triangle {u,v,w} is found exactly once as wedge u→v, u→w (v before w
+  * in the same order) closed by edge v→w. The per-source fanout of the
+  * wedge join is bounded by the graph's degeneracy, not its max degree
+  * — the difference between a bounded shuffle and a hub-node blowup on
+  * skewed graphs (the textbook reason naive id-ordering fails at
+  * scale).
+  *
+  * Scale posture (100 TB): three shuffle joins over the narrow edge
+  * list (all keyed, no cartesian), one explode + count, one broadcast-
+  * size join back to the node set. Clustering coefficient is integer
+  * ppm (2·tri·10^6 div d·(d-1)) — nonneg operands, oracle-portable.
+  */
+object Triangles {
+
+  /** (id, degree, n_tri, cc_ppm) per node. `nodes` needs column `id`;
+    * `edges` columns `src`/`dst` (undirected, duplicates/orientation
+    * free). Nodes outside the edge subgraph report (0, 0, 0). */
+  def perNode(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("id"), col("d"))
+    // keep both endpoint degrees on the oriented edge so the wedge
+    // ordering below needs no extra join
+    val ori = sym
+      .join(deg.select(col("id").as("src"), col("d").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("d").as("dv")), Seq("dst"))
+      .where(col("du") < col("dv") || (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"), col("dv"))
+      // feeds three sides of the wedge/close joins; stays cached until
+      // the caller clears the session cache (Curation's cache-policy
+      // note — Bench/Verify clearCache() between runs)
+      .persist()
+    val a = ori.select(col("u"), col("v").as("va"), col("dv").as("da"))
+    val b = ori.select(col("u"), col("v").as("vb"), col("dv").as("db"))
+    val close = ori.select(col("u").as("va"), col("v").as("vb"))
+    val tri = a.join(b, Seq("u"))
+      .where(col("da") < col("db") || (col("da") === col("db") && col("va") < col("vb")))
+      .join(close, Seq("va", "vb"))
+      .select(col("u"), col("va"), col("vb"))
+    val perId = tri.select(col("u").as("id"))
+      .union(tri.select(col("va").as("id")))
+      .union(tri.select(col("vb").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val out = nodes.select(col("id"))
+      .join(deg, Seq("id"), "left")
+      .join(perId, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("d"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm", expr(
+        "CASE WHEN degree >= 2 THEN (2 * n_tri * 1000000) div (degree * (degree - 1)) ELSE CAST(0 AS BIGINT) END"))
+    out
+  }
+}
