@@ -239,6 +239,12 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
     }),
+    // SQ8 round-trip audit: per-dimension int8 quantization of the
+    // embedding corpus, mean squared reconstruction error per label in
+    // integer fixed point — the "are 8 bits enough" companion to the
+    // PQ audit (q103). Stats pass + broadcast-joined map-side encode.
+    "q108_sq8_audit" -> ((s, d) =>
+      graft.vector.ScalarQuant.reconstructionAudit(Tables.embeddings(s, d))),
     // Near-dup graph density: degree-ordered triangle counts + integer
     // clustering coefficient — distinguishes clique-shaped duplicate
     // blobs (template spam) from chain-shaped ones (drifted revisions).
@@ -2244,6 +2250,36 @@ object SparkEntry {
          |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // Replays ScalarQuant.reconstructionAudit: per-dim min/max, the
+    // identical double-association encode/recon expressions, integer
+    // fixed-point error rollup. pos is 1-based here vs posexplode's
+    // 0-based — join-key-only, never output.
+    "q108_sq8_audit" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |flat AS (SELECT vec_id, label, u.pos AS pos, u.val AS val FROM (
+        |  SELECT vec_id, label,
+        |    unnest(list_transform(generate_series(1, len(v)),
+        |                          i -> struct_pack(pos := i, val := v[i]))) AS u
+        |  FROM e)),
+        |stats AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM flat GROUP BY pos),
+        |coded AS (SELECT label, val, mn, mx,
+        |    CASE WHEN mx > mn
+        |         THEN least(255, CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT))
+        |         ELSE CAST(0 AS BIGINT) END AS code
+        |  FROM flat JOIN stats USING (pos)),
+        |recon AS (SELECT label, val,
+        |    CASE WHEN mx > mn
+        |         THEN mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / 255.0
+        |         ELSE mn END AS recon
+        |  FROM coded),
+        |err AS (SELECT label,
+        |    CAST(floor((val - recon) * (val - recon) * 1073741824.0) AS BIGINT) AS e_fix
+        |  FROM recon),
+        |agg AS (SELECT label, CAST(sum(e_fix) AS BIGINT) AS sum_err_fix FROM err GROUP BY label),
+        |nv AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT label, n_vecs, sum_err_fix, sum_err_fix // n_vecs AS mean_err_fix
+        |FROM agg JOIN nv USING (label)
+        |ORDER BY label""".stripMargin,
     // Replays the q14 pair graph, degree-ordered orientation, and the
     // once-per-triangle wedge+close join (Triangles.perNode).
     "q107_triangles" ->
