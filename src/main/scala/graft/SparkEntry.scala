@@ -239,6 +239,11 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
     }),
+    // MinHash-estimator calibration: signature estimate vs exact
+    // Jaccard per true-similarity decile over ALL LSH candidates —
+    // the dedup stack's q99-style in-engine eval.
+    "q109_minhash_calibration" -> ((s, d) =>
+      graft.text.TextDedup.minhashCalibration(docs(s, d))),
     // SQ8 round-trip audit: per-dimension int8 quantization of the
     // embedding corpus, mean squared reconstruction error per label in
     // integer fixed point — the "are 8 bits enough" companion to the
@@ -1325,8 +1330,12 @@ object SparkEntry {
   /** Shared oracle CTE chain: MinHash+LSH near-dup pairs over `sh`
     * (mirrors TextDedup.minhashLshPairsFromShingles) — ends in
     * `pairs(doc_a, doc_b, jaccard)`. */
-  private val LshPairsCtes: String =
-    """hs AS (SELECT doc_id, shingles,
+  private val LshPairsCtes: String = lshPairsCtes("0.5")
+
+  /** [[LshPairsCtes]] with a caller-chosen jaccard threshold (q109's
+    * calibration wants ALL candidates, threshold 0). */
+  private def lshPairsCtes(threshold: String): String =
+    s"""hs AS (SELECT doc_id, shingles,
       |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
       |  FROM sh),
       |sig AS (SELECT doc_id,
@@ -1347,7 +1356,7 @@ object SparkEntry {
       |         CAST(0.0 AS DOUBLE)) AS jaccard
       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
       |pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
-      |  WHERE jaccard >= CAST(0.5 AS DOUBLE))""".stripMargin
+      |  WHERE jaccard >= CAST($threshold AS DOUBLE))""".stripMargin
 
   /** Shared oracle CTE: per-document 32-bit simhash over shingles
     * (mirrors TextDedup.simhashExpr). */
@@ -2250,6 +2259,26 @@ object SparkEntry {
          |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // Replays the full candidate set (threshold 0), the 16-component
+    // signature match count, and the ppm decile rollup.
+    "q109_minhash_calibration" ->
+      s"""WITH $ShinglesCte,
+         |${lshPairsCtes("0.0")},
+         |ps AS (SELECT p.jaccard, sa.sig AS sig_a, sb.sig AS sig_b
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b),
+         |m AS (SELECT
+         |  (CAST(len(list_filter(list_transform(generate_series(1, 16),
+         |     i -> sig_a[i] = sig_b[i]), x -> x)) AS BIGINT) * 1000000) // 16 AS est_ppm,
+         |  CAST(floor(jaccard * 1000000.0) AS BIGINT) AS true_ppm
+         |  FROM ps),
+         |g AS (SELECT true_ppm // 100000 AS decile, count(*) AS n_pairs,
+         |  CAST(sum(abs(est_ppm - true_ppm)) AS BIGINT) AS sum_abs_err_ppm
+         |  FROM m GROUP BY 1)
+         |SELECT decile, n_pairs, sum_abs_err_ppm,
+         |  sum_abs_err_ppm // n_pairs AS mean_abs_err_ppm
+         |FROM g ORDER BY decile""".stripMargin,
     // Replays ScalarQuant.reconstructionAudit: per-dim min/max, the
     // identical double-association encode/recon expressions, integer
     // fixed-point error rollup. pos is 1-based here vs posexplode's

@@ -183,6 +183,39 @@ object TextDedup {
       .orderBy("new_id", "old_id")
   }
 
+  /** MinHash ESTIMATOR calibration — the q99-style eval-in-engine for
+    * the dedup stack: over every LSH candidate pair (threshold 0, so
+    * low-similarity collisions are in the sample too), compare the
+    * signature estimate (matching components / [[MinhashK]]) against
+    * exact shingle-set Jaccard, rolled up per true-Jaccard decile.
+    * Answers "how far off is a 16-perm signature, and where" — the
+    * number that justifies (or indicts) the band/threshold choice,
+    * measured on the corpus itself instead of trusted from theory.
+    *
+    * Output: (decile, n_pairs, sum_abs_err_ppm, mean_abs_err_ppm),
+    * decile = floor(true·10)..10. Integer ppm arithmetic throughout;
+    * the zip_with/filter match-count is interpreted (CodegenFallback)
+    * but runs only over candidate PAIRS — band-bounded, never the
+    * corpus. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs).persist()
+    val pairs = minhashLshPairsFromShingles(sh, 0.0)
+    val sigs = sh.withColumn("sig", minhashExpr("shingles"))
+      .select(col("doc_id"), col("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_ppm", expr(
+        s"(CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) AS BIGINT) * 1000000) div $MinhashK"))
+      .withColumn("true_ppm", expr("CAST(floor(jaccard * 1000000.0) AS BIGINT)"))
+      .groupBy(expr("true_ppm div 100000").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("est_ppm") - col("true_ppm"))).as("sum_abs_err_ppm"))
+      .select(col("decile"), col("n_pairs"), col("sum_abs_err_ppm"),
+        expr("sum_abs_err_ppm div n_pairs").as("mean_abs_err_ppm"))
+      .orderBy("decile")
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs over a fresh shingle
     * projection — see [[ngramJaccardPairsFromShingles]]. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =

@@ -140,4 +140,25 @@ class TextDedupSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0),
       (4L, 0L, 0L, 0.0)))
   }
+
+  test("minhashCalibration: identical docs land in decile 10 with zero error") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val out = TextDedup.minhashCalibration(docs)
+      .select("decile", "n_pairs", "sum_abs_err_ppm", "mean_abs_err_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // only the identical pair band-collides: est = 16/16, true = 1.0
+    assert(out == Seq((10L, 1L, 0L, 0L)))
+  }
+
+  test("minhashCalibration errors are bounded by 1e6 ppm on corpus data") {
+    val out = TextDedup.minhashCalibration(corpusDocs)
+      .select("decile", "n_pairs", "mean_abs_err_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { case (d, n, e) => d >= 0 && d <= 10 && n > 0 && e >= 0 && e <= 1000000 })
+    assert(out.map(_._1) == out.map(_._1).sorted)
+  }
 }
