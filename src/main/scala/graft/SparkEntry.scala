@@ -231,13 +231,30 @@ object SparkEntry {
     // fasttext-style classifier at corpus scale.
     "q106_model_filter" -> ((s, d) => graft.text.HashedLinearModel.score(docs(s, d))),
     "q105_pagerank" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pairs = graft.text.TextDedup.minhashLshPairs(dd)
+      val pairs = graft.warehouse.Warehouse.nearDupPairs(s, d)
       graft.operators.PageRank.ranks(
-          dd.select(col("doc_id").as("id")),
+          docs(s, d).select(col("doc_id").as("id")),
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
+    }),
+    // Output-shard manifest: deterministic 16 KiB-budget shard
+    // assignment by cumulative byte offset (the webdataset/WARC shard-
+    // writing step) rolled up to the per-shard index a random-access
+    // reader needs: doc range, count, bytes, fill. Runs on the
+    // PrefixSum two-level scan — no single-partition window.
+    "q110_shard_manifest" -> ((s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      graft.operators.PrefixSum.packByBudget(dd, "doc_id", "n_chars", budget = 16384L)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .select(col("pack_id").as("shard_id"), col("n_docs"), col("total_bytes"),
+          col("first_doc"), col("last_doc"),
+          expr("(total_bytes * 1000000) div 16384").as("fill_ppm"))
+        .orderBy("shard_id")
     }),
     // MinHash-estimator calibration: signature estimate vs exact
     // Jaccard per true-similarity decile over ALL LSH candidates —
@@ -254,10 +271,9 @@ object SparkEntry {
     // clustering coefficient — distinguishes clique-shaped duplicate
     // blobs (template spam) from chain-shaped ones (drifted revisions).
     "q107_triangles" -> ((s, d) => {
-      val dd = docs(s, d)
-      val pairs = graft.text.TextDedup.minhashLshPairs(dd)
+      val pairs = graft.warehouse.Warehouse.nearDupPairs(s, d)
       graft.operators.Triangles.perNode(
-          dd.select(col("doc_id").as("id")),
+          docs(s, d).select(col("doc_id").as("id")),
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .select(col("id").as("doc_id"), col("degree"), col("n_tri"), col("cc_ppm"))
         .orderBy("doc_id")
@@ -2259,6 +2275,22 @@ object SparkEntry {
          |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // Replays the running total as a plain window (the oracle CAN
+    // afford the single-partition scan) and the same start-offset
+    // shard arithmetic.
+    "q110_shard_manifest" ->
+      """WITH rt AS (SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |  FROM documents),
+        |sh AS (SELECT doc_id, n_chars, (running_total - n_chars) // 16384 AS shard_id
+        |  FROM rt)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  (CAST(sum(n_chars) AS BIGINT) * 1000000) // 16384 AS fill_ppm
+        |FROM sh GROUP BY shard_id
+        |ORDER BY shard_id""".stripMargin,
     // Replays the full candidate set (threshold 0), the 16-component
     // signature match count, and the ppm decile rollup.
     "q109_minhash_calibration" ->

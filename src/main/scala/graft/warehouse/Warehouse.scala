@@ -161,17 +161,34 @@ object Warehouse {
     * the dims: dedup clusters are corpus state, not query state, and at
     * 100 TB nothing recomputes a transitive closure inside an analytic
     * query. Queries project keepers/sizes from this table. */
-  def buildNearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def buildNearDupClusters(spark: SparkSession, sfDir: String,
+                           pairs: DataFrame): DataFrame = {
     val p = new Path(s"$sfDir/documents.parquet")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
         .repartition(1)
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val pairs = graft.text.TextDedup.minhashLshPairs(docs)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     graft.operators.Components.minLabel(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
+
+  /** The MinHash-LSH near-dup PAIR table (doc_a, doc_b, jaccard) — the
+    * duplicate graph's edge list, materialized once per corpus like the
+    * clusters built from it: every graph analytic (closure q35,
+    * centrality q105, triangle density q107) reads this table instead
+    * of re-running shingle → signature → band join per query. At 100 TB
+    * the signature/pair tables ARE parquet artifacts (TextDedup's
+    * bandedSignatures note); recomputing the pair join inside each
+    * analytic would be the scale bug. */
+  def buildNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
+        col("id").cast("double").as("jaccard")).repartition(1)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    graft.text.TextDedup.minhashLshPairs(docs)
   }
 
   /** PQ codebooks (subspace, code, cv) — the trained product-quantizer
@@ -266,7 +283,7 @@ object Warehouse {
     * v3: + bpe_merges table (documents joined the fingerprint).
     * v4: + ivf_assign and pq_codes (the per-vector index state — q29/q44
     *   read these instead of re-assigning/re-encoding per query). */
-  private val CacheVersion = "v4"
+  private val CacheVersion = "v5"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -348,7 +365,14 @@ object Warehouse {
           "pq_codes" -> (() => buildPqCodes(spark, sfDir,
             decodeBooks(spark.read.parquet(s"$dir/pq_codebooks")))),
           "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
-          "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir)))
+          // the pair table lands first; the cluster closure reads it
+          // (single source of truth for the duplicate graph — q14's
+          // operator demo still derives pairs fresh, but the graph
+          // analytics q35/q105/q107 read corpus state, as production
+          // would)
+          "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir)),
+          "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
+            spark.read.parquet(s"$dir/neardup_pairs"))))
         tables.foreach { case (name, build) =>
           if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
         }
@@ -384,6 +408,10 @@ object Warehouse {
     * [[buildNearDupClusters]]). */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "neardup_clusters")
+
+  /** Near-dup pair table, materialized-once (see [[buildNearDupPairs]]). */
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "neardup_pairs")
 
   /** Trained BPE merge rules, materialized-once, reassembled in rank
     * order to the in-memory form [[graft.text.Bpe.encode]] consumes
