@@ -238,6 +238,12 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
     }),
+    // JL random-projection distortion audit: 64→16-dim ±1 projection
+    // (literal sign matrix, 16 codegen'd vec_dot per row, map-only),
+    // then per-label mean/max |cos_orig − cos_proj| over label-blocked
+    // pairs — the measured "did compression keep the geometry" gate.
+    "q111_jl_distortion" -> ((s, d) =>
+      graft.vector.RandomProjection.distortionAudit(Tables.embeddings(s, d))),
     // Output-shard manifest: deterministic 16 KiB-budget shard
     // assignment by cumulative byte offset (the webdataset/WARC shard-
     // writing step) rolled up to the per-shard index a random-access
@@ -2274,6 +2280,34 @@ object SparkEntry {
          |  FROM f)
          |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    // Replays the projection against the SAME literal ±1 matrix
+    // (list_dot_product ≡ vec_dot, the VecCte bit-exactness) and the
+    // floor-ppm error rollup.
+    "q111_jl_distortion" -> {
+      val projList = (0 until graft.vector.RandomProjection.OutDims).map { j =>
+        val lst = graft.vector.RandomProjection.signCol(j)
+          .map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
+        s"list_dot_product(v, [$lst])"
+      }.mkString(",\n         |    ")
+      s"""WITH $VecCte,
+         |pr AS (SELECT vec_id, label, v, nrm AS nv,
+         |    [$projList] AS p
+         |  FROM en),
+         |pn AS (SELECT vec_id, label, v, p, nv,
+         |    sqrt(list_dot_product(p, p)) AS np FROM pr),
+         |ps AS (SELECT a.label,
+         |    list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos_o,
+         |    list_dot_product(a.p, b.p) / (a.np * b.np) AS cos_p
+         |  FROM pn a JOIN pn b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE a.nv > 0 AND b.nv > 0 AND a.np > 0 AND b.np > 0),
+         |e AS (SELECT label,
+         |    CAST(floor(abs(cos_o - cos_p) * 1000000.0) AS BIGINT) AS err_ppm
+         |  FROM ps)
+         |SELECT label, count(*) AS n_pairs,
+         |  CAST(sum(err_ppm) AS BIGINT) // count(*) AS mean_abs_err_ppm,
+         |  max(err_ppm) AS max_abs_err_ppm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin
     },
     // Replays the running total as a plain window (the oracle CAN
     // afford the single-partition scan) and the same start-offset
