@@ -238,6 +238,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
     }),
+    // Similarity-weighted centrality: q105's recurrence with outflow
+    // split by Jaccard ppm — rank flows toward the most TIGHTLY
+    // duplicated variant, the better canonical pick within a blob.
+    "q112_weighted_pagerank" -> ((s, d) => {
+      val pairs = graft.warehouse.Warehouse.nearDupPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"),
+          expr("CAST(floor(jaccard * 1000000.0) AS BIGINT)").as("w"))
+      graft.operators.PageRank.ranksWeighted(
+          docs(s, d).select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("pr_fix"))
+        .orderBy("doc_id")
+    }),
     // JL random-projection distortion audit: 64→16-dim ±1 projection
     // (literal sign matrix, 16 codegen'd vec_dot per row, map-only),
     // then per-label mean/max |cos_orig − cos_proj| over label-blocked
@@ -2280,6 +2292,28 @@ object SparkEntry {
          |  FROM f)
          |SELECT doc_id, n_feats, logit_milli, CAST(logit_milli >= 0 AS INT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    // q105's chained-CTE replay with weight-proportional outflow
+    // (w = floor(jaccard·10^6), W(u) = Σw — all nonneg integer).
+    "q112_weighted_pagerank" -> {
+      val iterCtes = (1 to 5).map { k =>
+        s"""r$k AS (SELECT e.dst AS id,
+           |  CAST(150000 AS BIGINT) + sum((((r.pr * 85) // 100) * e.w) // t.wtot) AS pr
+           |  FROM es e JOIN r${k - 1} r ON r.id = e.src JOIN wt t ON t.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |we AS (SELECT doc_a, doc_b, CAST(floor(jaccard * 1000000.0) AS BIGINT) AS w
+         |       FROM pairs),
+         |es AS (SELECT doc_a AS src, doc_b AS dst, w FROM we
+         |       UNION SELECT doc_b, doc_a, w FROM we),
+         |wt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wtot FROM es GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM wt),
+         |$iterCtes
+         |SELECT doc_id, coalesce(r.pr, CAST(150000 AS BIGINT)) AS pr_fix
+         |FROM documents LEFT JOIN r5 r ON r.id = doc_id
+         |ORDER BY doc_id""".stripMargin
     },
     // Replays the projection against the SAME literal ±1 matrix
     // (list_dot_product ≡ vec_dot, the VecCte bit-exactness) and the

@@ -81,4 +81,47 @@ object PageRank {
       .select(col("id"), lit(TeleportFix).as("pr_fix"))
     ranks.union(singletons)
   }
+
+  /** Similarity-WEIGHTED ranks: `edges` carries an integer weight
+    * column `w` (e.g. Jaccard ppm), and a node's outflow splits
+    * proportionally to edge weight instead of uniformly:
+    *
+    *   r'(v) = 150_000 + Σ_{u→v} ((r(u) * 85 div 100) * w(u,v)) div W(u)
+    *
+    * with W(u) = Σ w(u,·). Stronger-similarity edges carry more rank —
+    * on a near-dup graph that pulls the canonical pick toward the
+    * variant most TIGHTLY duplicated, not merely most-connected.
+    * Products stay inside int64: r ≤ n·10^6 prmicro, ×85, ×w ≤ 10^6
+    * — bounded by 10^14·n-ish; same plan shape and determinism as
+    * [[ranks]] (one join+sum per iteration, all operands nonneg). */
+  def ranksWeighted(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .dropDuplicates("src", "dst")
+      .persist()
+    val wsum = sym.groupBy(col("src")).agg(sum(col("w")).as("wtot")).persist()
+    wsum.count()
+
+    var ranks = wsum.select(col("src").as("id"), lit(Scale).as("pr_fix"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // per-EDGE contribution this time (outflow splits by weight), so
+      // the damped rank and W(u) attach to each edge before the fanout
+      val contrib = sym
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(wsum, Seq("src"))
+        .select(col("dst"),
+          expr(s"(((pr_fix * $DampNum) div $DampDen) * w) div wtot").as("c"))
+      val next = contrib.groupBy(col("dst")).agg(sum(col("c")).as("msg"))
+        .select(col("dst").as("id"), (lit(TeleportFix) + col("msg")).as("pr_fix"))
+        .localCheckpoint(true)
+      ranks = next
+    }
+    sym.unpersist(); wsum.unpersist()
+    val singletons = nodes.select(col("id"))
+      .join(ranks.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(TeleportFix).as("pr_fix"))
+    ranks.union(singletons)
+  }
 }

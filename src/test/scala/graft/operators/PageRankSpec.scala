@@ -47,6 +47,39 @@ class PageRankSpec extends SparkSpec {
       assert(run(nodes, edges, iters) == replay(nodes, edges, iters), s"iters=$iters")
   }
 
+  private def runW(nodes: Seq[Long], edges: Seq[(Long, Long, Long)], iters: Int = 5): Map[Long, Long] =
+    PageRank.ranksWeighted(nodes.toDF("id"), edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("uniform weights reproduce the unweighted ranks") {
+    val nodes = (0L to 5L).toSeq
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (4L, 5L))
+    assert(runW(nodes, edges.map { case (a, b) => (a, b, 7L) }) == run(nodes, edges))
+  }
+
+  test("weighted ranks match a driver-side integer replay and favor heavy edges") {
+    val nodes = Seq(1L, 2L, 3L, 9L)
+    // node 1 splits outflow 9:1 between 2 and 3
+    val edges = Seq((1L, 2L, 900000L), (1L, 3L, 100000L), (2L, 3L, 1L))
+    val got = runW(nodes, edges)
+    // driver replay of the same recurrence
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }.distinct
+    val wt = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = wt.keys.map(_ -> PageRank.Scale).toMap
+    for (_ <- 1 to 5) {
+      val msgs = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) =>
+          r(src) * PageRank.DampNum / PageRank.DampDen * w / wt(src)
+        }.sum
+      }
+      r = r.keys.map(v => v -> (PageRank.TeleportFix + msgs(v))).toMap
+    }
+    val expected = nodes.map(v => v -> r.getOrElse(v, PageRank.TeleportFix)).toMap
+    assert(got == expected)
+    assert(got(2L) > got(3L)) // the 9:1 split shows up in the ranks
+    assert(got(9L) == PageRank.TeleportFix)
+  }
+
   test("duplicate and reversed input edges do not change ranks") {
     val nodes = Seq(1L, 2L, 3L)
     val base = run(nodes, Seq((1L, 2L), (2L, 3L)))
