@@ -21,12 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright; read nanos as long and floor-divide to micros —
-    * exactly how DuckDB coerces ns→µs, so oracle timestamps agree. */
+  /** events.parquet's `ts` physical type has changed across corpus
+    * generations (TIMESTAMP(NANOS) read as INT64 under `nanosAsLong`;
+    * later regenerations store TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ). Dispatch on the OBSERVED dtype so one upstream
+    * re-type never takes out every event-reading query again:
+    *  - INT64 nanos → floor-divide to micros (how DuckDB coerces ns→µs,
+    *    so oracle timestamps agree);
+    *  - TIMESTAMP / TIMESTAMP_NTZ → plain cast (session tz is UTC, so
+    *    the NTZ local value and DuckDB's naive read denote the same
+    *    instant). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or a future string/date drift)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
