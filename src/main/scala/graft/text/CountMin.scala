@@ -35,17 +35,30 @@ object CountMin {
   private[graft] def cell(width: Int) =
     PortableHash.h28(concat_ws(":", col("r").cast("string"), col("tok"))).mod(width)
 
-  /** Sketch counters from a (tok) token table: one row per non-empty
-    * cell — (r, bucket, cnt). `depth` independent md5-salted rows of
-    * `width` buckets. */
-  def sketch(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+  /** Sketch counters from a VOCABULARY-sized (tok, cnt) count table:
+    * one row per non-empty cell — (r, bucket, cnt). A cell's counter is
+    * the sum of the counts of the tokens hashing there, so building
+    * from pre-aggregated counts yields bit-identical counters to
+    * per-occurrence insertion while hashing each DISTINCT token depth
+    * times instead of each occurrence (the r7 bench's q55 cost was
+    * exactly depth md5s × corpus tokens in the hot map stage). */
+  def sketchFromCounts(tokenCounts: DataFrame, depth: Int = 4,
+                       width: Int = 1024): DataFrame = {
     require(depth > 0 && width > 0, "sketch dimensions must be positive")
-    toks
-      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
-      .select(col("r"), cell(width).as("bucket"))
+    tokenCounts
+      .select(col("tok"), col("cnt").as("tok_cnt"),
+        explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .select(col("r"), cell(width).as("bucket"), col("tok_cnt"))
       .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tok_cnt")).as("cnt"))
   }
+
+  /** Sketch counters from a (tok) token-occurrence table — reduces the
+    * stream to counts first (map-side combined; the shuffle carries
+    * vocabulary partials, never tokens), then hashes the vocabulary. */
+  def sketch(toks: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    sketchFromCounts(toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      depth, width)
 
   /** Point-frequency audit over `docs` (doc_id, text): build the sketch
     * from all whitespace tokens, then for the `topK` most frequent
@@ -56,8 +69,11 @@ object CountMin {
                      topK: Int = 50): DataFrame = {
     val toks = graft.Par.fanOut(docs)
       .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("tok"))
-    val counters = sketch(toks, depth, width)
-    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    // one corpus pass: everything downstream (counters AND estimates)
+    // derives from the vocabulary-sized exact-count table
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt")).persist()
+    val counters = sketchFromCounts(
+      truth.select(col("tok"), col("true_cnt").as("cnt")), depth, width)
     truth
       .select(col("tok"), col("true_cnt"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
       .withColumn("bucket", cell(width))

@@ -38,21 +38,16 @@ object TextRank {
   /** Top-`topK` keywords as (tok, ws_micro), highest score first.
     * Input: docs(doc_id, text). */
   def keywords(docs: DataFrame, window: Int = 3, iters: Int = 5,
-               topK: Int = 20): DataFrame = {
-    require(window >= 1 && iters >= 1 && topK >= 1)
-    val tok = graft.Par.fanOut(docs)
-      .select(col("doc_id"),
-        posexplode(expr("filter(split(text, ' '), w -> w <> '')")).as(Seq("pos", "tok")))
-    // q93's pairing: tokens at distance 1..window within a doc, undirected
-    val left = tok.select(col("doc_id"), col("pos"), col("tok").as("ta"))
-      .withColumn("off", explode(expr(s"sequence(1, $window)")))
-      .select(col("doc_id"), (col("pos") + col("off")).as("pos"), col("ta"))
-    val und = left
-      .join(tok.select(col("doc_id"), col("pos"), col("tok").as("tb")), Seq("doc_id", "pos"))
-      .select(least(col("ta"), col("tb")).as("tok_a"),
-        greatest(col("ta"), col("tb")).as("tok_b"))
-      .where(col("tok_a") =!= col("tok_b")) // no self-loops
-      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("w"))
+               topK: Int = 20): DataFrame =
+    keywordsFromPairs(Cooccur.pairCounts(docs, window), iters, topK)
+
+  /** The PageRank half, over an already-derived (or warehouse-
+    * materialized) undirected pair-count table (tok_a, tok_b, w) —
+    * [[Cooccur.pairCounts]]'s shape. */
+  def keywordsFromPairs(pairCounts: DataFrame, iters: Int = 5,
+                        topK: Int = 20): DataFrame = {
+    require(iters >= 1 && topK >= 1)
+    val und = pairCounts.where(col("tok_a") =!= col("tok_b")) // no self-loops
     // symmetric directed edge list + per-node strength, persisted: both
     // are probed once per iteration (vocabulary-sized state)
     val edges = und.select(col("tok_a").as("src"), col("tok_b").as("dst"), col("w"))

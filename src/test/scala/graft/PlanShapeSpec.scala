@@ -70,6 +70,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("co-occurrence pair generation is map-only — no joins, no windows") {
+    // r7's q101 exploded the corpus token stream ×window and hash-joined
+    // it back to itself (two corpus-sized shuffles); the pairing is
+    // position-local per document, so the plan must be scan → project/
+    // generate → one aggregate exchange, nothing else.
+    val p = graft.text.Cooccur.pairCounts(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .selectExpr("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pair generation gained a join:\n$p")
+    assert(!p.contains("Window"), s"pair generation gained a window:\n$p")
+  }
+
   test("q73/q74: map-only — no joins, no windows") {
     for (q <- Seq("q73_pii_scrub", "q74_frame_sample")) {
       val p = plan(q)
