@@ -217,8 +217,11 @@ object SparkEntry {
     // TextRank keywords: PageRank over the q93 co-occurrence graph,
     // fixed 5 iterations in integer micros (graph is vocabulary-
     // bounded; each iteration one join + one map-side-combined sum).
+    // The edge list is the materialized cooccur_edges artifact — pair
+    // generation itself is map-only (Cooccur.pairCounts; zero joins).
     // The oracle unrolls the identical recurrence in DuckDB CTEs.
-    "q101_textrank" -> ((s, d) => graft.text.TextRank.keywords(docs(s, d))),
+    "q101_textrank" -> ((s, d) => graft.text.TextRank.keywordsFromPairs(
+      graft.warehouse.Warehouse.cooccurEdges(s, d))),
     // Corpus-graph centrality: fixed-iteration integer PageRank over
     // the MinHash-LSH near-dup graph (q14's pairs) — ranks documents
     // WITHIN their duplicate blobs (canonical-representative pick) and
@@ -343,7 +346,7 @@ object SparkEntry {
     "q103_pq_recon_error" -> ((s, d) => graft.vector.ProductQuant.cellReconstructionError(
       Tables.embeddings(s, d),
       graft.warehouse.Warehouse.pqCodes(s, d),
-      s.read.parquet(s"${graft.warehouse.Warehouse.ensureMaterialized(s, d)}/pq_codebooks"),
+      graft.warehouse.Warehouse.pqCodebooksDf(s, d),
       graft.warehouse.Warehouse.ivfAssign(s, d), dim = 64)),
     // Retrieval-quality eval INSIDE the engine (the langid-eval q46
     // pattern applied to ANN): recall@3 of the hyperplane-LSH index
@@ -944,19 +947,13 @@ object SparkEntry {
     // Unigram table broadcast (vocab ≪ corpus; at web scale this
     // becomes an ordinary shuffle join, same dataflow).
     "q93_cooccurrence" -> ((s, d) => {
-      val tok = graft.Par.fanOut(docs(s, d))
-        .select(col("doc_id"),
-          posexplode(expr("filter(split(text, ' '), w -> w <> '')")).as(Seq("pos", "tok")))
-      val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      val tot = tok.agg(count(lit(1)).as("n_tokens"))
-      val left = tok.select(col("doc_id"), col("pos"), col("tok").as("ta"))
-        .withColumn("off", explode(expr("sequence(1, 3)")))
-        .select(col("doc_id"), (col("pos") + col("off")).as("pos"), col("ta"))
-      left.join(tok.select(col("doc_id"), col("pos"), col("tok").as("tb")),
-          Seq("doc_id", "pos"))
-        .select(least(col("ta"), col("tb")).as("tok_a"),
-          greatest(col("ta"), col("tb")).as("tok_b"))
-        .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_pair"))
+      // Edges and unigrams are warehouse corpus state (Cooccur.pairCounts
+      // / unigramCounts, materialized once beside neardup_pairs); the
+      // query is two broadcast probes of the vocabulary-sized tables.
+      val uni = graft.warehouse.Warehouse.tokenUnigrams(s, d)
+      val tot = uni.agg(sum(col("n")).as("n_tokens"))
+      graft.warehouse.Warehouse.cooccurEdges(s, d)
+        .withColumnRenamed("w", "n_pair")
         .join(broadcast(uni.select(col("tok").as("tok_a"), col("n").as("na"))), Seq("tok_a"))
         .join(broadcast(uni.select(col("tok").as("tok_b"), col("n").as("nb"))), Seq("tok_b"))
         .crossJoin(broadcast(tot))
@@ -2351,7 +2348,8 @@ object SparkEntry {
         |    sum(n_chars) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
         |  FROM documents),
-        |sh AS (SELECT doc_id, n_chars, (running_total - n_chars) // 16384 AS shard_id
+        |sh AS (SELECT doc_id, n_chars,
+        |    CAST((running_total - n_chars) // 16384 AS BIGINT) AS shard_id
         |  FROM rt)
         |SELECT shard_id, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_bytes,

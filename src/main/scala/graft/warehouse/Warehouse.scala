@@ -256,6 +256,30 @@ object Warehouse {
     table.repartition(1)
   }
 
+  /** Word co-occurrence edge list (tok_a, tok_b, w) — corpus state by
+    * the neardup_pairs argument: vocabulary-bounded, derived once,
+    * shared by the PMI collocations (q93) and TextRank (q101) graph
+    * analytics instead of each re-deriving the same edges per query. */
+  def buildCooccurEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").cast("string").as("tok_a"),
+        col("id").cast("string").as("tok_b"), col("id").as("w")).repartition(1)
+    graft.text.Cooccur.pairCounts(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
+  /** Unigram counts (tok, n) under the same tokenization — the PMI
+    * denominator table beside [[buildCooccurEdges]]. */
+  def buildTokenUnigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").cast("string").as("tok"),
+        col("id").as("n")).repartition(1)
+    graft.text.Cooccur.unigramCounts(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
   /** fact_orders_created (process_orders_sqls.py:79-90): the first event
     * per order joined to the date dimension for the surrogate key. */
   def buildFactOrders(spark: SparkSession, sfDir: String): DataFrame = {
@@ -282,8 +306,10 @@ object Warehouse {
     * v2: + ivf_codebook table (embeddings joined the fingerprint).
     * v3: + bpe_merges table (documents joined the fingerprint).
     * v4: + ivf_assign and pq_codes (the per-vector index state — q29/q44
-    *   read these instead of re-assigning/re-encoding per query). */
-  private val CacheVersion = "v5"
+    *   read these instead of re-assigning/re-encoding per query).
+    * v6: + cooccur_edges and token_unigrams (the word co-occurrence
+    *   graph — q93/q101 read corpus state instead of re-deriving). */
+  private val CacheVersion = "v6"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -316,72 +342,112 @@ object Warehouse {
   }
 
   /** Resolved cache dir per sfDir (memoized per JVM — the FS fingerprint
-    * walk runs once per corpus, not once per query). Failed builds are
-    * memoized too (Left): a deterministic build that failed once fails
-    * again — retrying it inside every downstream query silently charges
-    * repeated multi-second build attempts to whatever is being timed. */
+    * walk runs once per corpus, not once per query). Failed resolutions
+    * are memoized too (Left): a deterministic failure that happened once
+    * happens again — retrying it inside every downstream query silently
+    * charges repeated attempts to whatever is being timed. */
   private val resolved = TrieMap.empty[String, Either[Throwable, String]]
 
-  /** Drop the per-JVM memo so the next read re-fingerprints its inputs.
+  /** Per-TABLE build results, keyed by `$dir/$name`. Ten warehouse
+    * artifacts are ten independent nightly jobs, not one transaction: in
+    * r7 a corpus-regeneration type drift broke the events loader and the
+    * single memoized `Left` took down every embeddings/documents-derived
+    * artifact (ivf/pq/bpe/neardup) with it — 13 queries whose sources
+    * were intact. Per-table memoization keeps a failed dim loud for ITS
+    * readers while unrelated corpus state still lands. */
+  private val tableState = TrieMap.empty[String, Either[Throwable, Unit]]
+
+  /** Drop the per-JVM memos so the next read re-fingerprints its inputs.
     * Needed only when a corpus is REGENERATED IN PLACE within one JVM
     * (tests; an ops notebook reloading a day): across JVMs the
     * fingerprint in the directory name self-invalidates. */
-  def invalidateResolved(): Unit = resolved.clear()
+  def invalidateResolved(): Unit = { resolved.clear(); tableState.clear() }
 
   private val buildLock = new Object
 
-  /** Ensure every warehouse table for `sfDir` is materialized; returns
-    * the cache directory. Idempotent and cheap after first touch. Each
+  private def resolveDir(spark: SparkSession, sfDir: String): String =
+    resolved.getOrElseUpdate(sfDir,
+      try Right(s"$cacheRoot/$CacheVersion-${inputFingerprint(spark, sfDir)}-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]+", "_"))
+      catch { case e: Throwable => Left(e) }
+    ).fold(e => throw e, identity)
+
+  /** The warehouse table registry for one corpus, in dependency order
+    * (index/cluster builds read artifacts landed earlier in the list). */
+  private def registry(spark: SparkSession, sfDir: String, dir: String): Seq[(String, () => DataFrame)] = {
+    // dim_products batch 1 is itself a materialized table (the nightly
+    // recipe: merge N's output is swapped in before merge N+1 reads it).
+    def viaSwap(name: String): DataFrame => DataFrame = { df =>
+      Ingest.overwriteSwap(spark, df, s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    Seq(
+      "dim_orders" -> (() => buildDimOrders(spark, sfDir)),
+      "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
+      "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
+      "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
+      "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)),
+      // index state builds read the codebooks LANDED just above
+      // (ordered seq): re-training them here would fork the artifact.
+      // A failed codebook propagates: the parquet read throws, so the
+      // dependent table records its own Left — loud for its readers.
+      "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
+        spark.read.parquet(s"$dir/ivf_codebook"))),
+      "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)),
+      "pq_codes" -> (() => buildPqCodes(spark, sfDir,
+        decodeBooks(spark.read.parquet(s"$dir/pq_codebooks")))),
+      "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
+      // the pair table lands first; the cluster closure reads it
+      // (single source of truth for the duplicate graph — q14's
+      // operator demo still derives pairs fresh, but the graph
+      // analytics q35/q105/q107 read corpus state, as production
+      // would)
+      "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir)),
+      "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
+        spark.read.parquet(s"$dir/neardup_pairs"))),
+      "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
+      "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)))
+  }
+
+  /** Build one table if not yet landed; memoize ITS OWN outcome. Each
     * table lands atomically via [[Ingest.overwriteSwap]] (write beside,
     * rename over), so a killed build never leaves a half-written table
     * with a `_SUCCESS` marker. */
-  def ensureMaterialized(spark: SparkSession, sfDir: String): String =
-    resolved.getOrElseUpdate(sfDir, buildLock.synchronized {
-      try {
-        val dir = s"$cacheRoot/$CacheVersion-${inputFingerprint(spark, sfDir)}-" +
-          sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-        val conf = spark.sparkContext.hadoopConfiguration
-        val fs = new Path(dir).getFileSystem(conf)
-        def landed(name: String): Boolean = fs.exists(new Path(s"$dir/$name/_SUCCESS"))
+  private def ensureTable(spark: SparkSession, dir: String, name: String,
+                          build: () => DataFrame): Either[Throwable, Unit] =
+    tableState.getOrElseUpdate(s"$dir/$name", buildLock.synchronized {
+      // re-check under the lock: a racing thread may have landed it
+      tableState.get(s"$dir/$name").getOrElse {
+        try {
+          val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new Path(s"$dir/$name/_SUCCESS")))
+            Ingest.overwriteSwap(spark, build(), s"$dir/$name")
+          Right(())
+        } catch { case e: Throwable => Left(e) }
+      }
+    })
 
-        // dim_products batch 1 is itself a materialized table (the nightly
-        // recipe: merge N's output is swapped in before merge N+1 reads it).
-        def viaSwap(name: String): DataFrame => DataFrame = { df =>
-          Ingest.overwriteSwap(spark, df, s"$dir/$name")
-          spark.read.parquet(s"$dir/$name")
-        }
+  /** Attempt every warehouse table for `sfDir` (each build isolated —
+    * one failed dim no longer aborts unrelated artifacts); returns the
+    * cache directory. Idempotent and cheap after first touch. Throws
+    * only if NO table could be attempted (dir resolution failed);
+    * per-table failures surface at that table's reader. */
+  def ensureMaterialized(spark: SparkSession, sfDir: String): String = {
+    val dir = resolveDir(spark, sfDir)
+    registry(spark, sfDir, dir).foreach { case (name, build) =>
+      ensureTable(spark, dir, name, build)
+    }
+    dir
+  }
 
-        val tables: Seq[(String, () => DataFrame)] = Seq(
-          "dim_orders" -> (() => buildDimOrders(spark, sfDir)),
-          "dim_products" -> (() => buildDimParts(spark, sfDir, viaSwap("dim_products_b1"))),
-          "dim_orders_2b" -> (() => buildDimOrdersTwoBatches(spark, sfDir, viaSwap("dim_orders_2b_b1"))),
-          "fact_orders" -> (() => buildFactOrders(spark, sfDir)),
-          "ivf_codebook" -> (() => buildIvfCodebook(spark, sfDir)),
-          // index state builds read the codebooks LANDED just above
-          // (ordered seq): re-training them here would fork the artifact
-          "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
-            spark.read.parquet(s"$dir/ivf_codebook"))),
-          "pq_codebooks" -> (() => buildPqCodebooks(spark, sfDir)),
-          "pq_codes" -> (() => buildPqCodes(spark, sfDir,
-            decodeBooks(spark.read.parquet(s"$dir/pq_codebooks")))),
-          "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
-          // the pair table lands first; the cluster closure reads it
-          // (single source of truth for the duplicate graph — q14's
-          // operator demo still derives pairs fresh, but the graph
-          // analytics q35/q105/q107 read corpus state, as production
-          // would)
-          "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir)),
-          "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
-            spark.read.parquet(s"$dir/neardup_pairs"))))
-        tables.foreach { case (name, build) =>
-          if (!landed(name)) Ingest.overwriteSwap(spark, build(), s"$dir/$name")
-        }
-        Right(dir)
-      } catch { case e: Throwable => Left(e) }
-    }).fold(e => throw e, identity)
-
-  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"${ensureMaterialized(spark, sfDir)}/$name")
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val dir = ensureMaterialized(spark, sfDir)
+    tableState.get(s"$dir/$name") match {
+      case Some(Left(e)) =>
+        throw new IllegalStateException(s"warehouse table '$name' failed to build for $sfDir", e)
+      case _ => spark.read.parquet(s"$dir/$name")
+    }
+  }
 
   /** dim_orders, materialized-once (see [[buildDimOrders]]). */
   def dimOrders(spark: SparkSession, sfDir: String): DataFrame =
@@ -413,6 +479,14 @@ object Warehouse {
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "neardup_pairs")
 
+  /** Co-occurrence edges, materialized-once (see [[buildCooccurEdges]]). */
+  def cooccurEdges(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "cooccur_edges")
+
+  /** Unigram counts, materialized-once (see [[buildTokenUnigrams]]). */
+  def tokenUnigrams(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "token_unigrams")
+
   /** Trained BPE merge rules, materialized-once, reassembled in rank
     * order to the in-memory form [[graft.text.Bpe.encode]] consumes
     * (vocabulary-training emits a FIXED small rule count — literal-sized
@@ -429,6 +503,10 @@ object Warehouse {
     * (m × ksub × dsub — literal-sized by construction). */
   def pqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Double]]] =
     decodeBooks(read(spark, sfDir, "pq_codebooks"))
+
+  /** PQ codebooks as their parquet DataFrame (see [[buildPqCodebooks]]). */
+  def pqCodebooksDf(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "pq_codebooks")
 
   private def decodeBooks(df: DataFrame): Seq[Seq[Seq[Double]]] =
     df.collect()

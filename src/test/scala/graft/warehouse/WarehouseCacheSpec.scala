@@ -53,6 +53,43 @@ class WarehouseCacheSpec extends SparkSpec {
     }
   }
 
+  test("a broken events source fails ONLY events-derived tables (per-table isolation)") {
+    // r7 regression shape: corpus regeneration re-typed events.ts and the
+    // whole warehouse (ivf/pq/bpe/neardup included) died on one memoized
+    // failure. Fixture: corpus with documents+embeddings intact but an
+    // events.parquet whose schema has NO ts column at all — the loader's
+    // dtype dispatch can't save that, so events-derived builds must fail.
+    val sfDir = Files.createTempDirectory("whiso-sf")
+    val cacheRoot = Files.createTempDirectory("whiso-root")
+    Seq("part.parquet", "documents.parquet", "embeddings.parquet").foreach { t =>
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t"), sfDir.resolve(t),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tmpOut = Files.createTempDirectory("whiso-badev")
+    spark.range(10).selectExpr("id AS event_id", "id AS user_id")
+      .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val badFile = Files.list(tmpOut).filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.copy(badFile, sfDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    System.setProperty("graft.wh.cache", cacheRoot.toString)
+    try {
+      Warehouse.invalidateResolved()
+      // events-derived readers fail loudly, naming their table
+      val e = intercept[IllegalStateException](Warehouse.dimOrders(spark, sfDir.toString).count())
+      assert(e.getMessage.contains("dim_orders"))
+      intercept[IllegalStateException](Warehouse.factOrders(spark, sfDir.toString).count())
+      // ...while unrelated corpus state still lands and reads green
+      assert(Warehouse.nearDupPairs(spark, sfDir.toString).columns.contains("doc_a"))
+      assert(Warehouse.nearDupClusters(spark, sfDir.toString).count() > 0)
+      assert(Warehouse.ivfAssign(spark, sfDir.toString).count() > 0)
+      assert(Warehouse.pqCodes(spark, sfDir.toString).count() > 0)
+      assert(Warehouse.bpeMerges(spark, sfDir.toString).nonEmpty)
+      assert(Warehouse.dimParts(spark, sfDir.toString).count() > 0)
+    } finally {
+      System.clearProperty("graft.wh.cache")
+      Warehouse.invalidateResolved()
+    }
+  }
+
   test("materialized dims equal a direct build of the merge chain") {
     val sfDir = "/root/testdata/sf0.001"
     val direct = rowsOf(Warehouse.buildDimParts(spark, sfDir)
