@@ -22,18 +22,24 @@ package graft
   * checklist next to the full verify.
   */
 object BenchGuard {
-  /** Recorded steady-median budgets (seconds) — BASELINE.md r7 row. */
+  /** Recorded steady-median budgets (seconds) — BASELINE.md r8 row
+    * (zero-error run, so the warmup pass actually warmed). q101/q55
+    * are pinned at their REPAIRED costs: the r7 regressions were 16.5 s
+    * and 8.7 s, so a budget trip here means the corpus-pass-free
+    * rewrites regressed. */
   val Budgets: Seq[(String, Double)] = Seq(
+    "q104_ensemble_recall" -> 5.5,
+    "q106_model_filter" -> 3.6,
+    "q102_rrf_ensemble" -> 3.2,
+    "q61_zorder_layout" -> 2.5,
     "q32_ngram_jaccard" -> 2.5,
-    "q27_winnow_fingerprints" -> 2.5,
-    "q61_zorder_layout" -> 2.2,
-    "q29_ann_ivf_trained" -> 2.0,
-    "q40_contamination" -> 1.8,
-    "q82_dupgram_coverage" -> 1.8,
-    "q44_ann_ivfpq" -> 1.6,
-    "q59_peak_concurrency" -> 1.6,
-    "q06_stock_category_day" -> 1.6,
-    "q39_keywords" -> 1.5)
+    "q27_winnow_fingerprints" -> 2.4,
+    "q88_cube_revenue" -> 2.3,
+    "q07_stock_category_month_end" -> 2.2,
+    "q57_rollup_revenue" -> 2.2,
+    "q44_ann_ivfpq" -> 2.2,
+    "q101_textrank" -> 1.3,
+    "q55_countmin_tokens" -> 1.2)
 
   val Headroom = 1.5
 

@@ -253,6 +253,41 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("pr_fix"))
         .orderBy("doc_id")
     }),
+    // Quality-weighted cluster keeper policy: per near-dup cluster pick
+    // the member with the best Gopher-flag quality (4 − flags raised;
+    // tie → lowest doc_id) instead of blind min-id — the curation
+    // upgrade over q45's keeper rule, reported beside the min-id choice
+    // so `keeper_moved` shows exactly where the policy pays. Bounded
+    // argmax aggregate (max of a (quality, −doc_id) struct), no window;
+    // clusters are the materialized warehouse closure.
+    "q113_quality_keepers" -> ((s, d) => {
+      val quality = TextAnalysis.qualityFlags(docs(s, d))
+        .select(col("doc_id"),
+          (lit(4L) - col("flag_repetitive") - col("flag_short_words")
+            - col("flag_long_words") - col("flag_symbol_heavy")).as("quality"))
+      graft.warehouse.Warehouse.nearDupClusters(s, d)
+        .join(quality, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("minid_keeper"),
+          max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("kq"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("kq.nd")).as("keeper_doc"),
+          col("kq.quality").as("keeper_quality"),
+          ((-col("kq.nd")) =!= col("minid_keeper")).cast("int").as("keeper_moved"))
+        .orderBy("cluster_id")
+    }),
+    // Retrieve-then-rerank (cross-encoder serving shape): the q102 RRF
+    // fusion proposes k candidates per query, then an exact full-vector
+    // cosine re-orders ONLY the short list — re-rank cost is
+    // k × queries, corpus-size-independent. `moved` rows are where the
+    // expensive stage earned its cost.
+    "q114_rerank_exact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rerankExact(emb, Similarity.rrfFuse(Seq(
+        Similarity.annLsh(emb),
+        Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d)))))
+    }),
     // JL random-projection distortion audit: 64→16-dim ±1 projection
     // (literal sign matrix, 16 codegen'd vec_dot per row, map-only),
     // then per-label mean/max |cos_orig − cos_proj| over label-blocked
@@ -1409,6 +1444,44 @@ object SparkEntry {
       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
 
+  /** Shared oracle CTE chain: the q102 RRF ensemble — hyperplane-LSH
+    * top-3 + trained-IVF top-3 (re-deriving the cell ranking from the
+    * codebook parquet), fused by reciprocal rank. Ends in
+    * `fu(qid, nid, rrf_micro)`; q102 ranks it, q114 reranks it. */
+  private def rrfFusedCtes: String =
+    s"""bk AS (SELECT vec_id, v, nrm,
+       |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
+       |    CASE WHEN list_dot_product(
+       |        list_transform(generate_series(1, 64), i ->
+       |          CAST(CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 7)) AS BIGINT)
+       |               % 2001 - 1000 AS DOUBLE)),
+       |        v) > CAST(0.0 AS DOUBLE)
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+       |  FROM en),
+       |lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+       |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |lr AS (SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM lp) WHERE rank <= 3),
+       |asn AS (SELECT vec_id, cell, rn FROM (
+       |  SELECT e.vec_id, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM en e CROSS JOIN
+       |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)),
+       |iq AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
+       |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn <= 6),
+       |ix AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
+       |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn = 1),
+       |ip AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
+       |  FROM iq JOIN ix ON iq.cell = ix.cell AND qid <> nid),
+       |ir AS (SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM ip) WHERE rank <= 3),
+       |fu AS (SELECT qid, nid, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+       |  FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir) GROUP BY qid, nid)""".stripMargin
+
   /** Absolute path of the materialized warehouse for the corpus being
     * verified — set by [[Verify]] (system property `graft.oracle.whdir`)
     * before it dumps [[oracleSql]], so oracles for queries that consume
@@ -2312,6 +2385,54 @@ object SparkEntry {
          |FROM documents LEFT JOIN r5 r ON r.id = doc_id
          |ORDER BY doc_id""".stripMargin
     },
+    // Recursive-CTE clusters (the q35 replay) × the q47 quality-flag
+    // replica, keeper picked by the same (quality DESC, doc_id) order
+    // via a rank window.
+    "q113_quality_keepers" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |tk AS (SELECT doc_id,
+         |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+         |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+         |      w -> w <> '')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+         |rep AS (SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_toks,
+         |    sum(length(tok) * tf) AS sum_len
+         |  FROM tf GROUP BY doc_id),
+         |base AS (SELECT doc_id,
+         |    length(coalesce(text, '')) AS n_chars,
+         |    length(coalesce(text, ''))
+         |      - length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9 ]', '', 'g')) AS n_plain
+         |  FROM documents),
+         |fl AS (SELECT b.doc_id,
+         |    CAST(coalesce(max_tf, 0) * 5 >= coalesce(n_toks, 0)
+         |         AND coalesce(n_toks, 0) > 0 AS INT) AS f1,
+         |    CAST(coalesce(sum_len, 0) < coalesce(n_toks, 0) * 3
+         |         OR coalesce(n_toks, 0) = 0 AS INT) AS f2,
+         |    CAST(coalesce(sum_len, 0) > coalesce(n_toks, 0) * 10 AS INT) AS f3,
+         |    CAST((n_chars - n_plain) * 10 >= n_chars AND n_chars > 0 AS INT) AS f4
+         |  FROM base b LEFT JOIN rep ON rep.doc_id = b.doc_id),
+         |q AS (SELECT doc_id, CAST(4 - f1 - f2 - f3 - f4 AS BIGINT) AS quality FROM fl),
+         |j AS (SELECT c.cluster_id, c.doc_id, q.quality
+         |  FROM comp c JOIN q USING (doc_id)),
+         |g AS (SELECT cluster_id, count(*) AS n_members, min(doc_id) AS minid_keeper
+         |  FROM j GROUP BY cluster_id),
+         |a AS (SELECT cluster_id, doc_id AS keeper_doc, quality AS keeper_quality,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM j)
+         |SELECT g.cluster_id, g.n_members, a.keeper_doc, a.keeper_quality,
+         |  CAST(a.keeper_doc <> g.minid_keeper AS INT) AS keeper_moved
+         |FROM g JOIN a ON a.cluster_id = g.cluster_id AND a.rn = 1
+         |ORDER BY g.cluster_id""".stripMargin,
     // Replays the projection against the SAME literal ±1 matrix
     // (list_dot_product ≡ vec_dot, the VecCte bit-exactness) and the
     // floor-ppm error rollup.
@@ -3153,43 +3274,32 @@ object SparkEntry {
     // reciprocal ranks, re-ranked by (rrf DESC, nid).
     "q102_rrf_ensemble" ->
       s"""WITH $VecCte,
-         |bk AS (SELECT vec_id, v, nrm,
-         |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
-         |    CASE WHEN list_dot_product(
-         |        list_transform(generate_series(1, 64), i ->
-         |          CAST(CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 7)) AS BIGINT)
-         |               % 2001 - 1000 AS DOUBLE)),
-         |        v) > CAST(0.0 AS DOUBLE)
-         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
-         |  FROM en),
-         |lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         |lr AS (SELECT qid, nid, rank FROM (
-         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-         |  FROM lp) WHERE rank <= 3),
-         |asn AS (SELECT vec_id, cell, rn FROM (
-         |  SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN
-         |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)),
-         |iq AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
-         |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn <= 6),
-         |ix AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
-         |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn = 1),
-         |ip AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
-         |  FROM iq JOIN ix ON iq.cell = ix.cell AND qid <> nid),
-         |ir AS (SELECT qid, nid, rank FROM (
-         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-         |  FROM ip) WHERE rank <= 3),
-         |fu AS (SELECT qid, nid, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
-         |  FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir) GROUP BY qid, nid)
+         |$rrfFusedCtes
          |SELECT qid, rank, nid, rrf_micro FROM (
          |  SELECT qid, nid, rrf_micro,
          |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
          |  FROM fu)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // The q102 fusion replayed to its top-3, then the rerank stage:
+    // exact cosine over ONLY the fused candidates, both ranks emitted.
+    "q114_rerank_exact" ->
+      s"""WITH $VecCte,
+         |$rrfFusedCtes,
+         |fr AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 3),
+         |rr AS (SELECT f.qid, f.nid, f.rank AS retr_rank,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM fr f JOIN en a ON a.vec_id = f.qid JOIN en b ON b.vec_id = f.nid),
+         |rk AS (SELECT qid, nid, retr_rank, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rr_rank
+         |  FROM rr)
+         |SELECT qid, nid, CAST(retr_rank AS BIGINT) AS retr_rank,
+         |  CAST(rr_rank AS BIGINT) AS rr_rank,
+         |  CAST(floor(cosine * 1000000.0) AS BIGINT) AS cos_micro,
+         |  CAST(rr_rank <> retr_rank AS INT) AS moved
+         |FROM rk ORDER BY qid, rr_rank""".stripMargin,
     // Phrase replay on the SAME token stream the engine splits (not a
     // substring scan): consecutive-element check over the filtered
     // word list, so overlap counting and multi-space handling agree by

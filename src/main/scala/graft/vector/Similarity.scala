@@ -395,6 +395,36 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Retrieve-then-rerank — the cross-encoder serving shape: a cheap
+    * index proposes a short candidate list per query, an expensive
+    * EXACT scorer re-orders only that list (here: full-vector cosine;
+    * in production the stand-in for a cross-encoder forward pass).
+    * Input `candidates` carries (qid, nid, rank) — any retriever's or
+    * fusion's top-k; output one row per candidate with the retrieval
+    * rank, the re-ranked rank, the exact score in floor-micros, and a
+    * `moved` flag marking where the expensive stage changed the order.
+    *
+    * Scale posture: the exact scorer touches ONLY |candidates| pairs
+    * (k per query — bounded state), never a corpus cross product; the
+    * two vector joins key on qid/nid, and the rank window partitions
+    * per qid over ≤ k rows — bounded by construction, the one window
+    * shape that survives any corpus size. */
+  def rerankExact(embeddings: DataFrame, candidates: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = prepared(embeddings)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val n = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    candidates.select(col("qid"), col("nid"), col("rank").as("retr_rank"))
+      .join(q, Seq("qid")).join(n, Seq("nid"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+      .withColumn("rr_rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("nid"), col("retr_rank"), col("rr_rank"),
+        expr("CAST(floor(cosine * 1000000.0) AS BIGINT)").as("cos_micro"),
+        (col("rr_rank") =!= col("retr_rank")).cast("int").as("moved"))
+      .orderBy("qid", "rr_rank")
+  }
+
   /** SemDeDup — semantic deduplication via the trained coarse quantizer
     * (Abbas et al., arXiv:2303.09540: cluster the embedding space, drop
     * near-identical vectors WITHIN a cluster, keep one canonical per
