@@ -20,23 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object Cooccur {
 
+  /** The per-document pair array over a token-array column `ws`:
+    * canonicalized (tok_a, tok_b) structs for tokens at distance
+    * 1..`window`. Pure projection — shared by the batch counter and
+    * the streaming twin so both emit identical pairs per document. */
+  private[graft] def pairsExpr(window: Int): org.apache.spark.sql.Column = {
+    require(window >= 1)
+    expr(
+      s"""flatten(transform(ws, (ta, i) ->
+         |  transform(slice(ws, i + 2, $window), tb ->
+         |    named_struct('tok_a', least(ta, tb), 'tok_b', greatest(ta, tb)))))"""
+        .stripMargin)
+  }
+
   /** Undirected co-occurrence pair counts (tok_a, tok_b, w): tokens at
     * distance 1..`window` within a document, canonicalized so
     * tok_a <= tok_b. Self-pairs (same token twice inside the window)
     * are KEPT — q93's PMI counts them; TextRank drops them as
     * self-loops ([[TextRank.keywordsFromPairs]]). */
-  def pairCounts(docs: DataFrame, window: Int = 3): DataFrame = {
-    require(window >= 1)
+  def pairCounts(docs: DataFrame, window: Int = 3): DataFrame =
     graft.Par.fanOut(docs)
       .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
-      .select(explode(expr(
-        s"""flatten(transform(ws, (ta, i) ->
-           |  transform(slice(ws, i + 2, $window), tb ->
-           |    named_struct('tok_a', least(ta, tb), 'tok_b', greatest(ta, tb)))))"""
-          .stripMargin)).as("p"))
+      .select(explode(pairsExpr(window)).as("p"))
       .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("w"))
-  }
 
   /** Unigram counts (tok, n) over the same tokenization — the PMI
     * denominator; vocabulary-sized after one map-side-combined count.
