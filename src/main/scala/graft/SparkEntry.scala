@@ -254,28 +254,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // Quality-weighted cluster keeper policy: per near-dup cluster pick
-    // the member with the best Gopher-flag quality (4 − flags raised;
-    // tie → lowest doc_id) instead of blind min-id — the curation
-    // upgrade over q45's keeper rule, reported beside the min-id choice
-    // so `keeper_moved` shows exactly where the policy pays. Bounded
-    // argmax aggregate (max of a (quality, −doc_id) struct), no window;
-    // clusters are the materialized warehouse closure.
-    "q113_quality_keepers" -> ((s, d) => {
-      val quality = TextAnalysis.qualityFlags(docs(s, d))
-        .select(col("doc_id"),
-          (lit(4L) - col("flag_repetitive") - col("flag_short_words")
-            - col("flag_long_words") - col("flag_symbol_heavy")).as("quality"))
-      graft.warehouse.Warehouse.nearDupClusters(s, d)
-        .join(quality, Seq("doc_id"))
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"),
-          min(col("doc_id")).as("minid_keeper"),
-          max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("kq"))
-        .select(col("cluster_id"), col("n_members"),
-          (-col("kq.nd")).as("keeper_doc"),
-          col("kq.quality").as("keeper_quality"),
-          ((-col("kq.nd")) =!= col("minid_keeper")).cast("int").as("keeper_moved"))
-        .orderBy("cluster_id")
+    // the member with the best composite quality (Gopher flags dominate,
+    // then longest text, then lowest doc_id — see [[qualityKeepers]])
+    // instead of blind min-id — the curation upgrade over q45's keeper
+    // rule, reported beside the min-id choice so `keeper_moved` shows
+    // exactly where the policy pays. Bounded argmax aggregate (max of a
+    // (quality, −doc_id) struct), no window; clusters are the
+    // materialized warehouse closure.
+    "q113_quality_keepers" -> ((s, d) => qualityKeepers(s, d).orderBy("cluster_id")),
+    // The q45 capstone under the q113 policy: near-dup clusters →
+    // QUALITY-weighted keeper per cluster → context-window chunking →
+    // fixed-budget packing. Gates that the upgraded keeper rule
+    // COMPOSES with the prep path exactly (oracle replays closure +
+    // flags + argmax + chunk/pack arithmetic end to end).
+    "q115_quality_training_prep" -> ((s, d) => {
+      val keepers = qualityKeepers(s, d).select(col("keeper_doc").as("doc_id"))
+      val chunks = graft.text.Chunking.tokenWindows(docs(s, d).join(keepers, Seq("doc_id")))
+      val keyed = chunks.withColumn("k", col("doc_id") * 1024 + col("chunk_id"))
+      graft.operators.PrefixSum.packByBudget(keyed, "k", "n_chunk_tokens", budget = 512L)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          col("running_total"), col("pack_id"))
+        .orderBy("doc_id", "chunk_id")
     }),
     // Retrieve-then-rerank (cross-encoder serving shape): the q102 RRF
     // fusion proposes k candidates per query, then an exact full-vector
@@ -1339,6 +1338,35 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("text"))
 
+  /** Quality-weighted keeper per near-dup cluster (q113's policy,
+    * composed again by q115): composite integer quality
+    * (4 − Gopher flags raised) · 2^20 + min(n_chars, 2^20 − 1) — flags
+    * dominate, then PREFER THE LONGER member (near-dup members usually
+    * share flags, and keeping the longest is the standard curation
+    * tie-break: it carries the most content), then lowest doc_id.
+    * Selected by ONE argmax aggregate (max of a (quality, −doc_id)
+    * struct) over the materialized cluster closure — no window, no
+    * re-clustering. */
+  private def qualityKeepers(s: SparkSession, d: String): DataFrame = {
+    val quality = TextAnalysis.qualityFlags(docs(s, d))
+      .join(docs(s, d).select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("len")), Seq("doc_id"))
+      .select(col("doc_id"),
+        ((lit(4L) - col("flag_repetitive") - col("flag_short_words")
+          - col("flag_long_words") - col("flag_symbol_heavy")) * lit(1048576L)
+          + least(col("len"), lit(1048575L))).as("quality"))
+    graft.warehouse.Warehouse.nearDupClusters(s, d)
+      .join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("minid_keeper"),
+        max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("kq"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("kq.nd")).as("keeper_doc"),
+        col("kq.quality").as("keeper_quality"),
+        ((-col("kq.nd")) =!= col("minid_keeper")).cast("int").as("keeper_moved"))
+  }
+
   /** q80's fixed query-term set — compile-time constants mirrored
     * literally in the oracle SQL (mid-frequency corpus terms, so the
     * ranking exercises both the idf and tf-normalization factors). */
@@ -1443,6 +1471,55 @@ object SparkEntry {
     """en AS (
       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
+
+  /** Shared oracle CTE chain: the recursive-CTE near-dup closure (the
+    * q35 replay — compose under `WITH RECURSIVE` after the LSH pair
+    * CTEs) × the q47 quality-flag replica, ending in the per-cluster
+    * rollup `g(cluster_id, n_members, minid_keeper)` and the quality
+    * argmax ranking `a(cluster_id, keeper_doc, keeper_quality, rn)`.
+    * q113 reads the rn=1 row; q115 filters documents through it. */
+  private def clusterQualityCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(id, peer) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+      |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+      |tk AS (SELECT doc_id,
+      |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+      |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+      |      w -> w <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+      |rep AS (SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_toks,
+      |    sum(length(tok) * tf) AS sum_len
+      |  FROM tf GROUP BY doc_id),
+      |base AS (SELECT doc_id,
+      |    length(coalesce(text, '')) AS n_chars,
+      |    length(coalesce(text, ''))
+      |      - length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9 ]', '', 'g')) AS n_plain
+      |  FROM documents),
+      |fl AS (SELECT b.doc_id,
+      |    CAST(coalesce(max_tf, 0) * 5 >= coalesce(n_toks, 0)
+      |         AND coalesce(n_toks, 0) > 0 AS INT) AS f1,
+      |    CAST(coalesce(sum_len, 0) < coalesce(n_toks, 0) * 3
+      |         OR coalesce(n_toks, 0) = 0 AS INT) AS f2,
+      |    CAST(coalesce(sum_len, 0) > coalesce(n_toks, 0) * 10 AS INT) AS f3,
+      |    CAST((n_chars - n_plain) * 10 >= n_chars AND n_chars > 0 AS INT) AS f4
+      |  FROM base b LEFT JOIN rep ON rep.doc_id = b.doc_id),
+      |q AS (SELECT fl.doc_id,
+      |    CAST((4 - f1 - f2 - f3 - f4) * 1048576
+      |         + least(b.n_chars, 1048575) AS BIGINT) AS quality
+      |  FROM fl JOIN base b ON b.doc_id = fl.doc_id),
+      |j AS (SELECT c.cluster_id, c.doc_id, q.quality
+      |  FROM comp c JOIN q USING (doc_id)),
+      |g AS (SELECT cluster_id, count(*) AS n_members, min(doc_id) AS minid_keeper
+      |  FROM j GROUP BY cluster_id),
+      |a AS (SELECT cluster_id, doc_id AS keeper_doc, quality AS keeper_quality,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY quality DESC, doc_id) AS rn
+      |  FROM j)""".stripMargin
 
   /** Shared oracle CTE chain: the q102 RRF ensemble — hyperplane-LSH
     * top-3 + trained-IVF top-3 (re-deriving the cell ranking from the
@@ -2391,48 +2468,35 @@ object SparkEntry {
     "q113_quality_keepers" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, peer) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
-         |tk AS (SELECT doc_id,
-         |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
-         |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
-         |      w -> w <> '')) AS tok
-         |  FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
-         |rep AS (SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_toks,
-         |    sum(length(tok) * tf) AS sum_len
-         |  FROM tf GROUP BY doc_id),
-         |base AS (SELECT doc_id,
-         |    length(coalesce(text, '')) AS n_chars,
-         |    length(coalesce(text, ''))
-         |      - length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9 ]', '', 'g')) AS n_plain
-         |  FROM documents),
-         |fl AS (SELECT b.doc_id,
-         |    CAST(coalesce(max_tf, 0) * 5 >= coalesce(n_toks, 0)
-         |         AND coalesce(n_toks, 0) > 0 AS INT) AS f1,
-         |    CAST(coalesce(sum_len, 0) < coalesce(n_toks, 0) * 3
-         |         OR coalesce(n_toks, 0) = 0 AS INT) AS f2,
-         |    CAST(coalesce(sum_len, 0) > coalesce(n_toks, 0) * 10 AS INT) AS f3,
-         |    CAST((n_chars - n_plain) * 10 >= n_chars AND n_chars > 0 AS INT) AS f4
-         |  FROM base b LEFT JOIN rep ON rep.doc_id = b.doc_id),
-         |q AS (SELECT doc_id, CAST(4 - f1 - f2 - f3 - f4 AS BIGINT) AS quality FROM fl),
-         |j AS (SELECT c.cluster_id, c.doc_id, q.quality
-         |  FROM comp c JOIN q USING (doc_id)),
-         |g AS (SELECT cluster_id, count(*) AS n_members, min(doc_id) AS minid_keeper
-         |  FROM j GROUP BY cluster_id),
-         |a AS (SELECT cluster_id, doc_id AS keeper_doc, quality AS keeper_quality,
-         |    row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY quality DESC, doc_id) AS rn
-         |  FROM j)
+         |$clusterQualityCtes
          |SELECT g.cluster_id, g.n_members, a.keeper_doc, a.keeper_quality,
          |  CAST(a.keeper_doc <> g.minid_keeper AS INT) AS keeper_moved
          |FROM g JOIN a ON a.cluster_id = g.cluster_id AND a.rn = 1
          |ORDER BY g.cluster_id""".stripMargin,
+    // The q45 replay with the keeper CTE swapped for the q113 argmax;
+    // chunk/pack tail identical.
+    "q115_quality_training_prep" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |$clusterQualityCtes,
+         |keep AS (SELECT keeper_doc AS doc_id FROM a WHERE rn = 1),
+         |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents JOIN keep USING (doc_id)),
+         |c AS (SELECT doc_id, len(ws) AS n,
+         |  unnest(generate_series(CAST(0 AS BIGINT),
+         |    CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_id
+         |  FROM t),
+         |ch AS (SELECT doc_id, chunk_id,
+         |  greatest(least(n - chunk_id*48, 64), CAST(0 AS BIGINT)) AS n_chunk_tokens
+         |  FROM c),
+         |r AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+         |  sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+         |    AS running_total
+         |  FROM ch)
+         |SELECT doc_id, chunk_id, n_chunk_tokens,
+         |  CAST(running_total AS BIGINT) AS running_total,
+         |  CAST((running_total - n_chunk_tokens) // 512 AS BIGINT) AS pack_id
+         |FROM r ORDER BY doc_id, chunk_id""".stripMargin,
     // Replays the projection against the SAME literal ±1 matrix
     // (list_dot_product ≡ vec_dot, the VecCte bit-exactness) and the
     // floor-ppm error rollup.

@@ -83,6 +83,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"pair generation gained a window:\n$p")
   }
 
+  test("q113: keeper selection is one argmax aggregate — no window, no cartesian") {
+    val p = plan("q113_quality_keepers")
+    assert(!p.contains("Window"), s"q113 keeper pick regained a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q113 gained a cross join:\n$p")
+  }
+
+  test("q114: exactly the one bounded per-qid rerank window") {
+    // the retrievers and the RRF fusion are window-free (bounded top-k
+    // aggregates); the rerank itself orders ≤ k candidate rows per qid.
+    // Pin the exact count so a data-sized rank window can't slip into
+    // the retrieval stages behind it.
+    val p = plan("q114_rerank_exact")
+    assert(countWindows(p) == 1,
+      s"q114 window count drifted (want 1, got ${countWindows(p)}):\n$p")
+    assert(!p.contains("CartesianProduct"), s"q114 gained a cross join:\n$p")
+  }
+
   test("q73/q74: map-only — no joins, no windows") {
     for (q <- Seq("q73_pii_scrub", "q74_frame_sample")) {
       val p = plan(q)
