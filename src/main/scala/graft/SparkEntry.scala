@@ -287,6 +287,54 @@ object SparkEntry {
         Similarity.annLsh(emb),
         Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d)))))
     }),
+    // Cross-source duplication matrix: which sources copy from which —
+    // the near-dup PAIR table joined twice to the doc→source dim and
+    // rolled up per unordered source pair (n_pairs + summed floor-micro
+    // jaccard). Reads corpus state; two dim joins + one combine — at
+    // 100 TB the pair table is the big side and the source dim
+    // broadcasts. The provenance audit a mixture-weighted pipeline
+    // runs before trusting per-source quotas (q86).
+    "q116_source_overlap" -> ((s, d) => {
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      graft.warehouse.Warehouse.nearDupPairs(s, d)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("source_a"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("source_b"))), Seq("doc_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_x"),
+          greatest(col("source_a"), col("source_b")).as("src_y"),
+          expr("CAST(floor(jaccard * 1000000.0) AS BIGINT)").as("jac_micro"))
+        .groupBy(col("src_x"), col("src_y"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).as("sum_jac_micro"))
+        .orderBy("src_x", "src_y")
+    }),
+    // Does the rerank stage pay? The q104 eval extended to the
+    // retrieve-then-rerank pipeline: recall@3 of the plain RRF top-3
+    // vs reranking the FUSED top-6 by exact cosine and keeping 3 —
+    // same ground truth, same ppm rollup. Deeper retrieval + exact
+    // re-rank is the standard recall lever; this measures it in-engine.
+    "q117_rerank_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
+      val lsh = Similarity.annLsh(emb).persist()
+      val ivf = Similarity.annIvfWithAssign(
+        emb, graft.warehouse.Warehouse.ivfAssign(s, d)).persist()
+      val fused3 = Similarity.rrfFuse(Seq(lsh, ivf)).select(col("qid"), col("nid"))
+      val rer3 = Similarity.rerankExact(emb, Similarity.rrfFuse(Seq(lsh, ivf), k = 6))
+        .where(col("rr_rank") <= 3).select(col("qid"), col("nid"))
+      Seq(("ens_rrf", fused3), ("rrf_rerank", rer3)).map { case (name, ann0) =>
+        val ann = ann0.select(col("qid").as("aqid"), col("nid").as("anid"))
+        exact
+          .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
+          .join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("hits")).as("sum_hits"), sum(col("n_exact")).as("sum_exact"))
+          .select(col("label"), lit(name).as("method"), col("n_queries"),
+            col("sum_hits"), col("sum_exact"),
+            expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("label", "method")
+    }),
     // JL random-projection distortion audit: 64→16-dim ±1 projection
     // (literal sign matrix, 16 codegen'd vec_dot per row, map-only),
     // then per-label mean/max |cos_orig − cos_proj| over label-blocked
@@ -3344,6 +3392,61 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
          |  FROM fu)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Pair replay joined twice to the source dim, unordered-pair rollup.
+    "q116_source_overlap" ->
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |sp AS (SELECT least(da.source, db.source) AS src_x,
+         |    greatest(da.source, db.source) AS src_y,
+         |    CAST(floor(p.jaccard * 1000000.0) AS BIGINT) AS jac_micro
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT src_x, src_y, count(*) AS n_pairs,
+         |  CAST(sum(jac_micro) AS BIGINT) AS sum_jac_micro
+         |FROM sp GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin,
+    // The q104 recall harness over the fused list and its reranked
+    // deepening: top-6 of fu re-scored by exact cosine, keep 3.
+    "q117_rerank_recall" ->
+      s"""WITH $VecCte,
+         |$rrfFusedCtes,
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+         |          b.vec_id) AS rank
+         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  WHERE rank <= 3),
+         |fr AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 3),
+         |f6 AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 6),
+         |rr AS (SELECT f.qid, f.nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM f6 f JOIN en a ON a.vec_id = f.qid JOIN en b ON b.vec_id = f.nid),
+         |r3 AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rr_rank
+         |  FROM rr) WHERE rr_rank <= 3),
+         |al AS MATERIALIZED (
+         |  SELECT 'ens_rrf' AS method, qid, nid FROM fr
+         |  UNION ALL SELECT 'rrf_rerank', qid, nid FROM r3),
+         |h AS (SELECT m.method, ex.qid, count(a.nid) AS hits, count(*) AS n_exact
+         |  FROM (SELECT DISTINCT method FROM al) m
+         |  CROSS JOIN ex
+         |  LEFT JOIN al a ON a.method = m.method AND a.qid = ex.qid AND a.nid = ex.nid
+         |  GROUP BY m.method, ex.qid)
+         |SELECT en.label, h.method, count(*) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+         |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+         |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
+         |    AS recall_ppm
+         |FROM h JOIN en ON en.vec_id = h.qid
+         |GROUP BY en.label, h.method ORDER BY en.label, h.method""".stripMargin,
     // The q102 fusion replayed to its top-3, then the rerank stage:
     // exact cosine over ONLY the fused candidates, both ranks emitted.
     "q114_rerank_exact" ->
