@@ -306,6 +306,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).as("sum_jac_micro"))
         .orderBy("src_x", "src_y")
     }),
+    // Hard-negative mining (contrastive-training data): candidates the
+    // fused ANN ranks in its top-3 that are NOT exact top-3 neighbors —
+    // they LOOK similar to the retriever but aren't true neighbors,
+    // which is precisely the negative a contrastive trainer wants.
+    // One anti-join against ground truth, then the exact score attaches
+    // via the bounded rerank (k·queries pairs, corpus-independent).
+    "q118_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
+      val fused = Similarity.rrfFuse(Seq(
+        Similarity.annLsh(emb),
+        Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d))))
+      val negs = fused.join(exact, Seq("qid", "nid"), "left_anti")
+      Similarity.rerankExact(emb, negs)
+        .select(col("qid"), col("nid"), col("retr_rank"), col("cos_micro"))
+        .orderBy("qid", "retr_rank", "nid")
+    }),
+    // Cluster-consistent dataset split: q69's hash-split rule applied at
+    // CLUSTER granularity — every member inherits its near-dup cluster's
+    // split, so a test doc can never near-duplicate a train doc (the q70
+    // leakage is impossible by construction: every pair lives inside one
+    // cluster). `moved` marks docs whose split changed vs the doc-level
+    // rule — the price of leak-freedom, quantified.
+    "q119_cluster_split" -> ((s, d) => {
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = pmod(graft.functions.PortableHash.h60(c.cast("string")), lit(10L))
+        when(b < 8, "train").when(b < 9, "val").otherwise("test")
+      }
+      graft.warehouse.Warehouse.nearDupClusters(s, d)
+        .select(col("doc_id"), col("cluster_id"),
+          splitOf(col("cluster_id")).as("split"),
+          (splitOf(col("cluster_id")) =!= splitOf(col("doc_id"))).cast("int").as("moved"))
+        .orderBy("doc_id")
+    }),
     // Does the rerank stage pay? The q104 eval extended to the
     // retrieve-then-rerank pipeline: recall@3 of the plain RRF top-3
     // vs reranking the FUSED top-6 by exact cosine and keeping 3 —
@@ -3405,6 +3439,52 @@ object SparkEntry {
          |SELECT src_x, src_y, count(*) AS n_pairs,
          |  CAST(sum(jac_micro) AS BIGINT) AS sum_jac_micro
          |FROM sp GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin,
+    // Fused top-3 anti-joined against the exact top-3 replay, exact
+    // cosine attached to the surviving negatives.
+    "q118_hard_negatives" ->
+      s"""WITH $VecCte,
+         |$rrfFusedCtes,
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+         |          b.vec_id) AS rank
+         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |  WHERE rank <= 3),
+         |fr AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 3),
+         |ng AS (SELECT f.qid, f.nid, f.rank FROM fr f
+         |  WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.qid = f.qid AND ex.nid = f.nid)),
+         |sc AS (SELECT n.qid, n.nid, n.rank AS retr_rank,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+         |  FROM ng n JOIN en a ON a.vec_id = n.qid JOIN en b ON b.vec_id = n.nid)
+         |SELECT qid, nid, CAST(retr_rank AS BIGINT) AS retr_rank,
+         |  CAST(floor(cosine * 1000000.0) AS BIGINT) AS cos_micro
+         |FROM sc ORDER BY qid, retr_rank, nid""".stripMargin,
+    // Closure replay + the q69 split arithmetic applied to cluster_id
+    // (and to doc_id for the `moved` comparison).
+    "q119_cluster_split" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |s AS (SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bc,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bd
+         |  FROM comp)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bc < 8 THEN 'train' WHEN bc < 9 THEN 'val' ELSE 'test' END AS split,
+         |  CAST((CASE WHEN bc < 8 THEN 'train' WHEN bc < 9 THEN 'val' ELSE 'test' END)
+         |    <> (CASE WHEN bd < 8 THEN 'train' WHEN bd < 9 THEN 'val' ELSE 'test' END)
+         |    AS INT) AS moved
+         |FROM s ORDER BY doc_id""".stripMargin,
     // The q104 recall harness over the fused list and its reranked
     // deepening: top-6 of fu re-scored by exact cosine, keep 3.
     "q117_rerank_recall" ->
