@@ -306,6 +306,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"), sum(col("jac_micro")).as("sum_jac_micro"))
         .orderBy("src_x", "src_y")
     }),
+    // GLOBAL recall@3 under the sampled protocol: exact global top-3
+    // for a deterministic ~2% hash-sample of queries (sample broadcast,
+    // corpus streamed — the eval you can actually afford at scale,
+    // unlike label-blocked truth whose denominator is the block) vs the
+    // fused RRF ensemble on the same sampled qids.
+    "q120_sampled_global_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity.knnGlobalSampled(emb).select(col("qid"), col("nid"))
+      val fused = Similarity.rrfFuse(Seq(
+          Similarity.annLsh(emb),
+          Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d))))
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      exact
+        .join(fused, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
+        .join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("sum_hits"), sum(col("n_exact")).as("sum_exact"))
+        .select(col("label"), col("n_queries"), col("sum_hits"), col("sum_exact"),
+          expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+        .orderBy("label")
+    }),
     // Hard-negative mining (contrastive-training data): candidates the
     // fused ANN ranks in its top-3 that are NOT exact top-3 neighbors —
     // they LOOK similar to the retriever but aren't true neighbors,
@@ -3439,6 +3463,35 @@ object SparkEntry {
          |SELECT src_x, src_y, count(*) AS n_pairs,
          |  CAST(sum(jac_micro) AS BIGINT) AS sum_jac_micro
          |FROM sp GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin,
+    // Sampled-global protocol replay: md5 % 50 query sample, exact
+    // global top-3 for the sample, fused top-3 probed against it.
+    "q120_sampled_global_recall" ->
+      s"""WITH $VecCte,
+         |$rrfFusedCtes,
+         |sq AS (SELECT vec_id, v, nrm FROM en
+         |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 50 = 0),
+         |ex AS (SELECT qid, nid FROM (
+         |    SELECT s.vec_id AS qid, e.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY list_dot_product(s.v, e.v) / (s.nrm * e.nrm) DESC,
+         |          e.vec_id) AS rank
+         |    FROM sq s JOIN en e ON s.vec_id <> e.vec_id)
+         |  WHERE rank <= 3),
+         |fr AS (SELECT qid, nid FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 3),
+         |h AS (SELECT ex.qid, count(a.nid) AS hits, count(*) AS n_exact
+         |  FROM ex LEFT JOIN fr a ON a.qid = ex.qid AND a.nid = ex.nid
+         |  GROUP BY ex.qid)
+         |SELECT en.label, count(*) AS n_queries,
+         |  CAST(sum(hits) AS BIGINT) AS sum_hits,
+         |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
+         |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
+         |    AS recall_ppm
+         |FROM h JOIN en ON en.vec_id = h.qid
+         |GROUP BY en.label ORDER BY en.label""".stripMargin,
     // Fused top-3 anti-joined against the exact top-3 replay, exact
     // cosine attached to the surviving negatives.
     "q118_hard_negatives" ->

@@ -395,6 +395,28 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Exact GLOBAL top-k for a deterministic hash-sample of queries —
+    * the recall-eval protocol that scales: label-blocked exact kNN
+    * (q17) truncates ground truth to the block, while full global
+    * brute force is N² and dies at corpus scale. Sampling queries
+    * (md5-hash rule, stable under id re-assignment) bounds the cost at
+    * |sample| × N dots with the SAMPLE broadcast and the corpus
+    * streamed past it — one scan, no shuffle of the big side, the
+    * shape you'd run on 1000 executors. Output: (qid, rank, nid,
+    * cosine) for sampled qids only. */
+  def knnGlobalSampled(embeddings: DataFrame, sampleMod: Int = 50,
+                       k: Int = 3): DataFrame = {
+    require(sampleMod >= 1 && k >= 1)
+    val e = prepared(embeddings)
+    val q = e.where(pmod(graft.functions.PortableHash.h60(col("vec_id").cast("string")),
+        lit(sampleMod.toLong)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val n = e.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = n.crossJoin(broadcast(q)).where(col("qid") =!= col("nid"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+    topK(pairs, k)
+  }
+
   /** Retrieve-then-rerank — the cross-encoder serving shape: a cheap
     * index proposes a short candidate list per query, an expensive
     * EXACT scorer re-orders only that list (here: full-vector cosine;

@@ -37,6 +37,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sampled global kNN equals forced-global brute force on the sampled qids") {
+    val sampled = Similarity.knnGlobalSampled(embeddings, sampleMod = 10, k = 3)
+      .select("qid", "rank", "nid").as[(Long, Long, Long)].collect().toSet
+    assert(sampled.nonEmpty, "mod-10 sample produced no queries")
+    val sampledQids = sampled.map(_._1)
+    // ground truth: brute force with the label block forced global
+    val global = Similarity.knnBruteForce(
+        embeddings.withColumn("g", lit(0)), k = 3, blockCol = "g")
+      .select("qid", "rank", "nid").as[(Long, Long, Long)].collect()
+      .filter(r => sampledQids.contains(r._1)).toSet
+    assert(sampled == global,
+      s"sampled-global kNN diverged from global brute force")
+  }
+
   test("IVF recall vs global brute force rises with multi-probe") {
     val globalTop = Similarity.knnBruteForce(embeddings.withColumn("label", lit(0)), k = 3)
       .select("qid", "nid").as[(Long, Long)].collect().toSet
