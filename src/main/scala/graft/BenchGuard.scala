@@ -28,9 +28,10 @@ object BenchGuard {
     * and 8.7 s, so a budget trip here means the corpus-pass-free
     * rewrites regressed. */
   val Budgets: Seq[(String, Double)] = Seq(
-    "q117_rerank_recall" -> 4.5,
-    "q115_quality_training_prep" -> 3.6,
-    "q114_rerank_exact" -> 2.2,
+    "q117_rerank_recall" -> 5.0,
+    "q115_quality_training_prep" -> 3.8,
+    "q118_hard_negatives" -> 3.2,
+    "q114_rerank_exact" -> 2.5,
     "q104_ensemble_recall" -> 5.5,
     "q106_model_filter" -> 3.6,
     "q102_rrf_ensemble" -> 3.2,

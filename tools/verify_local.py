@@ -21,7 +21,10 @@ if "--skip-spark" not in sys.argv:
     # rebuild when any source is newer than the jar — a stale jar makes
     # the compare silently vacuous for queries it doesn't contain (their
     # oracle keys are missing too, so the loop never sees them)
-    jars = glob.glob("/root/repo/target/scala-2.13/*.jar")
+    # exclude -tests.jar: a Test/runMain can leave one beside the library
+    # jar, and picking it up breaks the classpath (no graft.Verify inside)
+    jars = [j for j in glob.glob("/root/repo/target/scala-2.13/*.jar")
+            if not j.endswith("-tests.jar")]
     srcs = (glob.glob("/root/repo/src/main/scala/**/*.scala", recursive=True)
             + glob.glob("/root/repo/build.sbt")
             + glob.glob("/root/repo/project/*.sbt")
@@ -36,7 +39,8 @@ if "--skip-spark" not in sys.argv:
             capture_output=True, text=True)
         if cp.returncode != 0:
             print(cp.stdout[-3000:]); print(cp.stderr[-2000:]); sys.exit(1)
-    jar = glob.glob("/root/repo/target/scala-2.13/*.jar")[0]
+    jar = [j for j in glob.glob("/root/repo/target/scala-2.13/*.jar")
+           if not j.endswith("-tests.jar")][0]
     opens = " ".join(f"--add-opens {p}=ALL-UNNAMED" for p in [
         "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
         "java.base/java.io", "java.base/java.net", "java.base/java.nio", "java.base/java.util",
