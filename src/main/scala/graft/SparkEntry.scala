@@ -1446,21 +1446,14 @@ object SparkEntry {
 
   /** Quality-weighted keeper per near-dup cluster (q113's policy,
     * composed again by q115): composite integer quality
-    * (4 − Gopher flags raised) · 2^20 + min(n_chars, 2^20 − 1) — flags
-    * dominate, then PREFER THE LONGER member (near-dup members usually
-    * share flags, and keeping the longest is the standard curation
-    * tie-break: it carries the most content), then lowest doc_id.
-    * Selected by ONE argmax aggregate (max of a (quality, −doc_id)
-    * struct) over the materialized cluster closure — no window, no
-    * re-clustering. */
+    * ([[TextAnalysis.compositeQuality]] — flags dominate, then the
+    * longer member, then lowest doc_id), read from the materialized
+    * `doc_quality` warehouse table beside the cluster closure it
+    * ranks. Selected by ONE argmax aggregate (max of a
+    * (quality, −doc_id) struct) — no window, no re-clustering, no
+    * per-query corpus re-flagging. */
   private def qualityKeepers(s: SparkSession, d: String): DataFrame = {
-    val quality = TextAnalysis.qualityFlags(docs(s, d))
-      .join(docs(s, d).select(col("doc_id"),
-        length(coalesce(col("text"), lit(""))).cast("long").as("len")), Seq("doc_id"))
-      .select(col("doc_id"),
-        ((lit(4L) - col("flag_repetitive") - col("flag_short_words")
-          - col("flag_long_words") - col("flag_symbol_heavy")) * lit(1048576L)
-          + least(col("len"), lit(1048575L))).as("quality"))
+    val quality = graft.warehouse.Warehouse.docQuality(s, d)
     graft.warehouse.Warehouse.nearDupClusters(s, d)
       .join(quality, Seq("doc_id"))
       .groupBy(col("cluster_id"))

@@ -187,6 +187,22 @@ object TextAnalysis {
           .cast("int").as("flag_symbol_heavy"))
   }
 
+  /** Composite integer document quality — the keeper-policy score
+    * (q113/q115): (4 − Gopher flags raised) · 2^20 + min(n_chars,
+    * 2^20 − 1). Flags dominate, then longer text wins (near-dup
+    * members usually share flags, and keeping the longest is the
+    * standard curation tie-break). One [[qualityFlags]] pass + a
+    * per-row length — corpus state, materialized once per corpus by
+    * the warehouse. */
+  def compositeQuality(docs: DataFrame): DataFrame =
+    qualityFlags(docs)
+      .join(docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("len")), Seq("doc_id"))
+      .select(col("doc_id"),
+        ((lit(4L) - col("flag_repetitive") - col("flag_short_words")
+          - col("flag_long_words") - col("flag_symbol_heavy")) * lit(1048576L)
+          + least(col("len"), lit(1048575L))).as("quality"))
+
   /** Top-k salient terms per document — keyword extraction by an
     * integer TF-IDF surrogate: salience = (tf × corpus_size) div df,
     * ranked (salience DESC, tf DESC, term ASC). The linear-idf integer

@@ -269,6 +269,20 @@ object Warehouse {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
   }
 
+  /** Composite document quality (doc_id, quality) — the keeper-policy
+    * score ([[graft.text.TextAnalysis.compositeQuality]]), corpus
+    * state like the clusters it ranks: derived once, read by every
+    * keeper/curation analytic instead of re-flagging the corpus per
+    * query. */
+  def buildDocQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("doc_id"), col("id").as("quality"))
+        .repartition(1)
+    graft.text.TextAnalysis.compositeQuality(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
   /** Unigram counts (tok, n) under the same tokenization — the PMI
     * denominator table beside [[buildCooccurEdges]]. */
   def buildTokenUnigrams(spark: SparkSession, sfDir: String): DataFrame = {
@@ -308,8 +322,10 @@ object Warehouse {
     * v4: + ivf_assign and pq_codes (the per-vector index state — q29/q44
     *   read these instead of re-assigning/re-encoding per query).
     * v6: + cooccur_edges and token_unigrams (the word co-occurrence
-    *   graph — q93/q101 read corpus state instead of re-deriving). */
-  private val CacheVersion = "v6"
+    *   graph — q93/q101 read corpus state instead of re-deriving).
+    * v7: + doc_quality (the composite keeper score — q113/q115 read
+    *   corpus state instead of re-flagging per query). */
+  private val CacheVersion = "v7"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -406,7 +422,8 @@ object Warehouse {
       "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
         spark.read.parquet(s"$dir/neardup_pairs"))),
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
-      "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)))
+      "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)),
+      "doc_quality" -> (() => buildDocQuality(spark, sfDir)))
   }
 
   /** Build one table if not yet landed; memoize ITS OWN outcome. Each
@@ -486,6 +503,10 @@ object Warehouse {
   /** Unigram counts, materialized-once (see [[buildTokenUnigrams]]). */
   def tokenUnigrams(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "token_unigrams")
+
+  /** Composite doc quality, materialized-once (see [[buildDocQuality]]). */
+  def docQuality(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "doc_quality")
 
   /** Trained BPE merge rules, materialized-once, reassembled in rank
     * order to the in-memory form [[graft.text.Bpe.encode]] consumes
