@@ -29,7 +29,7 @@ object BenchGuard {
     * rewrites regressed. */
   val Budgets: Seq[(String, Double)] = Seq(
     "q117_rerank_recall" -> 5.0,
-    "q115_quality_training_prep" -> 3.8,
+    "q115_quality_training_prep" -> 1.8,
     "q118_hard_negatives" -> 3.2,
     "q114_rerank_exact" -> 2.5,
     "q104_ensemble_recall" -> 5.5,
