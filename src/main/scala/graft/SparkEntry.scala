@@ -190,6 +190,14 @@ object SparkEntry {
     // duplicate word-5-gram fractions, in exact integer ppm. Entirely
     // MAP-ONLY — dup counts are array_distinct deltas per row, so the
     // operator adds zero shuffles at any corpus size.
+    // Within-doc repetition REMOVAL (the scrub q100 only measures) —
+    // the Gopher/C4 repetition-scrub stage beside the corpus-wide
+    // segment dedup (q54). The corpus has no repeated sentences, so
+    // the removal branch is additionally golden-spec'd on synthetic
+    // docs (RepetitionScrubSpec); the oracle gate pins the md5 of the
+    // reconstructed text byte-for-byte.
+    "q121_repetition_scrub" -> ((s, d) =>
+      TextAnalysis.scrubRepeatedSentences(docs(s, d)).orderBy("doc_id")),
     "q100_doc_repetition" -> ((s, d) =>
       graft.Par.fanOut(docs(s, d)).where(col("text").isNotNull)
         .withColumn("sents", expr(
@@ -2058,6 +2066,22 @@ object SparkEntry {
     // Same literal '. ' sentence split, same sliding 5-gram join with
     // single spaces, same distinct-delta arithmetic; len() is cast to
     // INT to match Spark's size().
+    // Same sentence split; first-occurrence keep via 1-based
+    // list_position = 1-based lambda index (Spark's index is 0-based,
+    // hence the i + 1 there); md5 over the same '. ' rejoin.
+    "q121_repetition_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(list_transform(str_split(text, '. '), x -> trim(x)),
+        |      x -> x <> '') AS sents
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, sents,
+        |    list_filter(sents, (x, i) -> list_position(sents, x) = i) AS uniq
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS INT) AS n_sents,
+        |  CAST(len(sents) - len(uniq) AS INT) AS n_removed,
+        |  md5(array_to_string(uniq, '. ')) AS scrub_md5
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q100_doc_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(list_transform(str_split(text, '. '), x -> trim(x)),

@@ -187,6 +187,24 @@ object TextAnalysis {
           .cast("int").as("flag_symbol_heavy"))
   }
 
+  /** Within-document repetition scrub (Rae et al. §A1.1's repetition
+    * REMOVAL, where [[graft.SparkEntry]] q100 only measures): drop
+    * repeated sentences keeping the FIRST occurrence, order preserved
+    * (index-aware filter: keep s at position i iff its first
+    * occurrence IS i). Map-only; emits the scrubbed text's md5 so a
+    * gate can pin the reconstruction byte-for-byte without shipping
+    * it. Output: (doc_id, n_sents, n_removed, scrub_md5). */
+  def scrubRepeatedSentences(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs).where(col("text").isNotNull)
+      .withColumn("sents", expr(
+        "filter(transform(split(text, '\\\\. '), x -> trim(x)), x -> x <> '')"))
+      .withColumn("uniq", expr(
+        "filter(sents, (x, i) -> array_position(sents, x) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("sents")).as("n_sents"),
+        (size(col("sents")) - size(col("uniq"))).as("n_removed"),
+        md5(concat_ws(". ", col("uniq"))).as("scrub_md5"))
+
   /** Composite integer document quality — the keeper-policy score
     * (q113/q115): (4 − Gopher flags raised) · 2^20 + min(n_chars,
     * 2^20 − 1). Flags dominate, then longer text wins (near-dup
