@@ -51,8 +51,14 @@ object SparkEntry {
     "q14_dedup_minhash_lsh" -> ((s, d) => TextDedup.minhashLshPairs(docs(s, d))),
     "q15_simhash_fingerprints" -> ((s, d) => TextDedup.simhashFingerprints(docs(s, d)).orderBy("doc_id")),
     "q16_simhash_neardup" -> ((s, d) => TextDedup.simhashNearDup(docs(s, d))),
-    "q17_knn_cosine" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
-    "q18_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
+    // Exact truth / LSH search are materialized corpus state (built
+    // once beside the IVF index — Warehouse v8); the demos read and
+    // re-order, the oracle replays the full derivation so the hash
+    // gate still checks the artifact end-to-end.
+    "q17_knn_cosine" -> ((s, d) =>
+      graft.warehouse.Warehouse.knnExact(s, d).orderBy("qid", "rank")),
+    "q18_ann_lsh" -> ((s, d) =>
+      graft.warehouse.Warehouse.annLshTopk(s, d).orderBy("qid", "rank")),
     "q19_media_stats" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
     "q20_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d)).orderBy("doc_id")),
     "q21_lang_guess" -> ((s, d) => TextAnalysis.langGuess(docs(s, d)).orderBy("doc_id")),
@@ -73,8 +79,8 @@ object SparkEntry {
     // from the codebook: a stale or mis-ranked index table fails the
     // compare. Per-query cost = two joins on a three-int parquet, not
     // ncells literal-centroid dots per vector (the r6 cold-path cost).
-    "q29_ann_ivf_trained" -> ((s, d) => Similarity.annIvfWithAssign(
-      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))),
+    "q29_ann_ivf_trained" -> ((s, d) =>
+      graft.warehouse.Warehouse.annIvfTopk(s, d).orderBy("qid", "rank")),
     "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
     // IVF-PQ with exact re-rank (FAISS recipe): codes are the only
     // per-vector state in the candidate shuffle. Codebook TRAINING stays
@@ -198,6 +204,13 @@ object SparkEntry {
     // reconstructed text byte-for-byte.
     "q121_repetition_scrub" -> ((s, d) =>
       TextAnalysis.scrubRepeatedSentences(docs(s, d)).orderBy("doc_id")),
+    // TRUE cross-corpus repeated-substring removal (the ExactSubstr
+    // stage q82's coverage metric only measures): delete every ≥8-token
+    // span whose text occurs elsewhere in the corpus, first occurrence
+    // survives verbatim. One gram-hash shuffle + per-doc HOF coverage
+    // union — see [[graft.text.SegmentDedup.scrubExactSubstr]].
+    "q122_substr_scrub" -> ((s, d) =>
+      graft.text.SegmentDedup.scrubExactSubstr(docs(s, d)).orderBy("doc_id")),
     "q100_doc_repetition" -> ((s, d) =>
       graft.Par.fanOut(docs(s, d)).where(col("text").isNotNull)
         .withColumn("sents", expr(
@@ -278,7 +291,7 @@ object SparkEntry {
     "q115_quality_training_prep" -> ((s, d) => {
       val keepers = qualityKeepers(s, d).select(col("keeper_doc").as("doc_id"))
       val chunks = graft.text.Chunking.tokenWindows(docs(s, d).join(keepers, Seq("doc_id")))
-      val keyed = chunks.withColumn("k", col("doc_id") * 1024 + col("chunk_id"))
+      val keyed = chunkOrderKey(chunks) // guarded (doc, chunk) composite
       graft.operators.PrefixSum.packByBudget(keyed, "k", "n_chunk_tokens", budget = 512L)
         .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
           col("running_total"), col("pack_id"))
@@ -290,23 +303,25 @@ object SparkEntry {
     // k × queries, corpus-size-independent. `moved` rows are where the
     // expensive stage earned its cost.
     "q114_rerank_exact" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.rerankExact(emb, Similarity.rrfFuse(Seq(
-        Similarity.annLsh(emb),
-        Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d)))))
+      Similarity.rerankExact(Tables.embeddings(s, d), Similarity.rrfFuse(Seq(
+        graft.warehouse.Warehouse.annLshTopk(s, d),
+        graft.warehouse.Warehouse.annIvfTopk(s, d))))
     }),
     // Cross-source duplication matrix: which sources copy from which —
     // the near-dup PAIR table joined twice to the doc→source dim and
     // rolled up per unordered source pair (n_pairs + summed floor-micro
-    // jaccard). Reads corpus state; two dim joins + one combine — at
-    // 100 TB the pair table is the big side and the source dim
-    // broadcasts. The provenance audit a mixture-weighted pipeline
-    // runs before trusting per-source quotas (q86).
+    // jaccard). Reads corpus state; two map joins + one combine. The
+    // doc_id→source projection is PER-DOCUMENT (corpus-sized), so no
+    // broadcast hint — at sf scale AQE picks a broadcast on its own;
+    // at 100 TB these are shuffle joins on doc_id, which is correct
+    // (a true broadcastable dim would be source-level, not doc-level).
+    // The provenance audit a mixture-weighted pipeline runs before
+    // trusting per-source quotas (q86).
     "q116_source_overlap" -> ((s, d) => {
       val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
       graft.warehouse.Warehouse.nearDupPairs(s, d)
-        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("source_a"))), Seq("doc_a"))
-        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("source_b"))), Seq("doc_b"))
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
         .select(least(col("source_a"), col("source_b")).as("src_x"),
           greatest(col("source_a"), col("source_b")).as("src_y"),
           expr("CAST(floor(jaccard * 1000000.0) AS BIGINT)").as("jac_micro"))
@@ -323,8 +338,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity.knnGlobalSampled(emb).select(col("qid"), col("nid"))
       val fused = Similarity.rrfFuse(Seq(
-          Similarity.annLsh(emb),
-          Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d))))
+          graft.warehouse.Warehouse.annLshTopk(s, d),
+          graft.warehouse.Warehouse.annIvfTopk(s, d)))
         .select(col("qid").as("aqid"), col("nid").as("anid"))
       exact
         .join(fused, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
@@ -346,10 +361,10 @@ object SparkEntry {
     // via the bounded rerank (k·queries pairs, corpus-independent).
     "q118_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
+      val exact = graft.warehouse.Warehouse.knnExact(s, d).select(col("qid"), col("nid"))
       val fused = Similarity.rrfFuse(Seq(
-        Similarity.annLsh(emb),
-        Similarity.annIvfWithAssign(emb, graft.warehouse.Warehouse.ivfAssign(s, d))))
+        graft.warehouse.Warehouse.annLshTopk(s, d),
+        graft.warehouse.Warehouse.annIvfTopk(s, d)))
       val negs = fused.join(exact, Seq("qid", "nid"), "left_anti")
       Similarity.rerankExact(emb, negs)
         .select(col("qid"), col("nid"), col("retr_rank"), col("cos_micro"))
@@ -379,27 +394,19 @@ object SparkEntry {
     // re-rank is the standard recall lever; this measures it in-engine.
     "q117_rerank_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
-      val lsh = Similarity.annLsh(emb).persist()
-      val ivf = Similarity.annIvfWithAssign(
-        emb, graft.warehouse.Warehouse.ivfAssign(s, d)).persist()
+      val lsh = graft.warehouse.Warehouse.annLshTopk(s, d)
+      val ivf = graft.warehouse.Warehouse.annIvfTopk(s, d)
       val fused3 = Similarity.rrfFuse(Seq(lsh, ivf)).select(col("qid"), col("nid"))
       val rer3 = Similarity.rerankExact(emb, Similarity.rrfFuse(Seq(lsh, ivf), k = 6))
         .where(col("rr_rank") <= 3).select(col("qid"), col("nid"))
-      Seq(("ens_rrf", fused3), ("rrf_rerank", rer3)).map { case (name, ann0) =>
-        val ann = ann0.select(col("qid").as("aqid"), col("nid").as("anid"))
-        exact
-          .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
-          .join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_queries"),
-            sum(col("hits")).as("sum_hits"), sum(col("n_exact")).as("sum_exact"))
-          .select(col("label"), lit(name).as("method"), col("n_queries"),
-            col("sum_hits"), col("sum_exact"),
-            expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
-      }.reduce(_ unionByName _).orderBy("label", "method")
+      (for {
+        (mn, m) <- Seq(("ens_rrf", fused3), ("rrf_rerank", rer3))
+        (tn, truth) <- recallTruths(s, d)
+      } yield recallRollup(emb, truth, m)
+        .select(col("label"), lit(mn).as("method"), lit(tn).as("truth"),
+          col("n_queries"), col("sum_hits"), col("sum_exact"),
+          expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+      ).reduce(_ unionByName _).orderBy("label", "method", "truth")
     }),
     // JL random-projection distortion audit: 64→16-dim ±1 projection
     // (literal sign matrix, 16 codegen'd vec_dot per row, map-only),
@@ -452,39 +459,30 @@ object SparkEntry {
     // RRF, fused over the bounded lists only (never the corpus). The
     // oracle replays both searches AND the fusion.
     "q102_rrf_ensemble" -> ((s, d) => Similarity.rrfFuse(Seq(
-      Similarity.annLsh(Tables.embeddings(s, d)),
-      Similarity.annIvfWithAssign(
-        Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))))),
+      graft.warehouse.Warehouse.annLshTopk(s, d),
+      graft.warehouse.Warehouse.annIvfTopk(s, d)))),
     // Ensemble-recall eval: recall@3 per label for LSH, IVF, and their
     // RRF fusion against blocked-exact ground truth — the q99 eval
     // extended to answer "does the ensemble pay for itself" inside the
-    // engine. The two index scans persist for the session (each feeds
-    // its own eval AND the fusion — Curation's cache-policy note).
+    // engine. Truth and both index lists are materialized warehouse
+    // state (v8) — the eval is three bounded joins, no index re-scan.
     // Measured at sf0.01: ivf 100666 ppm, ens_rrf 100000, lsh 56000 —
     // fusing a much weaker retriever DILUTES the stronger one slightly
     // (rank-only RRF can't tell which list to trust), the classic
     // ensemble caveat this eval exists to surface.
     "q104_ensemble_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
-      val lsh = Similarity.annLsh(emb).persist()
-      val ivf = Similarity.annIvfWithAssign(
-        emb, graft.warehouse.Warehouse.ivfAssign(s, d)).persist()
+      val lsh = graft.warehouse.Warehouse.annLshTopk(s, d)
+      val ivf = graft.warehouse.Warehouse.annIvfTopk(s, d)
       val fused = Similarity.rrfFuse(Seq(lsh, ivf))
-      Seq(("lsh", lsh), ("ivf", ivf), ("ens_rrf", fused)).map { case (name, df) =>
-        val ann = df.select(col("qid").as("aqid"), col("nid").as("anid"))
-        exact
-          .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
-          .groupBy(col("qid"))
-          .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
-          .join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_queries"),
-            sum(col("hits")).as("sum_hits"), sum(col("n_exact")).as("sum_exact"))
-          .select(col("label"), lit(name).as("method"), col("n_queries"),
-            col("sum_hits"), col("sum_exact"),
-            expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
-      }.reduce(_ unionByName _).orderBy("label", "method")
+      (for {
+        (mn, m) <- Seq(("lsh", lsh), ("ivf", ivf), ("ens_rrf", fused))
+        (tn, truth) <- recallTruths(s, d)
+      } yield recallRollup(emb, truth, m)
+        .select(col("label"), lit(mn).as("method"), lit(tn).as("truth"),
+          col("n_queries"), col("sum_hits"), col("sum_exact"),
+          expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+      ).reduce(_ unionByName _).orderBy("label", "method", "truth")
     }),
     // PQ index-quality audit: per-cell reconstruction error from the
     // materialized codes/codebooks/assignment — integer fixed-point
@@ -505,23 +503,13 @@ object SparkEntry {
     // hash-join on (qid, nid), no collect.
     "q99_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exact = Similarity.knnBruteForce(emb).select(col("qid"), col("nid"))
-      val ann = Similarity.annLsh(emb)
-        .select(col("qid").as("aqid"), col("nid").as("anid"))
-      val perQ = exact
-        .join(ann, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
-      perQ.join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_queries"),
-          sum(col("hits")).as("sum_hits"),
-          sum(col("n_exact")).as("sum_exact"),
-          sum(when(col("hits") === col("n_exact"), 1L).otherwise(0L)).as("n_perfect"))
-        .select(col("label"), col("n_queries"), col("sum_hits"), col("sum_exact"),
-          col("n_perfect"),
-          expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
-        .orderBy("label")
+      val ann = graft.warehouse.Warehouse.annLshTopk(s, d)
+      recallTruths(s, d).map { case (tn, truth) =>
+        recallRollup(emb, truth, ann)
+          .select(col("label"), lit(tn).as("truth"), col("n_queries"),
+            col("sum_hits"), col("sum_exact"), col("n_perfect"),
+            expr("(sum_hits * 1000000L) div sum_exact").as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy("label", "truth")
     }),
     // Content-defined chunking + CAS block dedup: rolling-hash cut
     // points (md5 gram ≡ 0 mod 64), so identical spans chunk
@@ -653,9 +641,8 @@ object SparkEntry {
         .where(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"))
       val chunks = graft.text.Chunking.tokenWindows(ds.join(keepers, Seq("doc_id")))
-      // composite order key: chunk_id < 1024 always (64/48 windows over
-      // bounded docs), so doc_id*1024 + chunk_id sorts as (doc, chunk)
-      val keyed = chunks.withColumn("k", col("doc_id") * 1024 + col("chunk_id"))
+      val keyed = chunkOrderKey(chunks) // guarded (doc, chunk) composite
+
       graft.operators.PrefixSum.packByBudget(keyed, "k", "n_chunk_tokens", budget = 512L)
         .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
           col("running_total"), col("pack_id"))
@@ -1452,6 +1439,48 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("text"))
 
+  /** The two recall denominators every retrieval eval reports
+    * (q99/q104/q117): label-BLOCKED exact truth (measures recall within
+    * the block — cheap but flattering: the denominator excludes
+    * cross-block true neighbors) and the sampled-GLOBAL truth (q120's
+    * protocol — hash-sampled queries scored against the whole corpus,
+    * the honest number you can actually afford at 100 TB). Both are
+    * materialized warehouse artifacts; the evals are bounded joins. */
+  private def recallTruths(s: SparkSession, d: String): Seq[(String, DataFrame)] = Seq(
+    ("blocked", graft.warehouse.Warehouse.knnExact(s, d).select(col("qid"), col("nid"))),
+    ("global3", graft.warehouse.Warehouse.knnGlobalSampled(s, d).select(col("qid"), col("nid"))))
+
+  /** Per-label recall rollup of one ranked list against one truth
+    * table — the shared kernel of the retrieval evals: hits = |truth ∩
+    * list| per query, denominator = that query's truth size (robust to
+    * blocks smaller than k). Two hash joins + two bounded aggregations;
+    * no index scan, no collect. */
+  private def recallRollup(emb: DataFrame, truth: DataFrame, ann: DataFrame): DataFrame = {
+    val a = ann.select(col("qid").as("aqid"), col("nid").as("anid"))
+    truth
+      .join(a, col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("anid")).as("hits"), count(lit(1)).as("n_exact"))
+      .join(emb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("sum_hits"), sum(col("n_exact")).as("sum_exact"),
+        sum(when(col("hits") === col("n_exact"), 1L).otherwise(0L)).as("n_perfect"))
+  }
+
+  /** Composite (doc, chunk) pack-order key for the training-prep path
+    * (q45/q115). chunk_id < 1024 holds for the 64/48 token windows over
+    * this corpus's bounded docs, but a longer-doc regeneration would
+    * silently mis-order (and can collide) — so the bound is ENFORCED
+    * per row, not asserted in a comment: a ≥1024 chunk_id fails the
+    * query loudly instead of producing a subtly wrong pack order. */
+  private def chunkOrderKey(chunks: DataFrame): DataFrame =
+    chunks.withColumn("k",
+      when(col("chunk_id") >= 1024, expr(
+        "raise_error('chunk_id >= 1024 overflows the doc_id*1024 pack order key')")
+        .cast("long"))
+        .otherwise(col("doc_id") * 1024 + col("chunk_id")))
+
   /** Quality-weighted keeper per near-dup cluster (q113's policy,
     * composed again by q115): composite integer quality
     * ([[TextAnalysis.compositeQuality]] — flags dominate, then the
@@ -1665,6 +1694,42 @@ object SparkEntry {
        |  FROM ip) WHERE rank <= 3),
        |fu AS (SELECT qid, nid, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
        |  FROM (SELECT * FROM lr UNION ALL SELECT * FROM ir) GROUP BY qid, nid)""".stripMargin
+
+  /** Label-blocked exact-top-3 truth CTE (`exb`) — the q17 replay;
+    * compose after `en`. */
+  private def blockedExactCte: String =
+    s"""exb AS (SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+       |          b.vec_id) AS rank
+       |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3)""".stripMargin
+
+  /** Sampled-GLOBAL exact-top-3 truth CTEs (`sq`, `exg`) — the q120
+    * protocol replay (md5 hash-sample of qids, scored against the whole
+    * corpus); compose after `en`. */
+  private def sampledGlobalExactCtes: String =
+    s"""sq AS (SELECT vec_id, v, nrm FROM en
+       |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |        % 50 = 0),
+       |exg AS (SELECT qid, nid FROM (
+       |    SELECT s.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY list_dot_product(s.v, e.v) / (s.nrm * e.nrm) DESC,
+       |          e.vec_id) AS rank
+       |    FROM sq s JOIN en e ON s.vec_id <> e.vec_id)
+       |  WHERE rank <= 3)""".stripMargin
+
+  /** Both truth tables stacked with a `truth` tag (`tr`) — the dual
+    * denominator each recall eval reports; composes [[blockedExactCte]]
+    * and [[sampledGlobalExactCtes]]. */
+  private def dualTruthCtes: String =
+    s"""$blockedExactCte,
+       |$sampledGlobalExactCtes,
+       |tr AS MATERIALIZED (
+       |  SELECT 'blocked' AS truth, qid, nid FROM exb
+       |  UNION ALL SELECT 'global3', qid, nid FROM exg)""".stripMargin
 
   /** Absolute path of the materialized warehouse for the corpus being
     * verified — set by [[Verify]] (system property `graft.oracle.whdir`)
@@ -2066,6 +2131,38 @@ object SparkEntry {
     // Same literal '. ' sentence split, same sliding 5-gram join with
     // single spaces, same distinct-delta arithmetic; len() is cast to
     // INT to match Spark's size().
+    // ExactSubstr replay: same 60-bit md5 gram hashes over the same
+    // ' '-joined 8-token slices, keeper = min doc then min pos (two
+    // chained aggregates, no composite key), coverage union via
+    // list_distinct(flatten(...)) exactly as the engine's HOF chain.
+    "q122_substr_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g0),
+        |kd AS (SELECT h, min(doc_id) AS kd FROM g GROUP BY h),
+        |kp AS (SELECT g.h, k.kd, min(g.pos) AS kp
+        |  FROM g JOIN kd k ON g.h = k.h AND g.doc_id = k.kd GROUP BY g.h, k.kd),
+        |dp AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS ps
+        |  FROM g JOIN kp ON g.h = kp.h
+        |  WHERE NOT (g.doc_id = kp.kd AND g.pos = kp.kp)
+        |  GROUP BY g.doc_id),
+        |r AS (SELECT t.doc_id, ws, coalesce(ps, CAST([] AS BIGINT[])) AS ps
+        |  FROM t LEFT JOIN dp USING (doc_id)),
+        |c AS (SELECT doc_id, ws,
+        |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
+        |  FROM r)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(cov) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(generate_series(1, len(ws)), i -> NOT list_contains(cov, i)),
+        |    i -> ws[i]), ' '), '') AS clean_text
+        |FROM c ORDER BY doc_id""".stripMargin,
     // Same sentence split; first-occurrence keep via 1-based
     // list_position = 1-based lambda index (Spark's index is 0-based,
     // hence the i + 1 there); md5 over the same '. ' rejoin.
@@ -2112,13 +2209,7 @@ object SparkEntry {
     // already proven engine-identical by the q17/q18 hash-matches.
     "q99_ann_recall" ->
       s"""WITH $VecCte,
-         |ex AS (SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-         |          b.vec_id) AS rank
-         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
-         |  WHERE rank <= 3),
+         |$dualTruthCtes,
          |bk AS (SELECT vec_id, v, nrm,
          |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
          |    CASE WHEN list_dot_product(
@@ -2135,17 +2226,17 @@ object SparkEntry {
          |          b.vec_id) AS rank
          |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
          |  WHERE rank <= 3),
-         |h AS (SELECT ex.qid, count(an.nid) AS hits, count(*) AS n_exact
-         |  FROM ex LEFT JOIN an ON an.qid = ex.qid AND an.nid = ex.nid
-         |  GROUP BY ex.qid)
-         |SELECT en.label, count(*) AS n_queries,
+         |h AS (SELECT e.truth, e.qid, count(an.nid) AS hits, count(*) AS n_exact
+         |  FROM tr e LEFT JOIN an ON an.qid = e.qid AND an.nid = e.nid
+         |  GROUP BY e.truth, e.qid)
+         |SELECT en.label, h.truth, count(*) AS n_queries,
          |  CAST(sum(hits) AS BIGINT) AS sum_hits,
          |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
          |  CAST(sum(CASE WHEN hits = n_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
          |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
          |    AS recall_ppm
          |FROM h JOIN en ON en.vec_id = h.qid
-         |GROUP BY en.label ORDER BY en.label""".stripMargin,
+         |GROUP BY en.label, h.truth ORDER BY en.label, h.truth""".stripMargin,
     // Same rolling-hash cuts (28-bit md5 gram hash mod 64), same
     // shifted-list zip into chunks, same digest grouping — dup and
     // cross-share stats hash-match. Struct fields from list_zip are
@@ -2568,7 +2659,7 @@ object SparkEntry {
     "q112_weighted_pagerank" -> {
       val iterCtes = (1 to 5).map { k =>
         s"""r$k AS (SELECT e.dst AS id,
-           |  CAST(150000 AS BIGINT) + sum((((r.pr * 85) // 100) * e.w) // t.wtot) AS pr
+           |  CAST(150000 AS BIGINT) + CAST(sum((((r.pr * 85) // 100) * e.w) // t.wtot) AS BIGINT) AS pr
            |  FROM es e JOIN r${k - 1} r ON r.id = e.src JOIN wt t ON t.src = e.src
            |  GROUP BY e.dst)""".stripMargin
       }.mkString(",\n")
@@ -2750,7 +2841,7 @@ object SparkEntry {
     "q105_pagerank" -> {
       val iterCtes = (1 to 5).map { k =>
         s"""r$k AS (SELECT e.dst AS id,
-           |  CAST(150000 AS BIGINT) + sum(((r.pr * 85) // 100) // d.outdeg) AS pr
+           |  CAST(150000 AS BIGINT) + CAST(sum(((r.pr * 85) // 100) // d.outdeg) AS BIGINT) AS pr
            |  FROM es e JOIN r${k - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
            |  GROUP BY e.dst)""".stripMargin
       }.mkString(",\n")
@@ -3055,13 +3146,7 @@ object SparkEntry {
     // union — recall arithmetic identical to q99's.
     "q104_ensemble_recall" ->
       s"""WITH $VecCte,
-         |ex AS (SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-         |          b.vec_id) AS rank
-         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
-         |  WHERE rank <= 3),
+         |$dualTruthCtes,
          |bk AS (SELECT vec_id, v, nrm,
          |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
          |    CASE WHEN list_dot_product(
@@ -3102,18 +3187,19 @@ object SparkEntry {
          |  SELECT 'lsh' AS method, qid, nid FROM lr
          |  UNION ALL SELECT 'ivf', qid, nid FROM ir
          |  UNION ALL SELECT 'ens_rrf', qid, nid FROM fr),
-         |h AS (SELECT m.method, ex.qid, count(a.nid) AS hits, count(*) AS n_exact
+         |h AS (SELECT m.method, e.truth, e.qid, count(a.nid) AS hits, count(*) AS n_exact
          |  FROM (SELECT DISTINCT method FROM al) m
-         |  CROSS JOIN ex
-         |  LEFT JOIN al a ON a.method = m.method AND a.qid = ex.qid AND a.nid = ex.nid
-         |  GROUP BY m.method, ex.qid)
-         |SELECT en.label, h.method, count(*) AS n_queries,
+         |  CROSS JOIN tr e
+         |  LEFT JOIN al a ON a.method = m.method AND a.qid = e.qid AND a.nid = e.nid
+         |  GROUP BY m.method, e.truth, e.qid)
+         |SELECT en.label, h.method, h.truth, count(*) AS n_queries,
          |  CAST(sum(hits) AS BIGINT) AS sum_hits,
          |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
          |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
          |    AS recall_ppm
          |FROM h JOIN en ON en.vec_id = h.qid
-         |GROUP BY en.label, h.method ORDER BY en.label, h.method""".stripMargin,
+         |GROUP BY en.label, h.method, h.truth
+         |ORDER BY en.label, h.method, h.truth""".stripMargin,
     // PQ reconstruction-error replay: codes and assignment re-derived
     // from the codebook parquet exactly as in q44, then the per-dim
     // fixed-point squared error (floor(diff·2^20), exact int64 sums)
@@ -3560,13 +3646,7 @@ object SparkEntry {
     "q117_rerank_recall" ->
       s"""WITH $VecCte,
          |$rrfFusedCtes,
-         |ex AS (SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-         |          b.vec_id) AS rank
-         |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
-         |  WHERE rank <= 3),
+         |$dualTruthCtes,
          |fr AS (SELECT qid, nid FROM (
          |  SELECT qid, nid,
          |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
@@ -3585,18 +3665,19 @@ object SparkEntry {
          |al AS MATERIALIZED (
          |  SELECT 'ens_rrf' AS method, qid, nid FROM fr
          |  UNION ALL SELECT 'rrf_rerank', qid, nid FROM r3),
-         |h AS (SELECT m.method, ex.qid, count(a.nid) AS hits, count(*) AS n_exact
+         |h AS (SELECT m.method, e.truth, e.qid, count(a.nid) AS hits, count(*) AS n_exact
          |  FROM (SELECT DISTINCT method FROM al) m
-         |  CROSS JOIN ex
-         |  LEFT JOIN al a ON a.method = m.method AND a.qid = ex.qid AND a.nid = ex.nid
-         |  GROUP BY m.method, ex.qid)
-         |SELECT en.label, h.method, count(*) AS n_queries,
+         |  CROSS JOIN tr e
+         |  LEFT JOIN al a ON a.method = m.method AND a.qid = e.qid AND a.nid = e.nid
+         |  GROUP BY m.method, e.truth, e.qid)
+         |SELECT en.label, h.method, h.truth, count(*) AS n_queries,
          |  CAST(sum(hits) AS BIGINT) AS sum_hits,
          |  CAST(sum(n_exact) AS BIGINT) AS sum_exact,
          |  (CAST(sum(hits) AS BIGINT) * 1000000) // CAST(sum(n_exact) AS BIGINT)
          |    AS recall_ppm
          |FROM h JOIN en ON en.vec_id = h.qid
-         |GROUP BY en.label, h.method ORDER BY en.label, h.method""".stripMargin,
+         |GROUP BY en.label, h.method, h.truth
+         |ORDER BY en.label, h.method, h.truth""".stripMargin,
     // The q102 fusion replayed to its top-3, then the rerank stage:
     // exact cosine over ONLY the fused candidates, both ranks emitted.
     "q114_rerank_exact" ->

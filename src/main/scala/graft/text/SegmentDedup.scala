@@ -66,4 +66,73 @@ object SegmentDedup {
       .select(col("doc_id"), col("n_segs"), col("n_kept"),
         concat_ws(" ", expr("transform(kept, x -> x.seg_text)")).as("clean_text"))
   }
+
+  /** EXACT repeated-substring removal — the true form of what
+    * [[TextDedup.dupGramCoverage]] only measures (Lee et al.,
+    * arXiv:2107.06499 "ExactSubstr": delete every span of ≥ `minTokens`
+    * tokens whose text occurs elsewhere in the corpus, keeping the
+    * first occurrence). The suffix-array formulation is sequential; the
+    * distributed equivalence used here: a span of length ≥ L repeats
+    * iff every one of its L-token windows repeats, so deleting all
+    * tokens covered by a NON-FIRST occurrence of any duplicated L-gram
+    * deletes exactly the maximal repeated spans at L-token resolution
+    * (the canonical first occurrence survives verbatim — same keeper
+    * rule as [[dedupSegments]], lexicographic min over (doc_id, pos),
+    * computed with no composite-key magnitude assumption).
+    *
+    * Output per doc: (doc_id, n_tokens, n_dup_tokens, clean_text) —
+    * clean_text = surviving tokens in original order.
+    *
+    * Scale posture (100 TB): gram generation is map-only (tokenize +
+    * explode positions + slice, the [[Chunking]] shape), carrying
+    * 60-bit gram hashes, never gram text, into the ONE shuffle keyed
+    * on gram hash (balanced fixed-width keys; per-key state =
+    * occurrences of that gram). Keeper resolution is a bounded
+    * two-level aggregate; coverage union happens per document with
+    * higher-order functions over position arrays bounded by document
+    * length (documents are bounded; the corpus is not). No suffix
+    * array, no global sort, no all-pairs. */
+  def scrubExactSubstr(docs: DataFrame, minTokens: Int = 8): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val L = minTokens
+    val toks = graft.Par.fanOut(docs)
+      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+    // one row per L-gram position (1-based); docs shorter than L emit none
+    val grams = toks
+      .where(size(col("ws")) >= L)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(ws) - ${L - 1})")).as("pos"),
+        col("ws"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.PortableHash.h60(
+          concat_ws(" ", expr(s"slice(ws, pos, $L)"))).as("h"))
+    // first occurrence per gram: min doc, then min pos within that doc
+    // (two chained aggs — no doc_id*K+pos composite, any doc length)
+    val kDoc = grams.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
+    val keeper = grams.join(kDoc, Seq("h"))
+      .where(col("doc_id") === col("kd"))
+      .groupBy(col("h"), col("kd")).agg(min(col("pos")).as("kp"))
+    // every non-first occurrence covers [pos, pos+L-1] in its doc
+    val dupPos = grams.join(keeper, Seq("h"))
+      .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    toks
+      .join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("ps"), expr("CAST(array() AS ARRAY<BIGINT>)")).as("ps"))
+      .select(col("doc_id"), col("ws"),
+        expr(s"array_distinct(flatten(transform(ps, p -> sequence(p, p + ${L - 1}))))")
+          .as("cov"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_dup_tokens"),
+        concat_ws(" ", expr(
+          // sequence(1, 0) DESCENDS in Spark, so the empty doc needs
+          // its own branch (DuckDB's generate_series(1, 0) is empty)
+          """CASE WHEN size(ws) = 0 THEN CAST(array() AS ARRAY<STRING>) ELSE
+            |transform(
+            |  filter(sequence(1, size(ws)), i -> NOT array_contains(cov, CAST(i AS BIGINT))),
+            |  i -> element_at(ws, i)) END""".stripMargin)).as("clean_text"))
+  }
 }

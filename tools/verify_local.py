@@ -78,6 +78,17 @@ for name in sorted(oracle):
     try:
         got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'").fetchall()
         gcols = [d[0] for d in con.description]
+        # type discipline: an oracle column that DuckDB types as HUGEINT
+        # (sum over BIGINT promotes) or DECIMAL hashes differently on the
+        # driver even when values match — this class of bug has bitten
+        # twice (q110 shard_id, q105/q112 pagerank); fail it loudly here
+        # before the value compare can green-wash it
+        bad = [(r[0], r[1]) for r in con.execute(
+                   f"DESCRIBE ({oracle[name]})").fetchall()
+               if r[1] == "HUGEINT" or r[1].startswith("DECIMAL")]
+        if bad:
+            print(f"FAIL {name}: oracle type leak {bad} — CAST to BIGINT/DOUBLE")
+            fails += 1; continue
         exp = con.execute(oracle[name]).fetchall()
         ecols = [d[0] for d in con.description]
     except Exception as e:
