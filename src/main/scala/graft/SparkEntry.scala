@@ -210,7 +210,29 @@ object SparkEntry {
     // survives verbatim. One gram-hash shuffle + per-doc HOF coverage
     // union — see [[graft.text.SegmentDedup.scrubExactSubstr]].
     "q122_substr_scrub" -> ((s, d) =>
-      graft.text.SegmentDedup.scrubExactSubstr(docs(s, d)).orderBy("doc_id")),
+      graft.text.SegmentDedup.scrubExactSubstrFromGrams(docs(s, d),
+          graft.warehouse.Warehouse.gramOccurrences(s, d))
+        .orderBy("doc_id")),
+    // q122's INGESTION shape (the q76/q77 incremental family): scrub
+    // the arriving batch (doc_id % 10 = 7) against the immutable
+    // corpus — batch grams probe the corpus's distinct gram index +
+    // in-batch keeper; corpus×corpus never re-pairs.
+    "q123_substr_scrub_incr" -> ((s, d) => {
+      val g = graft.warehouse.Warehouse.gramOccurrences(s, d)
+      graft.text.SegmentDedup.scrubAgainstIndexFromGrams(
+          docs(s, d).where(pmod(col("doc_id"), lit(10)) === 7),
+          g.where(pmod(col("doc_id"), lit(10)) === 7),
+          g.where(pmod(col("doc_id"), lit(10)) =!= 7).select(col("h")).distinct())
+        .orderBy("doc_id")
+    }),
+    // Which sources share verbatim ≥8-token spans — the exact-substring
+    // provenance matrix beside q116's near-dup one (template/boilerplate
+    // flow between sources, scored as shared/min-side containment ppm).
+    "q124_source_substr_overlap" -> ((s, d) =>
+      graft.text.SegmentDedup.sourceGramOverlapFromGrams(
+          graft.warehouse.Warehouse.gramOccurrences(s, d),
+          Tables.documents(s, d).select(col("doc_id"), col("source")))
+        .orderBy("src_x", "src_y")),
     "q100_doc_repetition" -> ((s, d) =>
       graft.Par.fanOut(docs(s, d)).where(col("text").isNotNull)
         .withColumn("sents", expr(
@@ -2152,6 +2174,69 @@ object SparkEntry {
         |  FROM g JOIN kp ON g.h = kp.h
         |  WHERE NOT (g.doc_id = kp.kd AND g.pos = kp.kp)
         |  GROUP BY g.doc_id),
+        |r AS (SELECT t.doc_id, ws, coalesce(ps, CAST([] AS BIGINT[])) AS ps
+        |  FROM t LEFT JOIN dp USING (doc_id)),
+        |c AS (SELECT doc_id, ws,
+        |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
+        |  FROM r)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(cov) AS BIGINT) AS n_dup_tokens,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(generate_series(1, len(ws)), i -> NOT list_contains(cov, i)),
+        |    i -> ws[i]), ' '), '') AS clean_text
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Same md5 gram hashes distinct-reduced per source; pair join +
+    // two total joins; integer ppm containment.
+    "q124_source_substr_overlap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT source, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |gs AS (SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g0),
+        |tot AS (SELECT source, count(*) AS n FROM gs GROUP BY source),
+        |p AS (SELECT a.source AS src_x, b.source AS src_y, count(*) AS n_shared
+        |  FROM gs a JOIN gs b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_x, src_y, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(ta.n AS BIGINT) AS grams_x, CAST(tb.n AS BIGINT) AS grams_y,
+        |  (CAST(n_shared AS BIGINT) * 1000000) // CAST(least(ta.n, tb.n) AS BIGINT)
+        |    AS share_ppm
+        |FROM p JOIN tot ta ON ta.source = src_x JOIN tot tb ON tb.source = src_y
+        |ORDER BY src_x, src_y""".stripMargin,
+    // The q122 replay restricted to the batch: batch grams marked dup
+    // when present in the corpus gram set OR non-first within the
+    // batch; same coverage/reassembly tail.
+    "q123_substr_scrub_incr" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents WHERE doc_id % 10 = 7),
+        |tc AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g0),
+        |gc0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM tc WHERE len(ws) >= 8),
+        |gc AS (SELECT DISTINCT
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM gc0),
+        |kd AS (SELECT h, min(doc_id) AS kd FROM g GROUP BY h),
+        |kp AS (SELECT g.h, k.kd, min(g.pos) AS kp
+        |  FROM g JOIN kd k ON g.h = k.h AND g.doc_id = k.kd GROUP BY g.h, k.kd),
+        |du AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM gc)
+        |  UNION SELECT g.doc_id, g.pos FROM g JOIN kp ON g.h = kp.h
+        |  WHERE NOT (g.doc_id = kp.kd AND g.pos = kp.kp)),
+        |dp AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+        |  FROM du GROUP BY doc_id),
         |r AS (SELECT t.doc_id, ws, coalesce(ps, CAST([] AS BIGINT[])) AS ps
         |  FROM t LEFT JOIN dp USING (doc_id)),
         |c AS (SELECT doc_id, ws,

@@ -92,20 +92,27 @@ object SegmentDedup {
     * higher-order functions over position arrays bounded by document
     * length (documents are bounded; the corpus is not). No suffix
     * array, no global sort, no all-pairs. */
-  def scrubExactSubstr(docs: DataFrame, minTokens: Int = 8): DataFrame = {
+  def scrubExactSubstr(docs: DataFrame, minTokens: Int = 8): DataFrame =
+    scrubExactSubstrFromGrams(docs, gramOccurrences(docs, minTokens), minTokens)
+
+  /** The corpus gram-occurrence table (doc_id, pos, h) — the
+    * distributed stand-in for the suffix array, and corpus state like
+    * the dedup pair table: derived once per corpus (Warehouse
+    * `gram_occurrences`), read by every substring analytic
+    * (q122/q123/q124) instead of re-hashing the corpus per query.
+    * Map-only: tokenize + explode positions + 60-bit md5 of the
+    * L-token slice; hashes only, never gram text. */
+  def gramOccurrences(docs: DataFrame, minTokens: Int = 8): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
-    val L = minTokens
-    val toks = graft.Par.fanOut(docs)
-      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
-    // one row per L-gram position (1-based); docs shorter than L emit none
-    val grams = toks
-      .where(size(col("ws")) >= L)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(1, size(ws) - ${L - 1})")).as("pos"),
-        col("ws"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        graft.functions.PortableHash.h60(
-          concat_ws(" ", expr(s"slice(ws, pos, $L)"))).as("h"))
+    gramsOf(tokenized(docs), minTokens)
+  }
+
+  /** [[scrubExactSubstr]] with the gram table supplied (the
+    * materialized-artifact path — `grams` must be
+    * [[gramOccurrences]](docs, minTokens)). */
+  def scrubExactSubstrFromGrams(docs: DataFrame, grams: DataFrame,
+                                minTokens: Int = 8): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
     // first occurrence per gram: min doc, then min pos within that doc
     // (two chained aggs — no doc_id*K+pos composite, any doc length)
     val kDoc = grams.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
@@ -115,6 +122,121 @@ object SegmentDedup {
     // every non-first occurrence covers [pos, pos+L-1] in its doc
     val dupPos = grams.join(keeper, Seq("h"))
       .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+    assemble(tokenized(docs), dupPos, minTokens)
+  }
+
+  /** INCREMENTAL [[scrubExactSubstr]] — the ingestion shape: scrub a
+    * NEW batch against the existing corpus without ever re-pairing
+    * corpus×corpus (the [[TextDedup.minhashLshPairsBetween]] /
+    * `annIvfNewAgainstCorpus` discipline applied to substring dedup).
+    * A batch gram is duplicated if its hash exists ANYWHERE in the
+    * corpus (the corpus is immutable, already-scrubbed state — every
+    * corpus occurrence precedes the batch) or if it is a non-first
+    * occurrence within the batch itself (same keeper rule as the full
+    * scrub, restricted to batch grams).
+    *
+    * Scale: the corpus contributes only its DISTINCT gram-hash index —
+    * at 100 TB that index is a materialized warehouse artifact (built
+    * once, appended per batch; a bloom filter fronts it), and the
+    * per-batch cost is batch grams × (one index probe + one in-batch
+    * keeper agg) — independent of corpus size beyond the index probe. */
+  def scrubExactSubstrAgainst(newDocs: DataFrame, corpus: DataFrame,
+                              minTokens: Int = 8): DataFrame =
+    scrubExactSubstrAgainstIndex(newDocs, gramIndex(corpus, minTokens), minTokens)
+
+  /** The corpus side of the incremental scrub, reduced to what it
+    * actually is: the DISTINCT 60-bit gram-hash set — the artifact a
+    * production pipeline materializes once and appends per batch
+    * (column `h`). */
+  def gramIndex(corpus: DataFrame, minTokens: Int = 8): DataFrame =
+    gramsOf(tokenized(corpus), minTokens).select(col("h")).distinct()
+
+  /** [[scrubExactSubstrAgainst]] with the corpus pre-reduced to its
+    * gram index — the form a maintained-index deployment (streaming
+    * ingest, nightly batches) calls directly. */
+  def scrubExactSubstrAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                                   minTokens: Int = 8): DataFrame =
+    scrubAgainstIndexFromGrams(newDocs, gramOccurrences(newDocs, minTokens),
+      index, minTokens)
+
+  /** [[scrubExactSubstrAgainstIndex]] with the batch's gram table also
+    * supplied (both sides read from the materialized artifact). */
+  def scrubAgainstIndexFromGrams(newDocs: DataFrame, grams: DataFrame,
+                                 index: DataFrame, minTokens: Int = 8): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val L = minTokens
+    val toks = tokenized(newDocs)
+    val inCorpus = grams.join(index.select(col("h")), Seq("h"), "left_semi")
+    val kDoc = grams.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
+    val keeper = grams.join(kDoc, Seq("h"))
+      .where(col("doc_id") === col("kd"))
+      .groupBy(col("h"), col("kd")).agg(min(col("pos")).as("kp"))
+    val inBatchDup = grams.join(keeper, Seq("h"))
+      .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .select(col("doc_id"), col("pos"))
+    val dupPos = inCorpus.select(col("doc_id"), col("pos"))
+      .unionByName(inBatchDup)
+    assemble(toks, dupPos, L)
+  }
+
+  /** Source-level exact-substring overlap matrix — which sources share
+    * verbatim ≥L-token spans (template/boilerplate flow between
+    * sources; the exact-substring companion to the near-dup matrix
+    * q116 builds from MinHash pairs). One row per unordered source
+    * pair that shares at least one gram: shared distinct gram-hash
+    * count, each side's distinct gram count, and shared/min-side in
+    * integer ppm (a containment-style score).
+    *
+    * Scale: the per-gram self-join fans out by sources-per-gram² —
+    * bounded by the SOURCE dimension (a small dim by construction),
+    * not the corpus; a corpus-wide boilerplate gram costs |sources|²
+    * rows, once. The (h, source) stream is distinct-reduced before the
+    * join (map-side combine on fixed-width keys). */
+  def sourceGramOverlap(docs: DataFrame, minTokens: Int = 8): DataFrame =
+    sourceGramOverlapFromGrams(
+      gramOccurrences(docs.select(col("doc_id"), col("text")), minTokens),
+      docs.select(col("doc_id"), col("source")))
+
+  /** [[sourceGramOverlap]] over a supplied gram table + doc→source
+    * dim (the materialized-artifact path). */
+  def sourceGramOverlapFromGrams(grams: DataFrame, docSource: DataFrame): DataFrame = {
+    val gs = grams
+      .join(docSource.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("h"), col("source")).distinct()
+    val tot = gs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = gs.select(col("h"), col("source").as("src_x"))
+    val b = gs.select(col("h"), col("source").as("src_y"))
+    a.join(b, Seq("h")).where(col("src_x") < col("src_y"))
+      .groupBy(col("src_x"), col("src_y"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(tot.select(col("source").as("src_x"), col("n").as("grams_x")), Seq("src_x"))
+      .join(tot.select(col("source").as("src_y"), col("n").as("grams_y")), Seq("src_y"))
+      .select(col("src_x"), col("src_y"), col("n_shared"),
+        col("grams_x"), col("grams_y"),
+        expr("(n_shared * 1000000L) div least(grams_x, grams_y)").as("share_ppm"))
+  }
+
+  /** (doc_id, ws) token arrays — the shared scrub input shape. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs)
+      .select(col("doc_id"), expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+
+  /** One row per L-gram position (1-based, 60-bit hash; docs shorter
+    * than L emit none) — map-only, hashes only into the shuffle. */
+  private def gramsOf(toks: DataFrame, L: Int): DataFrame =
+    toks
+      .where(size(col("ws")) >= L)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(ws) - ${L - 1})")).as("pos"),
+        col("ws"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        graft.functions.PortableHash.h60(
+          concat_ws(" ", expr(s"slice(ws, pos, $L)"))).as("h"))
+
+  /** Coverage union + reassembly: duplicate occurrences (doc_id, pos)
+    * → per-doc covered-position set → surviving tokens in order. */
+  private def assemble(toks: DataFrame, dupOccurrences: DataFrame, L: Int): DataFrame = {
+    val dupPos = dupOccurrences
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("ps"))
     toks

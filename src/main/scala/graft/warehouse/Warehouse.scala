@@ -292,6 +292,21 @@ object Warehouse {
     graft.vector.Similarity.knnGlobalSampled(Tables.embeddings(spark, sfDir))
   }
 
+  /** Corpus gram-occurrence table (doc_id, pos, h) at the ExactSubstr
+    * resolution (8 tokens) — the distributed suffix-array stand-in,
+    * corpus state by the neardup_pairs argument: every substring
+    * analytic (scrub q122, incremental scrub q123, source overlap
+    * q124) reads this table instead of re-hashing the corpus's grams
+    * per query. */
+  def buildGramOccurrences(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("doc_id"), col("id").as("pos"),
+        col("id").as("h")).repartition(1)
+    graft.text.SegmentDedup.gramOccurrences(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
   /** Trained BPE merge table (rank, left, right, pair_freq) — the
     * tokenizer is corpus state exactly like the IVF/PQ codebooks:
     * trained once per corpus build, read by every encode query. Corpora
@@ -381,7 +396,8 @@ object Warehouse {
     * v8: + knn_exact / knn_global_sampled / ann_lsh_topk / ann_ivf_topk
     *   (both exact truths and the two searched-index lists — the
     *   retrieval evals and the q17/q18/q29 demos read corpus state
-    *   instead of re-searching). */
+    *   instead of re-searching) + gram_occurrences (the ExactSubstr
+    *   gram table — q122/q123/q124 read it instead of re-hashing). */
   private val CacheVersion = "v8"
 
   private def cacheRoot: String =
@@ -486,6 +502,7 @@ object Warehouse {
       "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir)),
       "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
         spark.read.parquet(s"$dir/neardup_pairs"))),
+      "gram_occurrences" -> (() => buildGramOccurrences(spark, sfDir)),
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
       "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)),
       "doc_quality" -> (() => buildDocQuality(spark, sfDir)))
@@ -615,6 +632,10 @@ object Warehouse {
   /** Materialized sampled-global truth (see [[buildKnnGlobalSampled]]). */
   def knnGlobalSampled(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "knn_global_sampled")
+
+  /** Materialized gram-occurrence table (see [[buildGramOccurrences]]). */
+  def gramOccurrences(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "gram_occurrences")
 
   /** Materialized LSH top-k list (see [[buildAnnLshTopk]]). */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame =

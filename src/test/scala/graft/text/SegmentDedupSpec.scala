@@ -85,4 +85,64 @@ class SegmentDedupSpec extends SparkSpec {
     assert(got(2L) == ((2L, 0L, "a b")))
     assert(got(3L) == ((0L, 0L, "")))
   }
+
+  // ---- scrubExactSubstrAgainst (incremental) ----
+
+  private def scrubIncr(batch: Seq[(Long, String)], corpus: Seq[(Long, String)],
+                        l: Int = 3): Map[Long, (Long, Long, String)] =
+    SegmentDedup.scrubExactSubstrAgainst(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"), minTokens = l)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("incr scrub: batch span present in the corpus is removed; corpus rows untouched") {
+    val got = scrubIncr(batch = Seq((10L, "x a b c y")), corpus = Seq((1L, "a b c d")))
+    assert(got.keySet == Set(10L)) // output is the batch only
+    assert(got(10L) == ((5L, 3L, "x y")))
+  }
+
+  test("incr scrub: in-batch duplicate falls back to the first-occurrence rule") {
+    val got = scrubIncr(
+      batch = Seq((10L, "p q r z"), (11L, "w p q r")),
+      corpus = Seq((1L, "unrelated text entirely here")))
+    assert(got(10L) == ((4L, 0L, "p q r z"))) // first batch occurrence survives
+    assert(got(11L) == ((4L, 3L, "w")))
+  }
+
+  test("incr scrub: corpus hit beats batch keeper — no batch occurrence survives") {
+    val got = scrubIncr(
+      batch = Seq((10L, "a b c"), (11L, "a b c")),
+      corpus = Seq((1L, "z a b c z")))
+    assert(got(10L) == ((3L, 3L, "")))
+    assert(got(11L) == ((3L, 3L, "")))
+  }
+
+  test("source gram overlap: shared spans counted once per source pair, ppm vs min side") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),  // grams: abc bcd cde
+      (2L, "a b c x y", "s2"),  // grams: abc bcx cxy  -> shares abc with s1
+      (3L, "a b c d q", "s2"),  // grams: abc bcd cdq  -> shares abc+bcd with s1
+      (4L, "zz yy xx ww", "s3") // no overlap with anyone
+    ).toDF("doc_id", "text", "source")
+    val got = SegmentDedup.sourceGramOverlap(docs, minTokens = 3)
+      .orderBy(col("src_x"), col("src_y")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // s1 grams {abc,bcd,cde}=3; s2 distinct grams {abc,bcx,cxy,bcd,cdq}=5
+    // shared {abc,bcd}=2 → ppm = 2e6 div 3
+    assert(got.toSeq == Seq(("s1", "s2", 2L, 3L, 5L, 666666L)))
+  }
+
+  test("incr scrub ≡ full scrub restricted to the batch when the corpus precedes it") {
+    // corpus ids < batch ids → full-scrub keeper order equals the
+    // incremental rule's "corpus always wins, then first-in-batch"
+    val corpus = Seq((1L, "a b c d e"), (2L, "f g h i"))
+    val batch = Seq((10L, "x a b c d"), (11L, "f g h i j"), (12L, "x a b c d"))
+    val full = SegmentDedup.scrubExactSubstr((corpus ++ batch).toDF("doc_id", "text"), 3)
+      .where($"doc_id" >= 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val incr = scrubIncr(batch, corpus)
+    assert(incr == full)
+  }
 }
