@@ -233,6 +233,68 @@ object SparkEntry {
           graft.warehouse.Warehouse.gramOccurrences(s, d),
           Tables.documents(s, d).select(col("doc_id"), col("source")))
         .orderBy("src_x", "src_y")),
+    // Margin-based cross-label pair mining (the CCMatrix bitext
+    // criterion with `label` as the language id): in-cell cross-label
+    // candidates from the materialized IVF assignment, margin vs both
+    // sides' top-k foreign neighborhoods, mutual-best filter. The
+    // oracle re-derives the assignment from the codebook parquet, so
+    // the gate checks the artifact too (the q29/q44 replay).
+    "q125_margin_mining" -> ((s, d) =>
+      Similarity.marginMining(Tables.embeddings(s, d),
+        graft.warehouse.Warehouse.ivfAssign(s, d))),
+    // Duplicate-aware DOWN-WEIGHTING (soft dedup): instead of dropping
+    // non-keepers, every doc weights 1e6/cluster_size — each near-dup
+    // cluster contributes one doc's worth of mass no matter how wide.
+    // Rolled to per-source effective char mass + retention ppm: the
+    // "how much of this source is genuinely novel" number a mixture
+    // designer reads next to q86's quotas. Reads corpus state (cluster
+    // artifact); one grouped agg + two joins.
+    "q126_soft_dedup_weights" -> ((s, d) => {
+      val cl = graft.warehouse.Warehouse.nearDupClusters(s, d)
+      val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      val w = cl.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), expr("1000000L div n_members").as("weight_ppm"))
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(w, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("raw_chars"),
+          sum(expr("n_chars * weight_ppm")).as("eff_chars_micro"))
+        .select(col("source"), col("n_docs"), col("raw_chars"),
+          expr("eff_chars_micro div 1000000").as("eff_chars"),
+          expr("eff_chars_micro div raw_chars").as("retention_ppm"))
+        .orderBy("source")
+    }),
+    // DoReMi-style domain reweighting (multiplicative weights, the
+    // polynomial surrogate for exp — integer-exact): each source's
+    // quality DEFICIT vs the corpus average is its excess-loss proxy;
+    // five unrolled w ← w·(1 + η·deficit) updates upweight the sources
+    // the quality model finds hardest, then normalize to mix ppm. The
+    // whole iteration runs on a source-cardinality table (one grouped
+    // agg feeds it) — the update loop is column arithmetic, no driver
+    // round trips, no joins beyond two 1-row broadcasts.
+    "q127_domain_mixture" -> ((s, d) => {
+      val dq = graft.warehouse.Warehouse.docQuality(s, d)
+      val perDoc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(dq, Seq("doc_id"))
+      val perSrc = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("sum_q"))
+        .withColumn("avg_q", expr("sum_q div n_docs"))
+      val glob = perDoc.agg(count(lit(1)).as("n_all"), sum(col("quality")).as("q_all"))
+        .select(expr("q_all div n_all").as("gavg"))
+      val base = perSrc.crossJoin(broadcast(glob))
+        .withColumn("deficit_ppm",
+          greatest(lit(0L), expr("((gavg - avg_q) * 1000000) div gavg")))
+        .withColumn("factor", expr("1000000 + (200000 * deficit_ppm) div 1000000"))
+      val iterated = (1 to 5).foldLeft(base.withColumn("w", lit(1000000L))) {
+        (df, _) => df.withColumn("w", expr("(w * factor) div 1000000"))
+      }
+      val tot = iterated.agg(sum(col("w")).as("w_tot"))
+      iterated.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("avg_q"), col("deficit_ppm"),
+          col("w").as("weight_raw"), expr("(w * 1000000) div w_tot").as("mix_ppm"))
+        .orderBy("source")
+    }),
     "q100_doc_repetition" -> ((s, d) =>
       graft.Par.fanOut(docs(s, d)).where(col("text").isNotNull)
         .withColumn("sents", expr(
@@ -1637,14 +1699,28 @@ object SparkEntry {
     * argmax ranking `a(cluster_id, keeper_doc, keeper_quality, rn)`.
     * q113 reads the rn=1 row; q115 filters documents through it. */
   private def clusterQualityCtes: String =
-    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(id, peer) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
       |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
-      |tk AS (SELECT doc_id,
+      |$docQualityCtes,
+      |j AS (SELECT c.cluster_id, c.doc_id, q.quality
+      |  FROM comp c JOIN q USING (doc_id)),
+      |g AS (SELECT cluster_id, count(*) AS n_members, min(doc_id) AS minid_keeper
+      |  FROM j GROUP BY cluster_id),
+      |a AS (SELECT cluster_id, doc_id AS keeper_doc, quality AS keeper_quality,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY quality DESC, doc_id) AS rn
+      |  FROM j)""".stripMargin
+
+  /** The composite-quality replica alone (the q113 flag arithmetic
+    * ending in `q(doc_id, quality)`) — the doc_quality artifact's
+    * from-scratch replay for oracles that don't need the closure. */
+  private def docQualityCtes: String =
+    """tk AS (SELECT doc_id,
       |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
       |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
       |      w -> w <> '')) AS tok
@@ -1669,15 +1745,7 @@ object SparkEntry {
       |q AS (SELECT fl.doc_id,
       |    CAST((4 - f1 - f2 - f3 - f4) * 1048576
       |         + least(b.n_chars, 1048575) AS BIGINT) AS quality
-      |  FROM fl JOIN base b ON b.doc_id = fl.doc_id),
-      |j AS (SELECT c.cluster_id, c.doc_id, q.quality
-      |  FROM comp c JOIN q USING (doc_id)),
-      |g AS (SELECT cluster_id, count(*) AS n_members, min(doc_id) AS minid_keeper
-      |  FROM j GROUP BY cluster_id),
-      |a AS (SELECT cluster_id, doc_id AS keeper_doc, quality AS keeper_quality,
-      |    row_number() OVER (PARTITION BY cluster_id
-      |      ORDER BY quality DESC, doc_id) AS rn
-      |  FROM j)""".stripMargin
+      |  FROM fl JOIN base b ON b.doc_id = fl.doc_id)""".stripMargin
 
   /** Shared oracle CTE chain: the q102 RRF ensemble — hyperplane-LSH
     * top-3 + trained-IVF top-3 (re-deriving the cell ranking from the
@@ -2207,6 +2275,88 @@ object SparkEntry {
         |    AS share_ppm
         |FROM p JOIN tot ta ON ta.source = src_x JOIN tot tb ON tb.source = src_y
         |ORDER BY src_x, src_y""".stripMargin,
+    // Full margin-mining replay: rn=1 assignment re-derived from the
+    // codebook parquet (so the ivf_assign artifact is checked), then
+    // the same integer-micros margin + mutual-best arithmetic.
+    "q125_margin_mining" ->
+      s"""WITH $VecCte,
+         |asn1 AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN
+         |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)
+         |  WHERE rn = 1),
+         |ec AS (SELECT en.vec_id, en.label, en.v, en.nrm, asn1.cell
+         |  FROM en JOIN asn1 USING (vec_id)),
+         |cpos AS (SELECT * FROM (
+         |  SELECT a.vec_id AS xid, a.label AS xlab, b.vec_id AS yid, b.label AS ylab,
+         |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0)
+         |         AS BIGINT) AS cos_micro
+         |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.label <> b.label)
+         |  WHERE cos_micro > 0),
+         |den AS (SELECT xid AS id, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den
+         |  FROM (SELECT xid, yid, cos_micro,
+         |      row_number() OVER (PARTITION BY xid ORDER BY cos_micro DESC, yid) AS rk
+         |    FROM cpos) WHERE rk <= 3 GROUP BY xid),
+         |sc AS (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
+         |    (2 * c.cos_micro * 1000000) // (dx.den + dy.den) AS margin_ppm
+         |  FROM cpos c JOIN den dx ON dx.id = c.xid JOIN den dy ON dy.id = c.yid),
+         |bs AS (SELECT xid, yid FROM (
+         |  SELECT xid, yid,
+         |    row_number() OVER (PARTITION BY xid ORDER BY margin_ppm DESC, yid) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT s.xid AS vec_x, s.yid AS vec_y, s.xlab AS label_x, s.ylab AS label_y,
+         |  s.cos_micro, s.margin_ppm
+         |FROM sc s
+         |JOIN bs bx ON bx.xid = s.xid AND bx.yid = s.yid
+         |JOIN bs byy ON byy.xid = s.yid AND byy.yid = s.xid
+         |WHERE s.xid < s.yid ORDER BY vec_x, vec_y""".stripMargin,
+    // Closure replay + the 1e6/cluster_size weight rollup.
+    "q126_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |cs AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id),
+         |w AS (SELECT c.doc_id, 1000000 // n_members AS weight_ppm
+         |  FROM comp c JOIN cs USING (cluster_id)),
+         |m AS (SELECT d.source, d.n_chars, w.weight_ppm
+         |  FROM documents d JOIN w ON w.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS raw_chars,
+         |  CAST(sum(n_chars * weight_ppm) AS BIGINT) // 1000000 AS eff_chars,
+         |  CAST(sum(n_chars * weight_ppm) AS BIGINT) // CAST(sum(n_chars) AS BIGINT)
+         |    AS retention_ppm
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // Quality replay + the unrolled multiplicative-weights arithmetic
+    // (each step's floor-division replicated textually).
+    "q127_domain_mixture" ->
+      s"""WITH $docQualityCtes,
+         |pd AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |ps AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(quality) AS BIGINT) // count(*) AS avg_q
+         |  FROM pd GROUP BY source),
+         |g AS (SELECT CAST(sum(quality) AS BIGINT) // count(*) AS gavg FROM pd),
+         |b AS (SELECT ps.source, ps.n_docs, ps.avg_q,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((g.gavg - ps.avg_q) * 1000000) // g.gavg) AS deficit_ppm
+         |  FROM ps CROSS JOIN g),
+         |f AS (SELECT *, 1000000 + (200000 * deficit_ppm) // 1000000 AS factor FROM b),
+         |it AS (SELECT *,
+         |    ((((((((((1000000 * factor) // 1000000) * factor) // 1000000)
+         |      * factor) // 1000000) * factor) // 1000000) * factor) // 1000000) AS w
+         |  FROM f),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it)
+         |SELECT source, n_docs, avg_q, deficit_ppm, w AS weight_raw,
+         |  (w * 1000000) // w_tot AS mix_ppm
+         |FROM it CROSS JOIN t ORDER BY source""".stripMargin,
     // The q122 replay restricted to the batch: batch grams marked dup
     // when present in the corpus gram set OR non-first within the
     // batch; same coverage/reassembly tail.

@@ -550,4 +550,68 @@ object Similarity {
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     topK(pairs, k)
   }
+
+  /** Margin-based cross-block pair mining (the CCMatrix / Artetxe &
+    * Schwenk bitext-mining criterion, with `label` standing in for the
+    * language id): candidate pairs are cross-label vectors sharing an
+    * IVF cell (the materialized `assign` rn=1 assignment — candidate
+    * generation is a cell-keyed join, never all-pairs), scored by
+    *
+    *   margin(x,y) = 2·cos(x,y) / (avgTopK(x) + avgTopK(y))
+    *
+    * where avgTopK(v) averages v's k best cross-label in-cell cosines —
+    * a pair only mines when it stands OUT of both sides' neighborhoods
+    * (absolute-threshold mining drifts with corpus density; the margin
+    * self-normalizes). A pair is emitted iff it is MUTUALLY best by
+    * margin. Integer fixed point throughout: cosines floor to micros
+    * (> 0 only — non-positive similarity can't be a mined pair), so the
+    * truncating `div` equals the oracle's floor `//` on positives.
+    *
+    * Scale shape: pair fanout is bounded by cell width (the IVF
+    * blocking), neighborhood averages are the bounded `top_k_pairs`
+    * aggregate, and the mutual-best filter is two id-keyed joins of
+    * per-vector argmax rows. Nothing quadratic in the corpus. */
+  def marginMining(embeddings: DataFrame, assign: DataFrame, k: Int = 3): DataFrame = {
+    val e = prepared(embeddings)
+    val a1 = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val ea = e.join(a1, Seq("vec_id")).persist() // probed as both pair sides
+    val x = ea.select(col("vec_id").as("xid"), col("label").as("xlab"),
+      col("cell"), col("v").as("vx"), col("nrm").as("nx"))
+    val y = ea.select(col("vec_id").as("yid"), col("label").as("ylab"),
+      col("cell"), col("v").as("vy"), col("nrm").as("ny"))
+    // directed candidate set: each unordered cross-label in-cell pair
+    // appears in both orientations, so per-xid aggregates below see
+    // every vector's full foreign neighborhood
+    val cand = x.join(y, Seq("cell")).where(col("xlab") =!= col("ylab"))
+      .withColumn("cos_micro",
+        expr("CAST(floor(vec_dot(vx, vy) / (nx * ny) * 1000000.0) AS BIGINT)"))
+      .where(col("cos_micro") > 0)
+      .select(col("xid"), col("xlab"), col("yid"), col("ylab"), col("cos_micro"))
+      .persist() // feeds the denominator agg AND the margin scoring
+    // per-vector neighborhood denominator: avg of the k best foreign
+    // cosines (integer micros are exact in the aggregate's double state)
+    val denom = cand.groupBy(col("xid"))
+      .agg(expr(s"top_k_pairs(yid, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
+      .select(col("xid").as("id"),
+        expr("aggregate(tk, 0L, (a, p) -> a + CAST(p.score AS BIGINT))").as("sumk"),
+        size(col("tk")).as("nk"))
+      .select(col("id"), expr("sumk div nk").as("den"))
+    val scored = cand
+      .join(denom.select(col("id").as("xid"), col("den").as("den_x")), Seq("xid"))
+      .join(denom.select(col("id").as("yid"), col("den").as("den_y")), Seq("yid"))
+      .withColumn("margin_ppm",
+        expr("(2 * cos_micro * 1000000L) div (den_x + den_y)"))
+    // per-vector best partner by margin (tie → lowest partner id)
+    val best = scored.groupBy(col("xid"))
+      .agg(max(struct(col("margin_ppm"), (-col("yid")).as("neg"))).as("b"))
+      .select(col("xid"), (-col("b.neg")).as("best_y"))
+    scored.where(col("xid") < col("yid"))
+      .join(best, Seq("xid")).where(col("best_y") === col("yid"))
+      .join(best.select(col("xid").as("yid"), col("best_y").as("best_x")), Seq("yid"))
+      .where(col("best_x") === col("xid"))
+      .select(col("xid").as("vec_x"), col("yid").as("vec_y"),
+        col("xlab").as("label_x"), col("ylab").as("label_y"),
+        col("cos_micro"), col("margin_ppm"))
+      .orderBy("vec_x", "vec_y")
+  }
 }

@@ -118,6 +118,42 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.trainIvfCentroids(embeddings.limit(0), ncells = 4, iters = 1).isEmpty)
   }
 
+  test("margin mining: mutual-best, cross-label, canonical orientation") {
+    // one shared cell → candidate set is all cross-label pairs; the
+    // mined set must be mutually-best by margin, each pair emitted once
+    val assign = embeddings.select(col("vec_id"), lit(0L).as("cell"),
+      lit(1).as("rn"))
+    val mined = Similarity.marginMining(embeddings, assign, k = 3)
+      .collect()
+    assert(mined.nonEmpty, "a one-cell corpus must mine at least one pair")
+    mined.foreach { r =>
+      assert(r.getAs[Long]("vec_x") < r.getAs[Long]("vec_y"))
+      assert(r.getAs[Int]("label_x") != r.getAs[Int]("label_y"))
+      assert(r.getAs[Long]("cos_micro") > 0L)
+      assert(r.getAs[Long]("margin_ppm") > 0L)
+    }
+    // a vector can appear in at most one mined pair (it has ONE best)
+    val ids = mined.flatMap(r => Seq(r.getAs[Long]("vec_x"), r.getAs[Long]("vec_y")))
+    assert(ids.distinct.length == ids.length, "mutual-best pairs must be disjoint")
+  }
+
+  test("margin mining: a planted cross-label near-duplicate is mined with top margin") {
+    // two labels, one planted near-identical cross-label pair (0,10),
+    // everything else near-orthogonal → (0,10) must be mined
+    def v(i: Int): Array[Float] = {
+      val a = Array.fill(8)(0.01f); a(i % 8) = 1.0f; a
+    }
+    val rows = Seq(
+      (0L, v(0), 0), (1L, v(1), 0), (2L, v(2), 0), (3L, v(3), 0),
+      (10L, v(0), 1), (11L, v(5), 1), (12L, v(6), 1), (13L, v(7), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val assign = emb.select(col("vec_id"), lit(0L).as("cell"), lit(1).as("rn"))
+    val mined = Similarity.marginMining(emb, assign, k = 3)
+      .select("vec_x", "vec_y").as[(Long, Long)].collect().toSet
+    assert(mined.contains((0L, 10L)),
+      s"planted duplicate (0,10) not mined; got $mined")
+  }
+
   test("hyperplanes are deterministic and distribute vectors across buckets") {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", Similarity.bucketExpr(6, 64))
