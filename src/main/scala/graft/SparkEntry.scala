@@ -233,6 +233,74 @@ object SparkEntry {
           graft.warehouse.Warehouse.gramOccurrences(s, d),
           Tables.documents(s, d).select(col("doc_id"), col("source")))
         .orderBy("src_x", "src_y")),
+    // Per-source quality percentile gate: keep each source's top
+    // quartile by composite quality — thresholds are source-RELATIVE
+    // (a global cutoff would empty weak sources and keep boilerplate
+    // from strong ones; cf. per-source quotas q86). Exact threshold
+    // selection runs on the (source, quality) DISTINCT-VALUE table —
+    // the cumulative window scans value-compressed rows, never the
+    // corpus (group-then-window, the exact-quantile-by-group shape).
+    "q128_quality_percentile_gate" -> ((s, d) => {
+      val pd = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
+      val thr = graft.text.Curation.topFractionThresholds(
+        pd.select(col("source"), col("quality")), "source", "quality")
+      val kept = pd.join(thr.select(col("source"), col("threshold")), Seq("source"))
+        .where(col("quality") >= col("threshold"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      thr.join(kept, Seq("source"))
+        .select(col("source"), col("n_rows").as("n_docs"), col("threshold"),
+          col("n_kept"), col("kept_chars"),
+          expr("(n_kept * 1000000) div n_rows").as("kept_ppm"))
+        .orderBy("source")
+    }),
+    // Per-source verbatim diversity: distinct vs total 8-token grams
+    // (type-token ratio at ExactSubstr resolution) + the fraction of
+    // gram occurrences that are WITHIN-source repeats — the
+    // self-boilerplate rate, the intra-source companion to q124's
+    // cross-source matrix. Reads the gram artifact; two-level agg.
+    "q129_source_gram_diversity" -> ((s, d) => {
+      val per = graft.warehouse.Warehouse.gramOccurrences(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+      per.groupBy(col("source"))
+        .agg(sum(col("c")).as("total_grams"),
+          count(lit(1)).as("distinct_grams"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
+        .select(col("source"), col("total_grams"), col("distinct_grams"),
+          col("dup_occurrences"),
+          expr("(distinct_grams * 1000000) div total_grams").as("diversity_ppm"),
+          expr("(dup_occurrences * 1000000) div total_grams").as("boilerplate_ppm"))
+        .orderBy("source")
+    }),
+    // Contrastive-training triplet export: anchor = every query, the
+    // exact top-1 neighbor as positive, the best-ranked q118 hard
+    // negative (fused-ANN hit that is NOT a true neighbor) as negative
+    // — the (a, p, n) dataset an embedding fine-tune consumes.
+    // Bounded joins of corpus state + the k·queries rerank; anchors
+    // with no hard negative drop (inner join) — their retrieval was
+    // already perfect.
+    "q130_triplet_export" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = graft.warehouse.Warehouse.knnExact(s, d)
+      val pos = exact.where(col("rank") === 1)
+        .select(col("qid"), col("nid").as("pos_id"),
+          expr("CAST(floor(cosine * 1000000.0) AS BIGINT)").as("pos_cos_micro"))
+      val negs = Similarity.rerankExact(emb,
+        Similarity.rrfFuse(Seq(
+            graft.warehouse.Warehouse.annLshTopk(s, d),
+            graft.warehouse.Warehouse.annIvfTopk(s, d)))
+          .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti"))
+      val bestNeg = negs.groupBy(col("qid"))
+        .agg(min(struct(col("retr_rank"), col("nid"), col("cos_micro"))).as("b"))
+        .select(col("qid"), col("b.nid").as("neg_id"),
+          col("b.cos_micro").as("neg_cos_micro"))
+      pos.join(bestNeg, Seq("qid"))
+        .select(col("qid").as("anchor_id"), col("pos_id"), col("pos_cos_micro"),
+          col("neg_id"), col("neg_cos_micro"))
+        .orderBy("anchor_id")
+    }),
     // Margin-based cross-label pair mining (the CCMatrix bitext
     // criterion with `label` as the language id): in-cell cross-label
     // candidates from the materialized IVF assignment, margin vs both
@@ -2357,6 +2425,86 @@ object SparkEntry {
          |SELECT source, n_docs, avg_q, deficit_ppm, w AS weight_raw,
          |  (w * 1000000) // w_tot AS mix_ppm
          |FROM it CROSS JOIN t ORDER BY source""".stripMargin,
+    // Quality replay + exact per-source top-quartile threshold over the
+    // distinct-value cumulative (window peers identical both engines:
+    // values are distinct within a partition, so RANGE ≡ ROWS).
+    "q128_quality_percentile_gate" ->
+      s"""WITH $docQualityCtes,
+         |pd AS (SELECT d.doc_id, d.source, d.n_chars, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |n AS (SELECT source, count(*) AS n_docs FROM pd GROUP BY source),
+         |dist AS (SELECT source, quality, count(*) AS c
+         |  FROM pd GROUP BY source, quality),
+         |cum AS (SELECT source, quality,
+         |    CAST(sum(c) OVER (PARTITION BY source ORDER BY quality DESC)
+         |         AS BIGINT) AS cum
+         |  FROM dist),
+         |thr AS (SELECT c.source, max(c.quality) AS threshold
+         |  FROM cum c JOIN n USING (source)
+         |  WHERE c.cum >= greatest(1, n.n_docs // 4)
+         |  GROUP BY c.source),
+         |k AS (SELECT p.source, count(*) AS n_kept,
+         |    CAST(sum(p.n_chars) AS BIGINT) AS kept_chars
+         |  FROM pd p JOIN thr t ON t.source = p.source AND p.quality >= t.threshold
+         |  GROUP BY p.source)
+         |SELECT n.source, n.n_docs, t.threshold, k.n_kept, k.kept_chars,
+         |  (k.n_kept * 1000000) // n.n_docs AS kept_ppm
+         |FROM n JOIN thr t USING (source) JOIN k USING (source)
+         |ORDER BY source""".stripMargin,
+    // Gram replay (the q124 derivation without the DISTINCT) + the
+    // per-(source, gram) count rollup.
+    "q129_source_gram_diversity" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT source, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |go AS (SELECT source,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g0),
+        |per AS (SELECT source, h, count(*) AS c FROM go GROUP BY source, h)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS total_grams,
+        |  count(*) AS distinct_grams,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+        |  (count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS diversity_ppm,
+        |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // Full triplet replay: fused retrieval + blocked-exact truth (with
+    // rank-1 cosine), hard negatives as fr∖ex3, best negative by
+    // (retr_rank, nid).
+    "q130_triplet_export" ->
+      s"""WITH $VecCte,
+         |$rrfFusedCtes,
+         |fr AS (SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS rank
+         |  FROM fu) WHERE rank <= 3),
+         |exf AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+         |        b.vec_id) AS rank
+         |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |ex3 AS (SELECT qid, nid FROM exf WHERE rank <= 3),
+         |pos AS (SELECT qid, nid AS pos_id,
+         |    CAST(floor(cosine * 1000000.0) AS BIGINT) AS pos_cos_micro
+         |  FROM exf WHERE rank = 1),
+         |ng AS (SELECT f.qid, f.nid, f.rank AS retr_rank FROM fr f
+         |  WHERE NOT EXISTS (SELECT 1 FROM ex3 e WHERE e.qid = f.qid AND e.nid = f.nid)),
+         |sc AS (SELECT n.qid, n.nid, n.retr_rank,
+         |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0)
+         |         AS BIGINT) AS cos_micro
+         |  FROM ng n JOIN en a ON a.vec_id = n.qid JOIN en b ON b.vec_id = n.nid),
+         |bn AS (SELECT qid, nid AS neg_id, cos_micro AS neg_cos_micro FROM (
+         |  SELECT qid, nid, cos_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY retr_rank, nid) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT p.qid AS anchor_id, p.pos_id, p.pos_cos_micro,
+         |  b.neg_id, b.neg_cos_micro
+         |FROM pos p JOIN bn b USING (qid) ORDER BY anchor_id""".stripMargin,
     // The q122 replay restricted to the batch: batch grams marked dup
     // when present in the corpus gram set OR non-first within the
     // batch; same coverage/reassembly tail.

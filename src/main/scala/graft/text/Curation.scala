@@ -120,4 +120,31 @@ object Curation {
         col("p.id").as("doc_id"), col("p.score").as("quality_score"))
       .orderBy("source", "rank")
   }
+
+  /** Per-group exact top-fraction thresholds: for each `group`, the
+    * smallest `score` value such that the rows scoring ≥ it are the
+    * group's top `num/den` fraction (at least one row; ties at the
+    * boundary are INCLUDED — keeping a doc never depends on tie order).
+    * Output: (group, n_rows, threshold).
+    *
+    * Scale shape: the cumulative window runs over the per-group
+    * DISTINCT-VALUE table (group-then-window) — value-compressed rows,
+    * never the raw corpus; the group-partitioned sort is bounded by
+    * score cardinality, not document count. Since values are distinct
+    * within a partition, RANGE/ROWS framing peers are identical, so
+    * any SQL engine replays it exactly. */
+  def topFractionThresholds(scored: DataFrame, group: String, score: String,
+                            num: Int = 1, den: Int = 4): DataFrame = {
+    require(num > 0 && den >= num, s"top fraction must be in (0,1]: $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val n = scored.groupBy(col(group)).agg(count(lit(1)).as("n_rows"))
+    val dist = scored.groupBy(col(group), col(score)).agg(count(lit(1)).as("c"))
+    val cum = dist.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(col(group)).orderBy(col(score).desc)))
+    cum.join(n, Seq(group))
+      .where(col("cum") >= greatest(lit(1L), expr(s"(n_rows * $num) div $den")))
+      .groupBy(col(group), col("n_rows"))
+      .agg(max(col(score)).as("threshold"))
+      .select(col(group), col("n_rows"), col("threshold"))
+  }
 }

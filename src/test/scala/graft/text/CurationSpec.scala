@@ -40,4 +40,23 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq(("a", 1, bestA(0)), ("a", 2, bestA(1)), ("b", 1, 4L)))
     assert(scores(5L).isEmpty)
   }
+
+  test("topFractionThresholds: exact quartile boundary, ties included, small groups keep one") {
+    val d = Seq(
+      // group "a": 8 rows, top quarter = 2 → threshold = 3rd-highest? no:
+      // cum at 90 is 1, at 80 is 3 (tie) → first cum>=2 is 80
+      ("a", 90L), ("a", 80L), ("a", 80L), ("a", 70L), ("a", 60L),
+      ("a", 50L), ("a", 40L), ("a", 30L),
+      // group "b": 2 rows → n/4 = 0 → floor at 1 row → threshold = max
+      ("b", 10L), ("b", 5L)
+    ).toDF("g", "score")
+    val m = Curation.topFractionThresholds(d, "g", "score")
+      .select("g", "n_rows", "threshold").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("a") == (8L, 80L), s"tie at the boundary must be included: $m")
+    assert(m("b") == (2L, 10L), s"a tiny group keeps its single best row: $m")
+    // rows kept under the threshold rule = top quarter + boundary ties
+    val keptA = d.where(col("g") === "a" && col("score") >= m("a")._2).count()
+    assert(keptA == 3)
+  }
 }
