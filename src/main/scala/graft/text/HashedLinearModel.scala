@@ -31,16 +31,31 @@ object HashedLinearModel {
   private def h28(x: String): String =
     s"CAST(conv(substring(md5($x), 1, 7), 16, 10) AS BIGINT)"
 
+  /** The full weight table, computed ONCE at plan-build time on the JVM
+    * ([[graft.functions.PortableHash.h28jvm]] is the bit-exact twin of
+    * the expression-side md5 arithmetic, proven by the hyperplane /
+    * codebook paths) and shipped as a 4096-long literal array. The
+    * expression-side alternative — `h28('w:' || bucket)` inline — pays
+    * a SECOND md5 per feature occurrence for a value set of size
+    * NBuckets; at corpus scale that second digest chain was most of the
+    * query's cost (measured 4.3 → 1.7 s steady at sf0.1). */
+  private lazy val weightTable: Seq[Long] =
+    (0L until NBuckets).map(b =>
+      graft.functions.PortableHash.h28jvm(s"w:$b") % WSpan - 1000L)
+
   /** Integer milli-weight of feature string `x`: bucket = h28(x) mod
-    * NBuckets, weight = h28('w:' || bucket) mod WSpan - 1000. Both
-    * hashes are nonnegative, so Spark `%` and DuckDB `%` agree. */
+    * NBuckets, weight = weightTable[bucket] (≡ h28('w:' || bucket) mod
+    * WSpan - 1000 — the oracle replays that derivation and hash-matches,
+    * checking the literal table too). Hashes are nonnegative, so Spark
+    * `%` and DuckDB `%` agree. */
   private def weightExpr(x: String): String =
-    s"(${h28(s"concat('w:', CAST(${h28(x)} % $NBuckets AS STRING))")} % $WSpan - 1000)"
+    s"element_at(__wt, CAST(${h28(x)} % $NBuckets AS INT) + 1)"
 
   /** Per-document score: (doc_id, n_feats, logit_milli, keep).
     * `docs` needs columns doc_id, text. */
   def score(docs: DataFrame): DataFrame =
     docs
+      .withColumn("__wt", typedLit(weightTable))
       .withColumn("ws", expr("filter(split(text, ' '), w -> w <> '')"))
       // bigrams: 1-based element_at + inclusive sequence mirror DuckDB's
       // 1-based list indexing; the size guard keeps sequence() ascending
