@@ -301,6 +301,79 @@ object SparkEntry {
           col("neg_id"), col("neg_cos_micro"))
         .orderBy("anchor_id")
     }),
+    // Dedup burn-down across ingestion batches (doc_id % 10 as the
+    // pseudo-day, the q76 convention): per batch, how many docs (and
+    // how much char mass) already near-duplicate an EARLIER batch —
+    // the curve an ingestion pipeline watches to see dedup pressure
+    // build. One read of the pair artifact, no re-pairing.
+    "q131_dedup_burndown" -> ((s, d) => {
+      val pairs = graft.warehouse.Warehouse.nearDupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val dir = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .unionByName(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      val dupPrior = dir
+        .where(pmod(col("y"), lit(10)) < pmod(col("x"), lit(10)))
+        .select(col("x").as("doc_id")).distinct()
+        .withColumn("dup_prior", lit(1L))
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+          pmod(col("doc_id"), lit(10)).as("batch"))
+        .join(dupPrior, Seq("doc_id"), "left")
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("dup_prior"), lit(0L))).as("n_dup_prior"),
+          sum(when(col("dup_prior").isNotNull, col("n_chars")).otherwise(0L))
+            .as("dup_chars"))
+        .select(col("batch"), col("n_docs"), col("n_dup_prior"), col("dup_chars"),
+          expr("(n_dup_prior * 1000000) div n_docs").as("dup_ppm"))
+        .orderBy("batch")
+    }),
+    // Mixture REALIZATION: q127's learned mix targets turned into
+    // per-source deterministic hash keep-rates (downsample
+    // overrepresented sources toward their target char share; a rate
+    // never exceeds 1 — no upsampling) and applied, reporting achieved
+    // vs target. The q83 thinning rule driven by the DoReMi weights:
+    // design (q127) → realization (this) → quotas (q86) is the
+    // mixture-construction chain. Source-cardinality arithmetic + one
+    // map-side filtered rollup.
+    "q132_mixture_realize" -> ((s, d) => {
+      val dd = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val perDoc = dd.select(col("doc_id"), col("source"))
+        .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
+      val perSrc = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_q"), sum(col("quality")).as("sum_q"))
+        .withColumn("avg_q", expr("sum_q div n_docs_q"))
+      val glob = perDoc.agg(count(lit(1)).as("n_all"), sum(col("quality")).as("q_all"))
+        .select(expr("q_all div n_all").as("gavg"))
+      val base = perSrc.crossJoin(broadcast(glob))
+        .withColumn("deficit_ppm",
+          greatest(lit(0L), expr("((gavg - avg_q) * 1000000) div gavg")))
+        .withColumn("factor", expr("1000000 + (200000 * deficit_ppm) div 1000000"))
+      val iterated = (1 to 5).foldLeft(base.withColumn("w", lit(1000000L))) {
+        (df, _) => df.withColumn("w", expr("(w * factor) div 1000000"))
+      }
+      val wtot = iterated.agg(sum(col("w")).as("w_tot"))
+      val mix = iterated.crossJoin(broadcast(wtot))
+        .select(col("source"), expr("(w * 1000000) div w_tot").as("mix_ppm"))
+      val chars = dd.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("src_chars"))
+      val ctot = chars.agg(sum(col("src_chars")).as("all_chars"))
+      val rates = chars.crossJoin(broadcast(ctot)).join(mix, Seq("source"))
+        .withColumn("share_ppm", expr("(src_chars * 1000000) div all_chars"))
+        .withColumn("keep_ppm", least(lit(1000000L),
+          expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)")))
+      val kept = dd.join(broadcast(rates.select(col("source"), col("keep_ppm"))),
+          Seq("source"))
+        .where(pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")),
+          lit(1000000L)) < col("keep_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("share_ppm"), col("mix_ppm"),
+          col("keep_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+        .orderBy("source")
+    }),
     // Margin-based cross-label pair mining (the CCMatrix bitext
     // criterion with `label` as the language id): in-cell cross-label
     // candidates from the materialized IVF assignment, margin vs both
@@ -2472,6 +2545,64 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // Pair replay + the earlier-batch flag rollup.
+    "q131_dedup_burndown" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |dirp AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+         |         UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |dp AS (SELECT DISTINCT x AS doc_id FROM dirp WHERE (y % 10) < (x % 10))
+         |SELECT (d.doc_id % 10) AS batch, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_prior,
+         |  CAST(sum(CASE WHEN dp.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+         |       AS BIGINT) AS dup_chars,
+         |  (CAST(sum(CASE WHEN dp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000) // count(*) AS dup_ppm
+         |FROM documents d LEFT JOIN dp ON dp.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Quality replay + the q127 iteration + share/keep-rate arithmetic
+    // + the md5 thinning filter, all floor divisions replicated.
+    "q132_mixture_realize" ->
+      s"""WITH $docQualityCtes,
+         |pd AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |ps AS (SELECT source, count(*) AS n_docs_q,
+         |    CAST(sum(quality) AS BIGINT) // count(*) AS avg_q
+         |  FROM pd GROUP BY source),
+         |gg AS (SELECT CAST(sum(quality) AS BIGINT) // count(*) AS gavg FROM pd),
+         |b AS (SELECT ps.source,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((gg.gavg - ps.avg_q) * 1000000) // gg.gavg) AS deficit_ppm
+         |  FROM ps CROSS JOIN gg),
+         |f AS (SELECT source,
+         |    1000000 + (200000 * deficit_ppm) // 1000000 AS factor FROM b),
+         |it AS (SELECT source,
+         |    ((((((((((1000000 * factor) // 1000000) * factor) // 1000000)
+         |      * factor) // 1000000) * factor) // 1000000) * factor) // 1000000) AS w
+         |  FROM f),
+         |tt AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it),
+         |mix AS (SELECT source, (w * 1000000) // w_tot AS mix_ppm
+         |  FROM it CROSS JOIN tt),
+         |ch AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS src_chars
+         |  FROM documents GROUP BY source),
+         |ct AS (SELECT CAST(sum(n_chars) AS BIGINT) AS all_chars FROM documents),
+         |rates AS (SELECT ch.source, ch.n_docs,
+         |    (ch.src_chars * 1000000) // ct.all_chars AS share_ppm,
+         |    m.mix_ppm,
+         |    least(1000000, (m.mix_ppm * 1000000)
+         |      // greatest(1, (ch.src_chars * 1000000) // ct.all_chars)) AS keep_ppm
+         |  FROM ch CROSS JOIN ct JOIN mix m ON m.source = ch.source),
+         |k AS (SELECT d.source, count(*) AS n_kept,
+         |    CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+         |  FROM documents d JOIN rates r ON r.source = d.source
+         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 1000000 < r.keep_ppm
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.share_ppm, r.mix_ppm, r.keep_ppm,
+         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.kept_chars, 0) AS kept_chars
+         |FROM rates r LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
     // Full triplet replay: fused retrieval + blocked-exact truth (with
     // rank-1 cosine), hard negatives as fr∖ex3, best negative by
     // (retr_rank, nid).
