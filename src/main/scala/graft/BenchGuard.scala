@@ -34,7 +34,10 @@ object BenchGuard {
     "q118_hard_negatives" -> 1.1,
     "q114_rerank_exact" -> 1.2,
     "q104_ensemble_recall" -> 1.5,
-    "q106_model_filter" -> 3.6,
+    // r9: weight table became a plan literal (one digest chain per
+    // feature instead of two) — a trip means the second chain is back
+    "q106_model_filter" -> 1.9,
+    "q125_margin_mining" -> 3.0,
     "q102_rrf_ensemble" -> 0.8,
     "q99_ann_recall" -> 1.4,
     "q61_zorder_layout" -> 2.5,
