@@ -337,23 +337,7 @@ object SparkEntry {
     // map-side filtered rollup.
     "q132_mixture_realize" -> ((s, d) => {
       val dd = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-      val perDoc = dd.select(col("doc_id"), col("source"))
-        .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
-      val perSrc = perDoc.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs_q"), sum(col("quality")).as("sum_q"))
-        .withColumn("avg_q", expr("sum_q div n_docs_q"))
-      val glob = perDoc.agg(count(lit(1)).as("n_all"), sum(col("quality")).as("q_all"))
-        .select(expr("q_all div n_all").as("gavg"))
-      val base = perSrc.crossJoin(broadcast(glob))
-        .withColumn("deficit_ppm",
-          greatest(lit(0L), expr("((gavg - avg_q) * 1000000) div gavg")))
-        .withColumn("factor", expr("1000000 + (200000 * deficit_ppm) div 1000000"))
-      val iterated = (1 to 5).foldLeft(base.withColumn("w", lit(1000000L))) {
-        (df, _) => df.withColumn("w", expr("(w * factor) div 1000000"))
-      }
-      val wtot = iterated.agg(sum(col("w")).as("w_tot"))
-      val mix = iterated.crossJoin(broadcast(wtot))
-        .select(col("source"), expr("(w * 1000000) div w_tot").as("mix_ppm"))
+      val mix = domainMixture(s, d).select(col("source"), col("mix_ppm"))
       val chars = dd.groupBy(col("source")).agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("src_chars"))
       val ctot = chars.agg(sum(col("src_chars")).as("all_chars"))
@@ -372,6 +356,46 @@ object SparkEntry {
           col("keep_ppm"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
+        .orderBy("source")
+    }),
+    // The per-source DATA CARD — the one-page corpus report a dataset
+    // release ships: volume, language spread, quality, novelty
+    // (soft-dedup retention), verbatim diversity, and the learned
+    // mixture target, one wide row per source. Pure assembly of
+    // materialized corpus state (quality, clusters, grams) + the
+    // source-cardinality mixture chain — six bounded rollups joined on
+    // the source dim; nothing rescans raw text.
+    "q134_data_card" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val baseStats = dd.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      val qual = dd.select(col("doc_id"), col("source"))
+        .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("quality")).as("sq"), count(lit(1)).as("nq"))
+        .select(col("source"), expr("sq div nq").as("avg_quality"))
+      val cl = graft.warehouse.Warehouse.nearDupClusters(s, d)
+      val sizes = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      val ret = dd.join(
+          cl.join(sizes, Seq("cluster_id"))
+            .select(col("doc_id"), expr("1000000L div n_members").as("weight_ppm")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(expr("n_chars * weight_ppm")).as("effm"), sum(col("n_chars")).as("rc"))
+        .select(col("source"), expr("effm div rc").as("retention_ppm"))
+      val gram = graft.warehouse.Warehouse.gramOccurrences(s, d)
+        .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source")).agg(sum(col("c")).as("tg"), count(lit(1)).as("dg"))
+        .select(col("source"), expr("(dg * 1000000) div tg").as("gram_diversity_ppm"))
+      baseStats
+        .join(qual, Seq("source"))
+        .join(ret, Seq("source"))
+        .join(gram, Seq("source"))
+        .join(domainMixture(s, d).select(col("source"), col("mix_ppm")), Seq("source"))
         .orderBy("source")
     }),
     // Margin-based cross-label pair mining (the CCMatrix bitext
@@ -414,28 +438,11 @@ object SparkEntry {
     // whole iteration runs on a source-cardinality table (one grouped
     // agg feeds it) — the update loop is column arithmetic, no driver
     // round trips, no joins beyond two 1-row broadcasts.
-    "q127_domain_mixture" -> ((s, d) => {
-      val dq = graft.warehouse.Warehouse.docQuality(s, d)
-      val perDoc = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        .join(dq, Seq("doc_id"))
-      val perSrc = perDoc.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("sum_q"))
-        .withColumn("avg_q", expr("sum_q div n_docs"))
-      val glob = perDoc.agg(count(lit(1)).as("n_all"), sum(col("quality")).as("q_all"))
-        .select(expr("q_all div n_all").as("gavg"))
-      val base = perSrc.crossJoin(broadcast(glob))
-        .withColumn("deficit_ppm",
-          greatest(lit(0L), expr("((gavg - avg_q) * 1000000) div gavg")))
-        .withColumn("factor", expr("1000000 + (200000 * deficit_ppm) div 1000000"))
-      val iterated = (1 to 5).foldLeft(base.withColumn("w", lit(1000000L))) {
-        (df, _) => df.withColumn("w", expr("(w * factor) div 1000000"))
-      }
-      val tot = iterated.agg(sum(col("w")).as("w_tot"))
-      iterated.crossJoin(broadcast(tot))
+    "q127_domain_mixture" -> ((s, d) =>
+      domainMixture(s, d)
         .select(col("source"), col("n_docs"), col("avg_q"), col("deficit_ppm"),
-          col("w").as("weight_raw"), expr("(w * 1000000) div w_tot").as("mix_ppm"))
-        .orderBy("source")
-    }),
+          col("w").as("weight_raw"), col("mix_ppm"))
+        .orderBy("source")),
     "q100_doc_repetition" -> ((s, d) =>
       graft.Par.fanOut(docs(s, d)).where(col("text").isNotNull)
         .withColumn("sents", expr(
@@ -1248,6 +1255,12 @@ object SparkEntry {
     // compile-time constants mirrored in the oracle.
     "q80_bm25_search" -> ((s, d) =>
       TextAnalysis.bm25(docs(s, d), Bm25Terms, 20)),
+    // Ranked posting lists per query term (top-10 by the term's BM25
+    // partial) — the sparse-retrieval serving shape next to the dense
+    // ann_*_topk lists; bounded per-term top-k aggregate, never a
+    // posting-stream sort window.
+    "q133_bm25_postings" -> ((s, d) =>
+      TextAnalysis.bm25TopkPerTerm(docs(s, d), Bm25Terms, 10)),
     // SemDeDup: semantic near-dup removal within trained IVF cells —
     // the embedding-space twin of q14's LSH dedup. Training stays
     // spec-gated (k-means); the dedup stage under the fixed codebook
@@ -1726,6 +1739,34 @@ object SparkEntry {
         (-col("kq.nd")).as("keeper_doc"),
         col("kq.quality").as("keeper_quality"),
         ((-col("kq.nd")) =!= col("minid_keeper")).cast("int").as("keeper_moved"))
+  }
+
+  /** The q127 multiplicative-weights chain, shared by q127 (reports
+    * it), q132 (realizes it), and q134 (summarizes it): per-source
+    * quality deficits vs the corpus average, five unrolled integer
+    * w ← w·(1+η·deficit) updates, ppm normalization. Source-cardinality
+    * arithmetic; two 1-row broadcasts. Returns (source, n_docs, avg_q,
+    * deficit_ppm, factor, w, mix_ppm). */
+  private def domainMixture(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("sum_q"))
+      .withColumn("avg_q", expr("sum_q div n_docs"))
+    val glob = perDoc.agg(count(lit(1)).as("n_all"), sum(col("quality")).as("q_all"))
+      .select(expr("q_all div n_all").as("gavg"))
+    val base = perSrc.crossJoin(broadcast(glob))
+      .withColumn("deficit_ppm",
+        greatest(lit(0L), expr("((gavg - avg_q) * 1000000) div gavg")))
+      .withColumn("factor", expr("1000000 + (200000 * deficit_ppm) div 1000000"))
+    val iterated = (1 to 5).foldLeft(base.withColumn("w", lit(1000000L))) {
+      (df, _) => df.withColumn("w", expr("(w * factor) div 1000000"))
+    }
+    val tot = iterated.agg(sum(col("w")).as("w_tot"))
+    iterated.crossJoin(broadcast(tot))
+      .withColumn("mix_ppm", expr("(w * 1000000) div w_tot"))
+      .select(col("source"), col("n_docs"), col("avg_q"), col("deficit_ppm"),
+        col("factor"), col("w"), col("mix_ppm"))
   }
 
   /** q80's fixed query-term set — compile-time constants mirrored
@@ -2545,6 +2586,67 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // The full data-card replay: closure + quality + grams + mixture,
+    // every per-source statistic re-derived from documents alone.
+    "q134_data_card" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |$docQualityCtes,
+         |bs AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |    count(DISTINCT lang) AS n_langs
+         |  FROM documents GROUP BY source),
+         |qs AS (SELECT d.source, CAST(sum(q.quality) AS BIGINT) // count(*) AS avg_quality
+         |  FROM documents d JOIN q USING (doc_id) GROUP BY d.source),
+         |csz AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id),
+         |wt AS (SELECT c.doc_id, 1000000 // n_members AS weight_ppm
+         |  FROM comp c JOIN csz USING (cluster_id)),
+         |rt AS (SELECT d.source,
+         |    CAST(sum(d.n_chars * wt.weight_ppm) AS BIGINT)
+         |      // CAST(sum(d.n_chars) AS BIGINT) AS retention_ppm
+         |  FROM documents d JOIN wt ON wt.doc_id = d.doc_id GROUP BY d.source),
+         |gt AS (SELECT source, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT source, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+         |  FROM gt WHERE len(ws) >= 8),
+         |go AS (SELECT source,
+         |    CAST(('0x' || substr(md5(
+         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM g0),
+         |pg AS (SELECT source, h, count(*) AS c FROM go GROUP BY source, h),
+         |gd AS (SELECT source,
+         |    (count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS gram_diversity_ppm
+         |  FROM pg GROUP BY source),
+         |pd2 AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |ps2 AS (SELECT source, CAST(sum(quality) AS BIGINT) // count(*) AS avg_q
+         |  FROM pd2 GROUP BY source),
+         |gg2 AS (SELECT CAST(sum(quality) AS BIGINT) // count(*) AS gavg FROM pd2),
+         |b2 AS (SELECT ps2.source,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((gg2.gavg - ps2.avg_q) * 1000000) // gg2.gavg) AS deficit_ppm
+         |  FROM ps2 CROSS JOIN gg2),
+         |f2 AS (SELECT source,
+         |    1000000 + (200000 * deficit_ppm) // 1000000 AS factor FROM b2),
+         |it2 AS (SELECT source,
+         |    ((((((((((1000000 * factor) // 1000000) * factor) // 1000000)
+         |      * factor) // 1000000) * factor) // 1000000) * factor) // 1000000) AS w
+         |  FROM f2),
+         |tt2 AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it2),
+         |mx AS (SELECT source, (w * 1000000) // w_tot AS mix_ppm
+         |  FROM it2 CROSS JOIN tt2)
+         |SELECT bs.source, bs.n_docs, bs.total_chars, bs.n_langs, qs.avg_quality,
+         |  rt.retention_ppm, gd.gram_diversity_ppm, mx.mix_ppm
+         |FROM bs JOIN qs USING (source) JOIN rt USING (source)
+         |JOIN gd USING (source) JOIN mx USING (source)
+         |ORDER BY source""".stripMargin,
     // Pair replay + the earlier-batch flag rollup.
     "q131_dedup_burndown" ->
       s"""WITH RECURSIVE $ShinglesCte,
@@ -3950,6 +4052,25 @@ object SparkEntry {
          |  FROM tf JOIN dfq USING (tok) JOIN len USING (doc_id) CROSS JOIN tot)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit, CAST(sum(s) AS BIGINT) AS bm25_e12
          |FROM sc GROUP BY doc_id ORDER BY bm25_e12 DESC, doc_id LIMIT 20""".stripMargin,
+    // The q80 scoring chain, ranked per term instead of summed per doc.
+    "q133_bm25_postings" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w <> '')) AS tok
+         |  FROM documents),
+         |len AS (SELECT doc_id, count(*) AS len FROM t GROUP BY doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(len) AS BIGINT) AS sum_len FROM len),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t
+         |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |sc AS (SELECT tok, doc_id,
+         |    ((1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) *
+         |    ((1000000 * 22 * tf * sum_len) //
+         |     (10 * tf * sum_len + 3 * sum_len + 9 * len * n_docs)) AS s
+         |  FROM tf JOIN dfq USING (tok) JOIN len USING (doc_id) CROSS JOIN tot)
+         |SELECT tok AS term, rank, doc_id, CAST(s AS BIGINT) AS bm25_e12 FROM (
+         |  SELECT tok, doc_id, s,
+         |    row_number() OVER (PARTITION BY tok ORDER BY s DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
     // SemDeDup replay over the materialized IVF codebook (q29's
     // mechanism): window-ranked nearest cell ≡ the engine's map-side
     // sort_array assignment (same `ccos DESC, cid` tie-break), then

@@ -276,6 +276,17 @@ object TextAnalysis {
     * DECIMAL on the tiny per-term df table — the dataflow is unchanged. */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty && k > 0)
+    bm25TermScores(docs, terms)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("idf_micro") * col("tfnorm_micro")).as("bm25_e12"))
+      .orderBy(col("bm25_e12").desc, col("doc_id")).limit(k)
+  }
+
+  /** Per-(doc, query-term) BM25 partial scores — the shared scoring
+    * stage behind [[bm25]] (per-doc sum + global top-k) and
+    * [[bm25TopkPerTerm]] (per-term ranked posting lists). */
+  private def bm25TermScores(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val toks = graft.Par.fanOut(docs)
       .select(col("doc_id"), explode(expr(words("text"))).as("tok"))
     val len = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
@@ -290,10 +301,26 @@ object TextAnalysis {
       .withColumn("tfnorm_micro",
         expr("(1000000L * 22 * tf * sum_len) div " +
           "(10 * tf * sum_len + 3 * sum_len + 9 * len * n_docs)"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_hit"),
-        sum(col("idf_micro") * col("tfnorm_micro")).as("bm25_e12"))
-      .orderBy(col("bm25_e12").desc, col("doc_id")).limit(k)
+  }
+
+  /** Ranked posting lists: top-`k` docs PER QUERY TERM by the term's
+    * BM25 partial score — the inverted-index serving shape (keyword
+    * search returns a ranked list per term before any fusion), the
+    * sparse twin of the dense ann_*_topk lists. Selection is the
+    * bounded `top_k_pairs` aggregate — k rows of state per term with
+    * map-side partials, never a per-term sort window over the posting
+    * stream. Output: (term, rank, doc_id, bm25_e12). */
+  def bm25TopkPerTerm(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    bm25TermScores(docs, terms)
+      .withColumn("s_e12", col("idf_micro") * col("tfnorm_micro"))
+      .groupBy(col("tok"))
+      .agg(expr(s"top_k_pairs(doc_id, CAST(s_e12 AS DOUBLE), $k)").as("tk"))
+      .select(col("tok").as("term"), posexplode(col("tk")).as(Seq("r0", "p")))
+      .select(col("term"), (col("r0") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"),
+        expr("CAST(p.score AS BIGINT)").as("bm25_e12"))
+      .orderBy("term", "rank")
   }
 
   /** Rolling-hash document fingerprint: min 28-bit hash over all char
