@@ -358,6 +358,36 @@ object SparkEntry {
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
         .orderBy("source")
     }),
+    // Substring-level split leakage: val/test docs sharing a verbatim
+    // ≥8-token span with ANY train doc — contamination at ExactSubstr
+    // resolution, where q70 only sees whole-document near-dups (a
+    // benchmark answer pasted into one training doc never trips an LSH
+    // pair, but trips this). Train side reduces to its DISTINCT gram
+    // index; eval grams semi-join probe it (the q123 incremental
+    // shape applied to eval hygiene).
+    "q135_split_substr_leakage" -> ((s, d) => {
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val b = pmod(graft.functions.PortableHash.h60(c.cast("string")), lit(10L))
+        when(b < 8, "train").when(b < 9, "val").otherwise("test")
+      }
+      val sp = Tables.documents(s, d)
+        .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      val g = graft.warehouse.Warehouse.gramOccurrences(s, d)
+        .join(sp, Seq("doc_id"))
+      val trainGrams = g.where(col("split") === "train").select(col("h")).distinct()
+      val contam = g.where(col("split") =!= "train")
+        .join(trainGrams, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(1L))
+      sp.where(col("split") =!= "train")
+        .join(contam, Seq("doc_id"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .select(col("split"), col("n_docs"), col("n_contaminated"),
+          expr("(n_contaminated * 1000000) div n_docs").as("contam_ppm"))
+        .orderBy("split")
+    }),
     // The per-source DATA CARD — the one-page corpus report a dataset
     // release ships: volume, language spread, quality, novelty
     // (soft-dedup retention), verbatim diversity, and the learned
@@ -2586,6 +2616,34 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // Gram replay + the split-hash rule + the train-index probe.
+    "q135_split_substr_leakage" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) % 10 < 8 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                   AS BIGINT) % 10 < 9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, split,
+        |    unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, split,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g0),
+        |tg AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+        |cont AS (SELECT DISTINCT doc_id FROM g
+        |  WHERE split <> 'train' AND h IN (SELECT h FROM tg))
+        |SELECT t.split, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  (CAST(sum(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS contam_ppm
+        |FROM t LEFT JOIN cont ON cont.doc_id = t.doc_id
+        |WHERE t.split <> 'train'
+        |GROUP BY t.split ORDER BY t.split""".stripMargin,
     // The full data-card replay: closure + quality + grams + mixture,
     // every per-source statistic re-derived from documents alone.
     "q134_data_card" ->
