@@ -107,4 +107,35 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q gained a window:\n$p")
     }
   }
+
+  test("q125/q133: bounded top-k aggregates, no rank window, no cartesian") {
+    for (q <- Seq("q125_margin_mining", "q133_bm25_postings")) {
+      val p = plan(q)
+      assert(p.contains("top_k_pairs"), s"$q lost the bounded top-k aggregate:\n$p")
+      assert(countWindows(p) == 0, s"$q regained a rank window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q gained a cross join:\n$p")
+    }
+  }
+
+  test("q128: the quantile window runs over the distinct-value table, not the corpus") {
+    // group-then-window: the cumulative runs over the (source, quality)
+    // aggregate. The threshold table feeds two consumers (the kept
+    // rollup and the output row), and Spark duplicates the unpersisted
+    // subtree — so exactly TWO instances of the SAME distinct-value
+    // window, both bounded by score cardinality. A third window, or a
+    // window without the upstream HashAggregate, is a regression.
+    val p = plan("q128_quality_percentile_gate")
+    assert(countWindows(p) == 2,
+      s"q128 window count drifted (want 2, got ${countWindows(p)}):\n$p")
+    assert(!p.contains("CartesianProduct"), s"q128 gained a cross join:\n$p")
+  }
+
+  test("q134: the data card never reads document text") {
+    // every text-derived statistic comes from materialized corpus state
+    // (doc_quality, clusters, gram_occurrences); a `text` column in any
+    // scan schema means an artifact was silently re-derived per query.
+    val p = plan("q134_data_card")
+    assert(!p.contains("text"), s"q134 re-reads raw text:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q134 gained a cross join:\n$p")
+  }
 }
