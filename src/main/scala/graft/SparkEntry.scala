@@ -358,6 +358,11 @@ object SparkEntry {
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
         .orderBy("source")
     }),
+    // Mixed-language / code-switching audit: the q21 stopword vote per
+    // SENTENCE vs per document — the pre-filter a monolingual slice
+    // needs before trusting doc-level language ids.
+    "q136_code_switch" -> ((s, d) =>
+      TextAnalysis.codeSwitch(docs(s, d))),
     // Substring-level split leakage: val/test docs sharing a verbatim
     // ≥8-token span with ANY train doc — contamination at ExactSubstr
     // resolution, where q70 only sees whole-document near-dups (a
@@ -2616,6 +2621,44 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // The q21 vote replayed at both granularities + the disagreement
+    // rollup (DuckDB lateral alias refs keep the counts readable).
+    "q136_code_switch" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(list_transform(str_split(text, '. '), x -> trim(x)),
+        |      x -> x <> '') AS sents
+        |  FROM documents WHERE text IS NOT NULL),
+        |dh AS (SELECT doc_id, sents,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS den,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS dde,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS des,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS dfr
+        |  FROM (SELECT doc_id, sents,
+        |      list_filter(str_split(text, ' '), w -> w <> '') AS ws FROM t)),
+        |dv AS (SELECT doc_id, sents,
+        |    CASE WHEN den >= dde AND den >= des AND den >= dfr THEN 'en'
+        |         WHEN dde >= des AND dde >= dfr THEN 'de'
+        |         WHEN des >= dfr THEN 'es' ELSE 'fr' END AS doc_lang
+        |  FROM dh),
+        |sx AS (SELECT doc_id, doc_lang, unnest(sents) AS sent FROM dv),
+        |sh AS (SELECT doc_id, doc_lang,
+        |    CAST(len(list_filter(ws, w -> list_contains(['the','a','of','and'], w))) AS BIGINT) AS sen,
+        |    CAST(len(list_filter(ws, w -> list_contains(['der','die','das','und'], w))) AS BIGINT) AS sde,
+        |    CAST(len(list_filter(ws, w -> list_contains(['el','la','de','y'], w))) AS BIGINT) AS ses,
+        |    CAST(len(list_filter(ws, w -> list_contains(['le','la','de','et'], w))) AS BIGINT) AS sfr
+        |  FROM (SELECT doc_id, doc_lang,
+        |      list_filter(str_split(sent, ' '), w -> w <> '') AS ws FROM sx)),
+        |sv AS (SELECT doc_id, doc_lang,
+        |    CASE WHEN sen >= sde AND sen >= ses AND sen >= sfr THEN 'en'
+        |         WHEN sde >= ses AND sde >= sfr THEN 'de'
+        |         WHEN ses >= sfr THEN 'es' ELSE 'fr' END AS sent_lang
+        |  FROM sh)
+        |SELECT doc_id, doc_lang, count(*) AS n_sents,
+        |  CAST(sum(CASE WHEN sent_lang <> doc_lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_switched,
+        |  (CAST(sum(CASE WHEN sent_lang <> doc_lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // count(*) AS mixed_ppm
+        |FROM sv GROUP BY doc_id, doc_lang ORDER BY doc_id""".stripMargin,
     // Gram replay + the split-hash rule + the train-index probe.
     "q135_split_substr_leakage" ->
       """WITH t AS (SELECT doc_id,

@@ -205,6 +205,46 @@ object TextAnalysis {
         (size(col("sents")) - size(col("uniq"))).as("n_removed"),
         md5(concat_ws(". ", col("uniq"))).as("scrub_md5"))
 
+  /** Code-switching / mixed-language detection: the q21 stopword vote
+    * taken PER SENTENCE (q121's split convention) and compared against
+    * the whole-document vote — the fraction of sentences that disagree
+    * is the mixed-language signal a monolingual filter needs before
+    * trusting a doc-level language id (a half-English half-German page
+    * votes 'en' overall and then poisons the German-only training
+    * slice). Map + explode + one grouped aggregate; every vote is an
+    * integer stopword-count comparison with the fixed tie order, so
+    * the oracle replays it exactly. Docs with no sentences drop (an
+    * empty doc has no language evidence at either granularity). */
+  def codeSwitch(docs: DataFrame): DataFrame = {
+    def hitsOn(cn: String, lang: String): Column = {
+      val set = Stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
+      expr(s"size(filter(filter(split($cn, ' '), w -> w <> ''), w -> w IN $set))")
+        .cast("long")
+    }
+    def vote(p: String): Column =
+      when(col(s"${p}en") >= col(s"${p}de") && col(s"${p}en") >= col(s"${p}es") &&
+           col(s"${p}en") >= col(s"${p}fr"), "en")
+        .when(col(s"${p}de") >= col(s"${p}es") && col(s"${p}de") >= col(s"${p}fr"), "de")
+        .when(col(s"${p}es") >= col(s"${p}fr"), "es")
+        .otherwise("fr")
+    val sent = graft.Par.fanOut(docs).where(col("text").isNotNull)
+      .withColumn("den", hitsOn("text", "en")).withColumn("dde", hitsOn("text", "de"))
+      .withColumn("des", hitsOn("text", "es")).withColumn("dfr", hitsOn("text", "fr"))
+      .withColumn("doc_lang", vote("d"))
+      .withColumn("sents", expr(
+        "filter(transform(split(text, '\\\\. '), x -> trim(x)), x -> x <> '')"))
+      .select(col("doc_id"), col("doc_lang"), explode(col("sents")).as("sent"))
+      .withColumn("sen", hitsOn("sent", "en")).withColumn("sde", hitsOn("sent", "de"))
+      .withColumn("ses", hitsOn("sent", "es")).withColumn("sfr", hitsOn("sent", "fr"))
+      .withColumn("sent_lang", vote("s"))
+    sent.groupBy(col("doc_id"), col("doc_lang"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum((col("sent_lang") =!= col("doc_lang")).cast("long")).as("n_switched"))
+      .select(col("doc_id"), col("doc_lang"), col("n_sents"), col("n_switched"),
+        expr("(n_switched * 1000000) div n_sents").as("mixed_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Composite integer document quality — the keeper-policy score
     * (q113/q115): (4 − Gopher flags raised) · 2^20 + min(n_chars,
     * 2^20 − 1). Flags dominate, then longer text wins (near-dup
