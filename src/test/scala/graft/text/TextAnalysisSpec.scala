@@ -50,6 +50,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == "en")
   }
 
+  test("codeSwitch flags a half-German doc and clears monolingual ones") {
+    val docs = Seq(
+      // doc 1: two en sentences, two de sentences → doc votes by total
+      // hits (de 6 vs en 5 → 'de'), the two en sentences disagree
+      (1L, "the cat of the house. a dog and more. der hund und die katze. das und der haus."),
+      // doc 2: monolingual en
+      (2L, "the cat sat. a dog and the bird."),
+      // doc 3: empty text → no sentences → dropped
+      (3L, ""),
+      (4L, "el gato y la casa. el perro y la luz.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeSwitch(docs)
+      .select("doc_id", "doc_lang", "n_sents", "n_switched", "mixed_ppm")
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "de" && out(1L)._3 == 4 && out(1L)._4 == 2 &&
+      out(1L)._5 == 500000L, s"mixed doc mis-scored: ${out(1L)}")
+    assert(out(2L)._4 == 0 && out(2L)._5 == 0L)
+    assert(!out.contains(3L), "empty doc must drop (no language evidence)")
+    assert(out(4L)._2 == "es" && out(4L)._4 == 0)
+  }
+
   test("fingerprint is stable and handles short texts") {
     val docs = Seq((1L, "abcdefghij"), (2L, "short"), (3L, "abcdefghij")).toDF("doc_id", "text")
     val fp = TextAnalysis.fingerprint(docs).as[(Long, Long)].collect().toMap
