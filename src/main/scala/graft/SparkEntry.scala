@@ -358,6 +358,19 @@ object SparkEntry {
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
         .orderBy("source")
     }),
+    // q125's INGESTION shape: mine the arriving batch (vec_id % 10 = 7)
+    // against the immutable corpus only — bipartite in-cell candidates,
+    // per-side neighborhoods over the candidate set, mutual best.
+    // Corpus×corpus never re-pairs (the q76/q77 discipline for the
+    // bitext miner).
+    "q137_margin_mining_incr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.marginMiningBetween(
+        e.where(pmod(col("vec_id"), lit(10)) === 7),
+        e.where(pmod(col("vec_id"), lit(10)) =!= 7),
+        graft.warehouse.Warehouse.ivfAssign(s, d),
+        graft.warehouse.Warehouse.ivfCodebook(s, d))
+    }),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -2621,6 +2634,50 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // Bipartite margin replay: assignment from the codebook parquet,
+    // batch/corpus split on vec_id, per-side denominators, mutual best.
+    "q137_margin_mining_incr" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |a1 AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |nx AS (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
+         |  FROM en JOIN a1 USING (vec_id) WHERE en.vec_id % 10 = 7),
+         |cy AS (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
+         |  FROM en JOIN a1 USING (vec_id) WHERE en.vec_id % 10 <> 7),
+         |cpos AS (SELECT * FROM (
+         |  SELECT x.vec_id AS xid, x.label AS xlab, y.vec_id AS yid, y.label AS ylab,
+         |    CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 1000000.0)
+         |         AS BIGINT) AS cos_micro
+         |  FROM nx x JOIN cy y ON x.cell = y.cell AND x.label <> y.label)
+         |  WHERE cos_micro > 0),
+         |dx AS (SELECT xid, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den_x
+         |  FROM (SELECT xid, yid, cos_micro,
+         |      row_number() OVER (PARTITION BY xid ORDER BY cos_micro DESC, yid) AS rk
+         |    FROM cpos) WHERE rk <= 3 GROUP BY xid),
+         |dy AS (SELECT yid, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den_y
+         |  FROM (SELECT xid, yid, cos_micro,
+         |      row_number() OVER (PARTITION BY yid ORDER BY cos_micro DESC, xid) AS rk
+         |    FROM cpos) WHERE rk <= 3 GROUP BY yid),
+         |sc AS (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
+         |    (2 * c.cos_micro * 1000000) // (dx.den_x + dy.den_y) AS margin_ppm
+         |  FROM cpos c JOIN dx USING (xid) JOIN dy USING (yid)),
+         |bx AS (SELECT xid, yid FROM (
+         |  SELECT xid, yid,
+         |    row_number() OVER (PARTITION BY xid ORDER BY margin_ppm DESC, yid) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |by2 AS (SELECT yid, xid FROM (
+         |  SELECT yid, xid,
+         |    row_number() OVER (PARTITION BY yid ORDER BY margin_ppm DESC, xid) AS rn
+         |  FROM sc) WHERE rn = 1)
+         |SELECT s.xid AS vec_new, s.yid AS vec_corpus,
+         |  s.xlab AS label_new, s.ylab AS label_corpus, s.cos_micro, s.margin_ppm
+         |FROM sc s JOIN bx ON bx.xid = s.xid AND bx.yid = s.yid
+         |JOIN by2 ON by2.yid = s.yid AND by2.xid = s.xid
+         |ORDER BY vec_new, vec_corpus""".stripMargin,
     // The q21 vote replayed at both granularities + the disagreement
     // rollup (DuckDB lateral alias refs keep the counts readable).
     "q136_code_switch" ->

@@ -614,4 +614,62 @@ object Similarity {
         col("cos_micro"), col("margin_ppm"))
       .orderBy("vec_x", "vec_y")
   }
+
+  /** [[marginMining]]'s INGESTION shape (the q76/q77 incremental
+    * discipline): mine the arriving batch against the immutable corpus
+    * only — the new side is map-assigned under the trained codebook,
+    * the corpus side reads its materialized assignment, and candidates
+    * are the BIPARTITE cross-label in-cell pairs (corpus×corpus never
+    * re-pairs). Neighborhood denominators are per side over the
+    * bipartite candidate set — the neighborhood a continuous miner can
+    * actually afford per batch; the full-corpus variant refines them
+    * once per corpus build. Mutual-best and fixed-point rules are
+    * identical to the batch operator. */
+  def marginMiningBetween(newVecs: DataFrame, corpus: DataFrame,
+                          corpusAssign: DataFrame, codebook: DataFrame,
+                          k: Int = 3): DataFrame = {
+    val na = cellAssignments(newVecs, codebook).where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val eNew = prepared(newVecs).join(na, Seq("vec_id"))
+    val ca = corpusAssign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val eCor = prepared(corpus).join(ca, Seq("vec_id"))
+    val x = eNew.select(col("vec_id").as("xid"), col("label").as("xlab"),
+      col("cell"), col("v").as("vx"), col("nrm").as("nx"))
+    val y = eCor.select(col("vec_id").as("yid"), col("label").as("ylab"),
+      col("cell"), col("v").as("vy"), col("nrm").as("ny"))
+    val cand = x.join(y, Seq("cell")).where(col("xlab") =!= col("ylab"))
+      .withColumn("cos_micro",
+        expr("CAST(floor(vec_dot(vx, vy) / (nx * ny) * 1000000.0) AS BIGINT)"))
+      .where(col("cos_micro") > 0)
+      .select(col("xid"), col("xlab"), col("yid"), col("ylab"), col("cos_micro"))
+      .persist()
+    val denX = cand.groupBy(col("xid"))
+      .agg(expr(s"top_k_pairs(yid, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
+      .select(col("xid"),
+        expr("aggregate(tk, 0L, (a, p) -> a + CAST(p.score AS BIGINT))").as("sx"),
+        size(col("tk")).as("nx"))
+      .select(col("xid"), expr("sx div nx").as("den_x"))
+    val denY = cand.groupBy(col("yid"))
+      .agg(expr(s"top_k_pairs(xid, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
+      .select(col("yid"),
+        expr("aggregate(tk, 0L, (a, p) -> a + CAST(p.score AS BIGINT))").as("sy"),
+        size(col("tk")).as("ny"))
+      .select(col("yid"), expr("sy div ny").as("den_y"))
+    val scored = cand.join(denX, Seq("xid")).join(denY, Seq("yid"))
+      .withColumn("margin_ppm",
+        expr("(2 * cos_micro * 1000000L) div (den_x + den_y)"))
+    val bestX = scored.groupBy(col("xid"))
+      .agg(max(struct(col("margin_ppm"), (-col("yid")).as("neg"))).as("b"))
+      .select(col("xid"), (-col("b.neg")).as("best_y"))
+    val bestY = scored.groupBy(col("yid"))
+      .agg(max(struct(col("margin_ppm"), (-col("xid")).as("neg"))).as("b"))
+      .select(col("yid"), (-col("b.neg")).as("best_x"))
+    scored
+      .join(bestX, Seq("xid")).where(col("best_y") === col("yid"))
+      .join(bestY, Seq("yid")).where(col("best_x") === col("xid"))
+      .select(col("xid").as("vec_new"), col("yid").as("vec_corpus"),
+        col("xlab").as("label_new"), col("ylab").as("label_corpus"),
+        col("cos_micro"), col("margin_ppm"))
+      .orderBy("vec_new", "vec_corpus")
+  }
 }
