@@ -358,6 +358,27 @@ object SparkEntry {
           coalesce(col("kept_chars"), lit(0L)).as("kept_chars"))
         .orderBy("source")
     }),
+    // Token-level budget accounting: per-source BPE token mass under
+    // the warehouse-trained merges — the token-denominated companion
+    // to q132's char shares (budgets are spent in tokens, and
+    // tokens-per-char varies by source; q92 showed it varies by
+    // language). One encode pass + a source rollup + a 1-row broadcast.
+    "q138_token_budget" -> ((s, d) => {
+      val per = graft.text.Bpe.encode(docs(s, d),
+          graft.warehouse.Warehouse.bpeMerges(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
+          col("n_chars")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+      val tot = per.agg(sum(col("n_tokens")).as("tok_all"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          expr("(n_tokens * 1000000) div tok_all").as("token_share_ppm"),
+          expr("(n_tokens * 1000000) div greatest(1L, n_chars)")
+            .as("tokens_per_char_micro"))
+        .orderBy("source")
+    }),
     // q125's INGESTION shape: mine the arriving batch (vec_id % 10 = 7)
     // against the immutable corpus only — bipartite in-cell candidates,
     // per-side neighborhoods over the candidate set, mutual best.
@@ -2634,6 +2655,21 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // The q92 encode replay rolled to sources, with char mass and the
+    // global token total for shares.
+    "q138_token_budget" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |ag AS (SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS p
+         |  FROM pc GROUP BY doc_id),
+         |per AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(p) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM ag JOIN documents USING (doc_id) GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_all FROM per)
+         |SELECT source, n_docs, n_tokens, n_chars,
+         |  (n_tokens * 1000000) // tok_all AS token_share_ppm,
+         |  (n_tokens * 1000000) // greatest(1, n_chars) AS tokens_per_char_micro
+         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     // Bipartite margin replay: assignment from the codebook parquet,
     // batch/corpus split on vec_id, per-side denominators, mutual best.
     "q137_margin_mining_incr" ->
