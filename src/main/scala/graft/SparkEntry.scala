@@ -215,14 +215,18 @@ object SparkEntry {
         .orderBy("doc_id")),
     // q122's INGESTION shape (the q76/q77 incremental family): scrub
     // the arriving batch (doc_id % 10 = 7) against the immutable
-    // corpus — batch grams probe the corpus's distinct gram index +
-    // in-batch keeper; corpus×corpus never re-pairs.
+    // corpus — batch grams probe the corpus's materialized distinct
+    // gram index, FRONTED by its materialized sketch bloom (map-side
+    // might-contain prune before the semi-join shuffle; no false
+    // negatives, so the scrub output is unchanged) + in-batch keeper;
+    // corpus×corpus never re-pairs.
     "q123_substr_scrub_incr" -> ((s, d) => {
       val g = graft.warehouse.Warehouse.gramOccurrences(s, d)
       graft.text.SegmentDedup.scrubAgainstIndexFromGrams(
           docs(s, d).where(pmod(col("doc_id"), lit(10)) === 7),
           g.where(pmod(col("doc_id"), lit(10)) === 7),
-          g.where(pmod(col("doc_id"), lit(10)) =!= 7).select(col("h")).distinct())
+          graft.warehouse.Warehouse.gramIndexBase(s, d),
+          bloom = Some(graft.warehouse.Warehouse.gramBloomBase(s, d)))
         .orderBy("doc_id")
     }),
     // Which sources share verbatim ≥8-token spans — the exact-substring

@@ -21,6 +21,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `k_min(hash, k)` → ARRAY<BIGINT> aggregate ([[KMinHashes]])
   *  - `top_k_pairs(id, score, k)` → ARRAY<STRUCT<id,score>> aggregate
   *    ([[TopKPairs]])
+  *  - `bloom_contains(value, bloom_b64)` → BOOLEAN ([[BloomContainsLong]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -38,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // opaque-failure class this helper exists to prevent
       require(v != null, s"$fn: $name must not be NULL")
       v.toString.toInt
+  }
+
+  /** String twin of [[intLit]]: extract a compile-time String from a
+    * foldable function argument. */
+  private def strLit(fn: String, name: String)(e: Expression): String = {
+    require(e.foldable, s"$fn: $name must be a foldable string literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$fn: $name must not be NULL")
+    v.toString
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -80,6 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("top_k_pairs", classOf[TopKPairs]) { children =>
       require(children.length == 3, "top_k_pairs(id, score, k)")
       TopKPairs(children.head, children(1), intLit("top_k_pairs", "k")(children(2)))
+    }
+    register("bloom_contains", classOf[BloomContainsLong]) { children =>
+      require(children.length == 2, "bloom_contains(value, bloom_b64)")
+      BloomContainsLong(children.head,
+        strLit("bloom_contains", "bloom_b64")(children(1)))
     }
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.PortableHash
 
@@ -65,4 +66,52 @@ object BloomPrune {
       bloomBits(dim, key, m, k), m, k)
     fact.join(pass, fact(fk).cast("string") === pass("s"), "left_semi")
   }
+
+  // -------------------------------------------------------------------
+  // Sketch-backed variant — the PRODUCTION-scale form of the prune.
+  //
+  // The md5 bitmap above is the oracle-reproducible teaching form (m is
+  // dim-cardinality-sized, the bitmap is a row table both engines can
+  // rebuild). When the build side is a corpus-scale key set (the gram
+  // index: millions of 60-bit hashes), the prune instead uses Spark's
+  // own `util.sketch.BloomFilter` — the exact sketch the engine's
+  // InjectRuntimeFilter builds for runtime semi-join filtering — carried
+  // as a serialized binary LITERAL into the codegen'd
+  // `BloomFilterMightContain` predicate, so the probe side is a
+  // MAP-SIDE filter with zero shuffle: only might-contain survivors
+  // enter the semi-join shuffle. One-sided like the md5 form: a member
+  // always passes (no false negatives — the pruned semi-join equals the
+  // exact one); stray passers are eliminated by the join itself, so the
+  // result is oracle-identical and the sketch never needs an oracle
+  // twin.
+  // -------------------------------------------------------------------
+
+  /** Build a serialized sketch bloom over the LONG key column `key` of
+    * `keys` (putLong semantics — probe with [[mightContainLong]]).
+    * Runs one Spark job (the warehouse-artifact build path: sized by
+    * the known key cardinality, built once when the index lands). */
+  def sketchBloomBytes(keys: DataFrame, key: String, expectedItems: Long,
+                       fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
+    serialize(bf)
+  }
+
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val os = new java.io.ByteArrayOutputStream()
+    bf.writeTo(os)
+    os.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** The codegen'd might-contain predicate over a serialized sketch
+    * bloom ([[graft.functions.BloomContainsLong]]): true for every key
+    * that was put (no false negatives), probabilistically true
+    * otherwise. `value` must be a BIGINT column matching the
+    * putLong-built sketch of [[sketchBloomBytes]]. */
+  def mightContainLong(bloom: Array[Byte], value: Column): Column =
+    call_function("bloom_contains", value,
+      lit(java.util.Base64.getEncoder.encodeToString(bloom)))
 }

@@ -18,8 +18,10 @@ import graft.text.SegmentDedup
   * [[StreamRollup]]/[[StreamCentroid]].
   *
   * State is the parquet gram index (column `h`, 60-bit hashes) plus the
-  * last-merged batch id — restart-safe, readable by any batch consumer,
-  * nothing in the streaming state store. At 100 TB the index is the
+  * last-merged batch id, fronted by a maintained sketch bloom (its own
+  * single-row parquet beside the index; merged per batch by bitmap OR,
+  * probed map-side before the index semi-join) — restart-safe, readable
+  * by any batch consumer, nothing in the streaming state store. At 100 TB the index is the
   * materialized artifact the batch pipeline already maintains; the
   * stream just appends to it (here: atomic overwrite-swap per batch,
   * the demo-scale equivalent).
@@ -30,11 +32,23 @@ import graft.text.SegmentDedup
   * no-op (same pattern as [[StreamRollup]], spec-gated). */
 object StreamSubstrScrub {
 
-  /** Scrub one batch against the index at `indexPath`, append the
+  /** Fixed bloom geometry for the maintained index sketch: every
+    * batch's sketch is created with the same (capacity, fpp) so the
+    * per-batch merge is a bitmap OR. Capacity is provisioned for the
+    * expected INDEX size (production re-provisions and rebuilds from
+    * the index when distinct grams approach it — past capacity the
+    * filter stays correct, only its false-positive rate degrades,
+    * never its no-false-negative guarantee). */
+  val BloomCapacity: Long = 1L << 22
+  val BloomFpp: Double = 0.01
+
+  /** Scrub one batch against the index at `indexPath` (fronted by the
+    * maintained sketch bloom at `indexPath_bloom`), append the
     * scrubbed rows to `outPath`, merge the batch's grams into the
-    * index — exactly once per batchId. */
+    * index and its sketch into the bloom — exactly once per batchId. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  indexPath: String, outPath: String, minTokens: Int = 8): Unit = {
+    val bloomPath = s"${indexPath}_bloom"
     val existing =
       if (Ingest.ready(spark, indexPath)) Some(spark.read.parquet(indexPath))
       else None
@@ -44,14 +58,35 @@ object StreamSubstrScrub {
     if (batchId > lastMerged) {
       val index = existing.map(_.select(col("h")))
         .getOrElse(spark.range(0).select(col("id").as("h")))
+      val bloom =
+        if (existing.isDefined && Ingest.ready(spark, bloomPath))
+          Some(spark.read.parquet(bloomPath).select(col("bf")).head.getAs[Array[Byte]](0))
+        else None
       val scrubbed = SegmentDedup
-        .scrubExactSubstrAgainstIndex(batch, index, minTokens)
+        .scrubExactSubstrAgainstIndex(batch, index, minTokens, bloom)
         .withColumn("batch_id", lit(batchId))
-      // output first: if we crash between the two writes, the ledger
-      // still points at the PREVIOUS batch, so redelivery rewrites this
+      // output first: if we crash between the writes, the ledger still
+      // points at the PREVIOUS batch, so redelivery rewrites this
       // batch's output (overwrite of its own partition would also work)
-      // and then lands the index — never an index without its output
+      // and then lands bloom + index — never an index without its output
       scrubbed.write.mode("append").parquet(outPath)
+      // bloom BEFORE index: the ledger lives in the index, so a crash
+      // between the two leaves a bloom with EXTRA bits for a batch the
+      // ledger will replay — extra bits are false positives (harmless,
+      // the semi-join drops them); the reverse order could leave an
+      // index whose bloom is missing its grams — false negatives, which
+      // would silently break stream≡batch
+      val batchSketch = graft.operators.BloomPrune.serialize(
+        SegmentDedup.gramIndex(batch, minTokens)
+          .stat.bloomFilter("h", BloomCapacity, BloomFpp))
+      val mergedBloom = bloom.fold(batchSketch) { prev =>
+        val bf = graft.operators.BloomPrune.deserialize(prev)
+        bf.mergeInPlace(graft.operators.BloomPrune.deserialize(batchSketch))
+        graft.operators.BloomPrune.serialize(bf)
+      }
+      import spark.implicits._
+      Ingest.overwriteSwap(spark,
+        Seq((mergedBloom, batchId)).toDF("bf", "last_batch").repartition(1), bloomPath)
       val merged = index
         .unionByName(SegmentDedup.gramIndex(batch, minTokens))
         .distinct()

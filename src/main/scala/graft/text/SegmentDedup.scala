@@ -153,20 +153,33 @@ object SegmentDedup {
 
   /** [[scrubExactSubstrAgainst]] with the corpus pre-reduced to its
     * gram index — the form a maintained-index deployment (streaming
-    * ingest, nightly batches) calls directly. */
+    * ingest, nightly batches) calls directly. `bloom` (a serialized
+    * sketch over the index's `h` column — the warehouse artifact
+    * [[graft.operators.BloomPrune.sketchBloomBytes]] builds beside the
+    * index) fronts the probe: batch grams that CANNOT be in the index
+    * are dropped map-side, before the semi-join shuffle. No false
+    * negatives, so the scrub output is bit-identical with or without
+    * the bloom — it only changes how many rows reach the shuffle. */
   def scrubExactSubstrAgainstIndex(newDocs: DataFrame, index: DataFrame,
-                                   minTokens: Int = 8): DataFrame =
+                                   minTokens: Int = 8,
+                                   bloom: Option[Array[Byte]] = None): DataFrame =
     scrubAgainstIndexFromGrams(newDocs, gramOccurrences(newDocs, minTokens),
-      index, minTokens)
+      index, minTokens, bloom)
 
   /** [[scrubExactSubstrAgainstIndex]] with the batch's gram table also
     * supplied (both sides read from the materialized artifact). */
   def scrubAgainstIndexFromGrams(newDocs: DataFrame, grams: DataFrame,
-                                 index: DataFrame, minTokens: Int = 8): DataFrame = {
+                                 index: DataFrame, minTokens: Int = 8,
+                                 bloom: Option[Array[Byte]] = None): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
     val L = minTokens
     val toks = tokenized(newDocs)
-    val inCorpus = grams.join(index.select(col("h")), Seq("h"), "left_semi")
+    // bloom pre-filter: map-side, zero-shuffle, one-sided — a gram in
+    // the index ALWAYS passes, so the semi-join below sees every true
+    // duplicate and the scrub result is unchanged
+    val probe = bloom.fold(grams)(b =>
+      grams.where(graft.operators.BloomPrune.mightContainLong(b, col("h"))))
+    val inCorpus = probe.join(index.select(col("h")), Seq("h"), "left_semi")
     val kDoc = grams.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
     val keeper = grams.join(kDoc, Seq("h"))
       .where(col("doc_id") === col("kd"))

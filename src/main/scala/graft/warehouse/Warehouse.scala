@@ -307,6 +307,37 @@ object Warehouse {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
   }
 
+  /** The canonical ingestion-simulation split shared by every
+    * incremental query (q76/q77/q123/q137): the landed, immutable
+    * "base corpus" is `id % 10 != `[[HoldoutMod]], the arriving batch
+    * is `id % 10 == `[[HoldoutMod]]. */
+  val HoldoutMod = 7
+
+  /** Distinct gram-hash index of the BASE corpus (docs with
+    * doc_id % 10 != [[HoldoutMod]]) — the maintained index the
+    * incremental substring scrub (q123) probes, reduced from the landed
+    * gram_occurrences artifact. At 100 TB this is the per-batch-appended
+    * index [[graft.text.SegmentDedup.scrubExactSubstrAgainstIndex]]'s
+    * scaladoc describes; here the base-corpus slice plays the landed
+    * history. */
+  def buildGramIndexBase(grams: DataFrame): DataFrame =
+    grams.where(pmod(col("doc_id"), lit(10)) =!= HoldoutMod)
+      .select(col("h")).distinct()
+
+  /** Serialized sketch bloom fronting [[buildGramIndexBase]] — the
+    * map-side pre-filter for the index probe (built once when the index
+    * lands, exactly the artifact the operator scaladoc promises). One
+    * row: (bf BINARY, n_items, fpp_micro). An empty index gets a
+    * 1-capacity bloom (still a valid filter; nothing passes that the
+    * semi-join wouldn't drop). */
+  def buildGramBloomBase(spark: SparkSession, index: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = index.count()
+    val bytes = graft.operators.BloomPrune.sketchBloomBytes(
+      index, "h", math.max(n, 1L), 0.01)
+    Seq((bytes, n, 10000L)).toDF("bf", "n_items", "fpp_micro").repartition(1)
+  }
+
   /** Trained BPE merge table (rank, left, right, pair_freq) — the
     * tokenizer is corpus state exactly like the IVF/PQ codebooks:
     * trained once per corpus build, read by every encode query. Corpora
@@ -503,6 +534,13 @@ object Warehouse {
       "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
         spark.read.parquet(s"$dir/neardup_pairs"))),
       "gram_occurrences" -> (() => buildGramOccurrences(spark, sfDir)),
+      // base-corpus index + its fronting bloom, reduced from the gram
+      // table LANDED just above (the ivf_assign pattern: index state
+      // derives from the landed artifact, never a re-derivation)
+      "gram_index_base" -> (() => buildGramIndexBase(
+        spark.read.parquet(s"$dir/gram_occurrences"))),
+      "gram_bloom_base" -> (() => buildGramBloomBase(spark,
+        spark.read.parquet(s"$dir/gram_index_base"))),
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
       "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)),
       "doc_quality" -> (() => buildDocQuality(spark, sfDir)))
@@ -636,6 +674,17 @@ object Warehouse {
   /** Materialized gram-occurrence table (see [[buildGramOccurrences]]). */
   def gramOccurrences(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "gram_occurrences")
+
+  /** Materialized base-corpus gram index (see [[buildGramIndexBase]]). */
+  def gramIndexBase(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "gram_index_base")
+
+  /** Serialized sketch bloom fronting the base gram index (see
+    * [[buildGramBloomBase]]) — literal-sized corpus state like the
+    * codebooks/merge rules, collected for plan embedding. */
+  def gramBloomBase(spark: SparkSession, sfDir: String): Array[Byte] =
+    read(spark, sfDir, "gram_bloom_base")
+      .select(col("bf")).head.getAs[Array[Byte]](0)
 
   /** Materialized LSH top-k list (see [[buildAnnLshTopk]]). */
   def annLshTopk(spark: SparkSession, sfDir: String): DataFrame =

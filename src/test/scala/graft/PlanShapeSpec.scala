@@ -120,14 +120,27 @@ class PlanShapeSpec extends SparkSpec {
   test("q128: the quantile window runs over the distinct-value table, not the corpus") {
     // group-then-window: the cumulative runs over the (source, quality)
     // aggregate. The threshold table feeds two consumers (the kept
-    // rollup and the output row), and Spark duplicates the unpersisted
-    // subtree — so exactly TWO instances of the SAME distinct-value
-    // window, both bounded by score cardinality. A third window, or a
-    // window without the upstream HashAggregate, is a regression.
+    // rollup and the output row); Spark today duplicates the unpersisted
+    // subtree (2 instances of the SAME distinct-value window) but a
+    // planner that caches the subtree would legitimately emit 1 — accept
+    // either, reject a THIRD window (a data-sized rank window slipping
+    // in) or zero (the quantile logic vanished).
     val p = plan("q128_quality_percentile_gate")
-    assert(countWindows(p) == 2,
-      s"q128 window count drifted (want 2, got ${countWindows(p)}):\n$p")
+    assert(countWindows(p) >= 1 && countWindows(p) <= 2,
+      s"q128 window count drifted (want 1..2, got ${countWindows(p)}):\n$p")
     assert(!p.contains("CartesianProduct"), s"q128 gained a cross join:\n$p")
+  }
+
+  test("q123: the sketch bloom fronts the gram-index probe, map-side, payload-free") {
+    // the incremental scrub's batch grams must hit the codegen'd
+    // bloom_contains FILTER before the index semi-join shuffle — and
+    // the sketch must travel as a summarized reference object, never a
+    // printed literal (a binary child literal would bloat every plan
+    // string by the sketch's full hex).
+    val p = plan("q123_substr_scrub_incr")
+    assert(p.contains("bloom_contains"), s"q123 lost the bloom pre-filter:\n$p")
+    assert(p.contains("<bloom:"), s"q123 bloom prints unsummarized:\n$p")
+    assert(p.length < 500000, s"q123 plan string blew up (${p.length} chars)")
   }
 
   test("q134: the data card never reads document text") {

@@ -42,4 +42,40 @@ class BloomPruneSpec extends SparkSpec {
     val dim = (0L until 10000L).toDF("k")
     assert(BloomPrune.bloomBits(dim, "k", m = 1024).count() <= 18)
   }
+
+  // ---- sketch-backed (production-scale) variant ----
+
+  test("sketch bloom: no false negatives — pruned semi-join equals the exact semi-join") {
+    val members = (0L until 2000L).map(v => v * 13 + 1)
+    val keys = members.toDF("h")
+    val bloom = BloomPrune.sketchBloomBytes(keys, "h", members.size.toLong)
+    val probe = (0L until 20000L).toDF("h")
+    val passed = probe.where(BloomPrune.mightContainLong(bloom, col("h")))
+      .as[Long].collect().toSet
+    assert(members.filter(_ < 20000L).toSet.subsetOf(passed),
+      "a member key was dropped by the sketch — false negative")
+    // the prune must actually prune: at fpp=0.01 over 20k probes,
+    // non-member passers are ~200, not ~18.5k
+    assert(passed.size < 3000, s"sketch rejected too little: ${passed.size}")
+    val exact = probe.join(keys, Seq("h"), "left_semi").as[Long].collect().toSet
+    val pruned = probe.where(BloomPrune.mightContainLong(bloom, col("h")))
+      .join(keys, Seq("h"), "left_semi").as[Long].collect().toSet
+    assert(pruned == exact, "bloom-fronted semi-join diverged from the exact one")
+  }
+
+  test("sketch bloom: merge (bitmap OR) keeps every member of both sides") {
+    val a = (0L until 500L).toDF("h")
+    val b = (1000L until 1500L).toDF("h")
+    // same geometry on both sides — the streaming maintenance contract
+    val cap = 4096L
+    val ba = BloomPrune.deserialize(BloomPrune.sketchBloomBytes(a, "h", cap))
+    val bb = BloomPrune.deserialize(BloomPrune.sketchBloomBytes(b, "h", cap))
+    ba.mergeInPlace(bb)
+    val merged = BloomPrune.serialize(ba)
+    val union = a.unionByName(b)
+    val passed = union.where(BloomPrune.mightContainLong(merged, col("h")))
+      .as[Long].collect().toSet
+    assert(passed == union.as[Long].collect().toSet,
+      "merged sketch dropped a member of one side")
+  }
 }

@@ -72,4 +72,20 @@ class StreamSubstrScrubSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(streamed == direct)
   }
+
+  test("maintained bloom passes every gram of the maintained index (no false negatives)") {
+    import org.apache.spark.sql.functions.col
+    val index = tmp("bloom") + "/idx"
+    val out = tmp("bloomout") + "/scrubbed"
+    StreamSubstrScrub.mergeBatch(spark,
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), 0L, index, out, minTokens = 3)
+    StreamSubstrScrub.mergeBatch(spark,
+      Seq((2L, "c d e f"), (3L, "q r s t")).toDF("doc_id", "text"), 1L, index, out, minTokens = 3)
+    val bloom = spark.read.parquet(s"${index}_bloom")
+      .select(col("bf")).head.getAs[Array[Byte]](0)
+    val idx = spark.read.parquet(index).select(col("h"))
+    val dropped = idx.where(
+      !graft.operators.BloomPrune.mightContainLong(bloom, col("h"))).count()
+    assert(dropped == 0L, s"merged bloom dropped $dropped index grams — false negatives")
+  }
 }

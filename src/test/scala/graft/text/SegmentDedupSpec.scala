@@ -145,4 +145,22 @@ class SegmentDedupSpec extends SparkSpec {
     val incr = scrubIncr(batch, corpus)
     assert(incr == full)
   }
+
+  test("incr scrub with the sketch bloom pre-filter is bit-identical to the unpruned scrub") {
+    // the bloom is built over the index it fronts, so a member gram can
+    // never be dropped (no false negatives) — the pruned probe feeds
+    // the same semi-join the same true duplicates
+    val corpus = Seq((1L, "a b c d e"), (2L, "f g h i")).toDF("doc_id", "text")
+    val batch = Seq((10L, "x a b c d"), (11L, "f g h i j"), (12L, "p q r s"),
+      (13L, "p q r s t")).toDF("doc_id", "text")
+    val index = SegmentDedup.gramIndex(corpus, minTokens = 3)
+    val bloom = graft.operators.BloomPrune.sketchBloomBytes(index, "h", 64L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val unpruned = canon(SegmentDedup.scrubExactSubstrAgainstIndex(batch, index, 3))
+    val pruned = canon(SegmentDedup.scrubExactSubstrAgainstIndex(batch, index, 3, Some(bloom)))
+    assert(pruned == unpruned)
+    // not vacuous: the corpus hits really scrub
+    assert(unpruned.contains((10L, 5L, 4L, "x")))
+  }
 }
