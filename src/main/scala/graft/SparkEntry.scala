@@ -1324,16 +1324,25 @@ object SparkEntry {
     // so a silent stage-order or flag regression shifts a count.
     "q75_curation_funnel" -> ((s, d) => Curation.funnel(docs(s, d))),
     // BM25 retrieval over the corpus for a fixed query-term set —
-    // integer-micros scoring (no libm ln), bounded top-k. Terms are
+    // integer-micros scoring (no libm ln), bounded top-k, reading the
+    // MATERIALIZED inverted index + doc lengths (the corpus text is
+    // never re-tokenized per query; the oracle still replays from
+    // `documents`, so the gate checks the artifacts too). Terms are
     // compile-time constants mirrored in the oracle.
     "q80_bm25_search" -> ((s, d) =>
-      TextAnalysis.bm25(docs(s, d), Bm25Terms, 20)),
+      TextAnalysis.bm25FromIndex(
+        graft.warehouse.Warehouse.bm25Postings(s, d),
+        graft.warehouse.Warehouse.bm25DocLens(s, d), Bm25Terms, 20)),
     // Ranked posting lists per query term (top-10 by the term's BM25
-    // partial) — the sparse-retrieval serving shape next to the dense
-    // ann_*_topk lists; bounded per-term top-k aggregate, never a
-    // posting-stream sort window.
+    // partial, ranked at e9 so the top-k DOUBLE state stays exact —
+    // see bm25TopkPerTerm's bound note) — the sparse-retrieval serving
+    // shape next to the dense ann_*_topk lists; bounded per-term top-k
+    // aggregate over the materialized index, never a posting-stream
+    // sort window.
     "q133_bm25_postings" -> ((s, d) =>
-      TextAnalysis.bm25TopkPerTerm(docs(s, d), Bm25Terms, 10)),
+      TextAnalysis.bm25TopkPerTermFromIndex(
+        graft.warehouse.Warehouse.bm25Postings(s, d),
+        graft.warehouse.Warehouse.bm25DocLens(s, d), Bm25Terms, 10)),
     // SemDeDup: semantic near-dup removal within trained IVF cells —
     // the embedding-space twin of q14's LSH dedup. Training stays
     // spec-gated (k-means); the dedup stage under the fixed codebook
@@ -4265,9 +4274,9 @@ object SparkEntry {
          |    ((1000000 * 22 * tf * sum_len) //
          |     (10 * tf * sum_len + 3 * sum_len + 9 * len * n_docs)) AS s
          |  FROM tf JOIN dfq USING (tok) JOIN len USING (doc_id) CROSS JOIN tot)
-         |SELECT tok AS term, rank, doc_id, CAST(s AS BIGINT) AS bm25_e12 FROM (
-         |  SELECT tok, doc_id, s,
-         |    row_number() OVER (PARTITION BY tok ORDER BY s DESC, doc_id) AS rank
+         |SELECT tok AS term, rank, doc_id, CAST(s9 AS BIGINT) AS bm25_e9 FROM (
+         |  SELECT tok, doc_id, s // 1000 AS s9,
+         |    row_number() OVER (PARTITION BY tok ORDER BY s // 1000 DESC, doc_id) AS rank
          |  FROM sc) WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
     // SemDeDup replay over the materialized IVF codebook (q29's
     // mechanism): window-ranked nearest cell ≡ the engine's map-side

@@ -314,27 +314,58 @@ object TextAnalysis {
     * one scalar aggregate crossJoined as a 1-row broadcast. At web
     * scale (N ≳ 2⁶³/10⁶ per-term products) the idf factor moves to
     * DECIMAL on the tiny per-term df table — the dataflow is unchanged. */
-  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame = {
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20): DataFrame =
+    bm25FromIndex(bm25Postings(docs), bm25DocLens(docs), terms, k)
+
+  /** [[bm25]] over the MATERIALIZED index — the serving shape: `postings`
+    * = [[bm25Postings]], `doclens` = [[bm25DocLens]], both warehouse
+    * parquet at scale, so a query's cost is a term-pruned postings read
+    * plus a doc-keyed join — the corpus text is never re-tokenized per
+    * query (the knn-truth / gram-table discipline applied to sparse
+    * retrieval). */
+  def bm25FromIndex(postings: DataFrame, doclens: DataFrame,
+                    terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty && k > 0)
-    bm25TermScores(docs, terms)
+    bm25TermScoresFromIndex(postings, doclens, terms)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("idf_micro") * col("tfnorm_micro")).as("bm25_e12"))
       .orderBy(col("bm25_e12").desc, col("doc_id")).limit(k)
   }
 
-  /** Per-(doc, query-term) BM25 partial scores — the shared scoring
-    * stage behind [[bm25]] (per-doc sum + global top-k) and
-    * [[bm25TopkPerTerm]] (per-term ranked posting lists). */
-  private def bm25TermScores(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val toks = graft.Par.fanOut(docs)
+  /** The full inverted index (tok, doc_id, tf) under the shared
+    * whitespace tokenization — THE sparse-retrieval corpus artifact
+    * (every BM25 query reads this instead of re-tokenizing the corpus;
+    * at 100 TB it is bucketed by `tok` so a term filter touches only
+    * its buckets — here it lands term-sorted so parquet row-group
+    * stats prune the same way). */
+  def bm25Postings(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs)
       .select(col("doc_id"), explode(expr(words("text"))).as("tok"))
-    val len = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val totals = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
-    val tf = toks.where(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** Per-document token counts (doc_id, len), docs with ≥ 1 token —
+    * the BM25 length-normalization artifact beside [[bm25Postings]]
+    * (derivable from it as Σ tf; materialized separately so the
+    * per-doc join never re-aggregates the postings). */
+  def bm25DocLens(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs)
+      .select(col("doc_id"), explode(expr(words("text"))).as("tok"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+
+  /** Per-(doc, query-term) BM25 partial scores over the index tables —
+    * the shared scoring stage behind [[bm25FromIndex]] (per-doc sum +
+    * global top-k) and [[bm25TopkPerTermFromIndex]] (per-term ranked
+    * lists). df comes from the term-pruned postings slice itself; N
+    * and S are one scalar aggregate over `doclens` crossJoined as a
+    * 1-row broadcast. */
+  private def bm25TermScoresFromIndex(postings: DataFrame, doclens: DataFrame,
+                                      terms: Seq[String]): DataFrame = {
+    val tf = postings.where(col("tok").isin(terms: _*))
+      .select(col("doc_id"), col("tok"), col("tf"))
+    val totals = doclens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("tok")).join(len, Seq("doc_id"))
+    tf.join(broadcast(dfreq), Seq("tok")).join(doclens, Seq("doc_id"))
       .crossJoin(broadcast(totals))
       .withColumn("idf_micro",
         expr("(1000000L * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
@@ -349,17 +380,31 @@ object TextAnalysis {
     * sparse twin of the dense ann_*_topk lists. Selection is the
     * bounded `top_k_pairs` aggregate — k rows of state per term with
     * map-side partials, never a per-term sort window over the posting
-    * stream. Output: (term, rank, doc_id, bm25_e12). */
-  def bm25TopkPerTerm(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    * stream. Output: (term, rank, doc_id, bm25_e9).
+    *
+    * Score scale: the exact partial is idf_micro × tfnorm_micro (e12,
+    * bounded by ~1.5e12·n_docs for a df=1 term) — ABOVE 2^53 once
+    * n_docs ≳ 6e3, where the DOUBLE state of `top_k_pairs` would
+    * silently lose rank precision. The ranked score is therefore the
+    * e9 truncation (both engines integer-divide BEFORE any double
+    * cast), exact up to n_docs ≈ 6e6; past that, rescale again or move
+    * the per-term partials to DECIMAL — the dataflow is unchanged. */
+  def bm25TopkPerTerm(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+    bm25TopkPerTermFromIndex(bm25Postings(docs), bm25DocLens(docs), terms, k)
+
+  /** [[bm25TopkPerTerm]] over the materialized index tables (see
+    * [[bm25FromIndex]] for the artifact discipline). */
+  def bm25TopkPerTermFromIndex(postings: DataFrame, doclens: DataFrame,
+                               terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty && k > 0)
-    bm25TermScores(docs, terms)
-      .withColumn("s_e12", col("idf_micro") * col("tfnorm_micro"))
+    bm25TermScoresFromIndex(postings, doclens, terms)
+      .withColumn("s_e9", expr("(idf_micro * tfnorm_micro) div 1000"))
       .groupBy(col("tok"))
-      .agg(expr(s"top_k_pairs(doc_id, CAST(s_e12 AS DOUBLE), $k)").as("tk"))
+      .agg(expr(s"top_k_pairs(doc_id, CAST(s_e9 AS DOUBLE), $k)").as("tk"))
       .select(col("tok").as("term"), posexplode(col("tk")).as(Seq("r0", "p")))
       .select(col("term"), (col("r0") + 1).cast("long").as("rank"),
         col("p.id").as("doc_id"),
-        expr("CAST(p.score AS BIGINT)").as("bm25_e12"))
+        expr("CAST(p.score AS BIGINT)").as("bm25_e9"))
       .orderBy("term", "rank")
   }
 

@@ -368,6 +368,27 @@ object Warehouse {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
   }
 
+  /** BM25 inverted index (tok, doc_id, tf) — sparse-retrieval corpus
+    * state beside the dense ann_* artifacts: every BM25 query reads
+    * this instead of re-tokenizing `documents`. Landed term-sorted in
+    * one file so a query-term filter prunes by parquet row-group
+    * stats (the demo-scale stand-in for bucketing by `tok`). */
+  def buildBm25Postings(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").cast("string").as("tok"),
+        col("id").as("doc_id"), col("id").as("tf")).repartition(1)
+    graft.text.TextAnalysis.bm25Postings(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .repartition(1).sortWithinPartitions("tok", "doc_id")
+  }
+
+  /** BM25 per-doc token lengths (doc_id, len) — derived from the
+    * LANDED postings (Σ tf per doc), the length-normalization side of
+    * the index pair. */
+  def buildBm25DocLens(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+
   /** Composite document quality (doc_id, quality) — the keeper-policy
     * score ([[graft.text.TextAnalysis.compositeQuality]]), corpus
     * state like the clusters it ranks: derived once, read by every
@@ -541,6 +562,9 @@ object Warehouse {
         spark.read.parquet(s"$dir/gram_occurrences"))),
       "gram_bloom_base" -> (() => buildGramBloomBase(spark,
         spark.read.parquet(s"$dir/gram_index_base"))),
+      "bm25_postings" -> (() => buildBm25Postings(spark, sfDir)),
+      "bm25_doclens" -> (() => buildBm25DocLens(
+        spark.read.parquet(s"$dir/bm25_postings"))),
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
       "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)),
       "doc_quality" -> (() => buildDocQuality(spark, sfDir)))
@@ -674,6 +698,14 @@ object Warehouse {
   /** Materialized gram-occurrence table (see [[buildGramOccurrences]]). */
   def gramOccurrences(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "gram_occurrences")
+
+  /** Materialized BM25 inverted index (see [[buildBm25Postings]]). */
+  def bm25Postings(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "bm25_postings")
+
+  /** Materialized BM25 doc lengths (see [[buildBm25DocLens]]). */
+  def bm25DocLens(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "bm25_doclens")
 
   /** Materialized base-corpus gram index (see [[buildGramIndexBase]]). */
   def gramIndexBase(spark: SparkSession, sfDir: String): DataFrame =

@@ -117,6 +117,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q80/q133: BM25 reads the materialized index, never document text") {
+    // the scorer joins bm25_postings + bm25_doclens; a `text` column in
+    // any scan schema means the corpus is being re-tokenized per query
+    // (the per-query-rescan regression r9 fixed for grams/knn truth)
+    for (q <- Seq("q80_bm25_search", "q133_bm25_postings")) {
+      val p = plan(q)
+      assert(!p.contains("text"), s"$q re-reads raw text:\n$p")
+    }
+  }
+
   test("q128: the quantile window runs over the distinct-value table, not the corpus") {
     // group-then-window: the cumulative runs over the (source, quality)
     // aggregate. The threshold table feeds two consumers (the kept

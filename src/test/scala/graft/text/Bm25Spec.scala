@@ -43,4 +43,28 @@ class Bm25Spec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(out.toSeq == Seq(1L, 2L))
   }
+
+  test("doc lengths derived from the landed postings equal the direct tokenization") {
+    // the warehouse builds bm25_doclens as Σ tf over bm25_postings —
+    // the two derivations must agree for every doc
+    val fromPostings = graft.warehouse.Warehouse
+      .buildBm25DocLens(TextAnalysis.bm25Postings(docs))
+      .as[(Long, Long)].collect().toSet
+    val direct = TextAnalysis.bm25DocLens(docs).as[(Long, Long)].collect().toSet
+    assert(fromPostings == direct)
+    assert(direct == Set((1L, 3L), (2L, 2L), (3L, 4L), (4L, 2L)))
+  }
+
+  test("per-term top-k ranks and emits the exact e9 truncation") {
+    val out = TextAnalysis.bm25TopkPerTerm(docs, Seq("apple", "banana"), k = 10)
+      .select("term", "rank", "doc_id", "bm25_e9")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // partials (e12, from the hand computation above) div 1000:
+    // apple: d1 1_340_720e6, d2 1_125_581e6; banana: d3 1_568_881e6, d1 964_143e6
+    assert(out == Seq(
+      ("apple", 1L, 1L, 1340720000L),
+      ("apple", 2L, 2L, 1125581000L),
+      ("banana", 1L, 3L, 1568881000L),
+      ("banana", 2L, 1L, 964143000L)))
+  }
 }
