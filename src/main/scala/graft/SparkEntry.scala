@@ -394,7 +394,8 @@ object SparkEntry {
         e.where(pmod(col("vec_id"), lit(10)) === 7),
         e.where(pmod(col("vec_id"), lit(10)) =!= 7),
         graft.warehouse.Warehouse.ivfAssign(s, d),
-        graft.warehouse.Warehouse.ivfCodebook(s, d))
+        graft.warehouse.Warehouse.ivfCodebook(s, d),
+        corpusDenoms = Some(graft.warehouse.Warehouse.marginDenoms(s, d)))
     }),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
@@ -479,7 +480,8 @@ object SparkEntry {
     // the gate checks the artifact too (the q29/q44 replay).
     "q125_margin_mining" -> ((s, d) =>
       Similarity.marginMining(Tables.embeddings(s, d),
-        graft.warehouse.Warehouse.ivfAssign(s, d))),
+        graft.warehouse.Warehouse.ivfAssign(s, d),
+        denoms = Some(graft.warehouse.Warehouse.marginDenoms(s, d)))),
     // Duplicate-aware DOWN-WEIGHTING (soft dedup): instead of dropping
     // non-keepers, every doc weights 1e6/cluster_size — each near-dup
     // cluster contributes one doc's worth of mass no matter how wide.
@@ -2684,7 +2686,11 @@ object SparkEntry {
          |  (n_tokens * 1000000) // greatest(1, n_chars) AS tokens_per_char_micro
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
     // Bipartite margin replay: assignment from the codebook parquet,
-    // batch/corpus split on vec_id, per-side denominators, mutual best.
+    // batch/corpus split on vec_id, mutual best — denominators replay
+    // the margin_denoms ARTIFACT semantics: the FULL-corpus
+    // cross-label neighborhoods (so the gate checks the landed
+    // denominators too), coalesced over the bipartite estimate exactly
+    // like the engine's fallback for artifact-unseen vectors.
     "q137_margin_mining_incr" ->
       s"""WITH $VecCte,
          |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
@@ -2693,24 +2699,38 @@ object SparkEntry {
          |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
          |  FROM en e CROSS JOIN cent c),
          |a1 AS (SELECT vec_id, cell FROM r WHERE rn = 1),
-         |nx AS (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
-         |  FROM en JOIN a1 USING (vec_id) WHERE en.vec_id % 10 = 7),
-         |cy AS (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
-         |  FROM en JOIN a1 USING (vec_id) WHERE en.vec_id % 10 <> 7),
+         |ec AS (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
+         |  FROM en JOIN a1 USING (vec_id)),
+         |nx AS (SELECT * FROM ec WHERE vec_id % 10 = 7),
+         |cy AS (SELECT * FROM ec WHERE vec_id % 10 <> 7),
          |cpos AS (SELECT * FROM (
          |  SELECT x.vec_id AS xid, x.label AS xlab, y.vec_id AS yid, y.label AS ylab,
          |    CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 1000000.0)
          |         AS BIGINT) AS cos_micro
          |  FROM nx x JOIN cy y ON x.cell = y.cell AND x.label <> y.label)
          |  WHERE cos_micro > 0),
-         |dx AS (SELECT xid, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den_x
+         |fpos AS (SELECT * FROM (
+         |  SELECT a.vec_id AS xid, b.vec_id AS yid,
+         |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0)
+         |         AS BIGINT) AS cos_micro
+         |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.label <> b.label)
+         |  WHERE cos_micro > 0),
+         |fden AS (SELECT xid AS id, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den
+         |  FROM (SELECT xid, yid, cos_micro,
+         |      row_number() OVER (PARTITION BY xid ORDER BY cos_micro DESC, yid) AS rk
+         |    FROM fpos) WHERE rk <= 3 GROUP BY xid),
+         |dxb AS (SELECT xid, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den_b
          |  FROM (SELECT xid, yid, cos_micro,
          |      row_number() OVER (PARTITION BY xid ORDER BY cos_micro DESC, yid) AS rk
          |    FROM cpos) WHERE rk <= 3 GROUP BY xid),
-         |dy AS (SELECT yid, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den_y
+         |dyb AS (SELECT yid, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den_b
          |  FROM (SELECT xid, yid, cos_micro,
          |      row_number() OVER (PARTITION BY yid ORDER BY cos_micro DESC, xid) AS rk
          |    FROM cpos) WHERE rk <= 3 GROUP BY yid),
+         |dx AS (SELECT b.xid, COALESCE(f.den, b.den_b) AS den_x
+         |  FROM dxb b LEFT JOIN fden f ON f.id = b.xid),
+         |dy AS (SELECT b.yid, COALESCE(f.den, b.den_b) AS den_y
+         |  FROM dyb b LEFT JOIN fden f ON f.id = b.yid),
          |sc AS (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
          |    (2 * c.cos_micro * 1000000) // (dx.den_x + dy.den_y) AS margin_ppm
          |  FROM cpos c JOIN dx USING (xid) JOIN dy USING (yid)),

@@ -571,31 +571,67 @@ object Similarity {
     * blocking), neighborhood averages are the bounded `top_k_pairs`
     * aggregate, and the mutual-best filter is two id-keyed joins of
     * per-vector argmax rows. Nothing quadratic in the corpus. */
-  def marginMining(embeddings: DataFrame, assign: DataFrame, k: Int = 3): DataFrame = {
-    val e = prepared(embeddings)
-    val a1 = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
-    val ea = e.join(a1, Seq("vec_id")).persist() // probed as both pair sides
-    val x = ea.select(col("vec_id").as("xid"), col("label").as("xlab"),
+  /** The two orientations of a prepared+cell-assigned vector table for
+    * candidate pairing ((vec_id, label, cell, v, nrm) → x / y column
+    * aliases). */
+  private def xSide(ea: DataFrame): DataFrame =
+    ea.select(col("vec_id").as("xid"), col("label").as("xlab"),
       col("cell"), col("v").as("vx"), col("nrm").as("nx"))
-    val y = ea.select(col("vec_id").as("yid"), col("label").as("ylab"),
+  private def ySide(ea: DataFrame): DataFrame =
+    ea.select(col("vec_id").as("yid"), col("label").as("ylab"),
       col("cell"), col("v").as("vy"), col("nrm").as("ny"))
-    // directed candidate set: each unordered cross-label in-cell pair
-    // appears in both orientations, so per-xid aggregates below see
-    // every vector's full foreign neighborhood
-    val cand = x.join(y, Seq("cell")).where(col("xlab") =!= col("ylab"))
+
+  /** Cross-label in-cell candidate pairs with positive fixed-point
+    * cosine: (xid, xlab, yid, ylab, cos_micro). Fanout bounded by cell
+    * width — the IVF blocking that keeps mining non-quadratic. */
+  private def crossLabelCand(x: DataFrame, y: DataFrame): DataFrame =
+    x.join(y, Seq("cell")).where(col("xlab") =!= col("ylab"))
       .withColumn("cos_micro",
         expr("CAST(floor(vec_dot(vx, vy) / (nx * ny) * 1000000.0) AS BIGINT)"))
       .where(col("cos_micro") > 0)
       .select(col("xid"), col("xlab"), col("yid"), col("ylab"), col("cos_micro"))
-      .persist() // feeds the denominator agg AND the margin scoring
-    // per-vector neighborhood denominator: avg of the k best foreign
-    // cosines (integer micros are exact in the aggregate's double state)
-    val denom = cand.groupBy(col("xid"))
-      .agg(expr(s"top_k_pairs(yid, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
-      .select(col("xid").as("id"),
+
+  /** Per-vector foreign-neighborhood denominator (id, den): avg of the
+    * k best cross-label cosine micros seen from `id`'s side of the
+    * candidate set (integer micros are exact in the aggregate's double
+    * state). Bounded `top_k_pairs` state per key, map-side partials. */
+  private def neighborhoodDenoms(cand: DataFrame, id: String, partner: String,
+                                 k: Int): DataFrame =
+    cand.groupBy(col(id))
+      .agg(expr(s"top_k_pairs($partner, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
+      .select(col(id).as("id"),
         expr("aggregate(tk, 0L, (a, p) -> a + CAST(p.score AS BIGINT))").as("sumk"),
         size(col("tk")).as("nk"))
       .select(col("id"), expr("sumk div nk").as("den"))
+
+  /** The margin criterion's per-vector normalizers over the FULL
+    * corpus, as their own derivation — warehouse state `margin_denoms`
+    * beside `ivf_assign` (refreshed per corpus build, exactly like the
+    * index artifacts): the full miner reads it instead of
+    * re-aggregating, and the incremental miner scores corpus vectors
+    * against the SAME refreshed neighborhoods the full miner used. */
+  def marginDenoms(embeddings: DataFrame, assign: DataFrame, k: Int = 3): DataFrame = {
+    val e = prepared(embeddings)
+    val a1 = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val ea = e.join(a1, Seq("vec_id"))
+    neighborhoodDenoms(crossLabelCand(xSide(ea), ySide(ea)), "xid", "yid", k)
+  }
+
+  def marginMining(embeddings: DataFrame, assign: DataFrame, k: Int = 3,
+                   denoms: Option[DataFrame] = None): DataFrame = {
+    val e = prepared(embeddings)
+    val a1 = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val ea = e.join(a1, Seq("vec_id")).persist() // probed as both pair sides
+    // directed candidate set: each unordered cross-label in-cell pair
+    // appears in both orientations, so per-xid aggregates below see
+    // every vector's full foreign neighborhood
+    val cand = crossLabelCand(xSide(ea), ySide(ea))
+      .persist() // feeds the denominator agg AND the margin scoring
+    // per-vector neighborhood denominator: avg of the k best foreign
+    // cosines — from the materialized `margin_denoms` artifact when
+    // supplied (it is THIS aggregate, landed per corpus build), else
+    // computed from the candidate set
+    val denom = denoms.getOrElse(neighborhoodDenoms(cand, "xid", "yid", k))
     val scored = cand
       .join(denom.select(col("id").as("xid"), col("den").as("den_x")), Seq("xid"))
       .join(denom.select(col("id").as("yid"), col("den").as("den_y")), Seq("yid"))
@@ -627,34 +663,30 @@ object Similarity {
     * identical to the batch operator. */
   def marginMiningBetween(newVecs: DataFrame, corpus: DataFrame,
                           corpusAssign: DataFrame, codebook: DataFrame,
-                          k: Int = 3): DataFrame = {
+                          k: Int = 3,
+                          corpusDenoms: Option[DataFrame] = None): DataFrame = {
     val na = cellAssignments(newVecs, codebook).where(col("rn") === 1)
       .select(col("vec_id"), col("cell"))
     val eNew = prepared(newVecs).join(na, Seq("vec_id"))
     val ca = corpusAssign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
     val eCor = prepared(corpus).join(ca, Seq("vec_id"))
-    val x = eNew.select(col("vec_id").as("xid"), col("label").as("xlab"),
-      col("cell"), col("v").as("vx"), col("nrm").as("nx"))
-    val y = eCor.select(col("vec_id").as("yid"), col("label").as("ylab"),
-      col("cell"), col("v").as("vy"), col("nrm").as("ny"))
-    val cand = x.join(y, Seq("cell")).where(col("xlab") =!= col("ylab"))
-      .withColumn("cos_micro",
-        expr("CAST(floor(vec_dot(vx, vy) / (nx * ny) * 1000000.0) AS BIGINT)"))
-      .where(col("cos_micro") > 0)
-      .select(col("xid"), col("xlab"), col("yid"), col("ylab"), col("cos_micro"))
-      .persist()
-    val denX = cand.groupBy(col("xid"))
-      .agg(expr(s"top_k_pairs(yid, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
-      .select(col("xid"),
-        expr("aggregate(tk, 0L, (a, p) -> a + CAST(p.score AS BIGINT))").as("sx"),
-        size(col("tk")).as("nx"))
-      .select(col("xid"), expr("sx div nx").as("den_x"))
-    val denY = cand.groupBy(col("yid"))
-      .agg(expr(s"top_k_pairs(xid, CAST(cos_micro AS DOUBLE), $k)").as("tk"))
-      .select(col("yid"),
-        expr("aggregate(tk, 0L, (a, p) -> a + CAST(p.score AS BIGINT))").as("sy"),
-        size(col("tk")).as("ny"))
-      .select(col("yid"), expr("sy div ny").as("den_y"))
+    val cand = crossLabelCand(xSide(eNew), ySide(eCor)).persist()
+    // per-side denominators: the REFRESHED per-corpus-build artifact
+    // where a vector has one (so the incremental miner scores against
+    // the same neighborhoods the full miner landed — q125≡q137 on
+    // shared pairs), falling back to the bipartite-candidate estimate
+    // for vectors the artifact has not seen yet (a brand-new vector in
+    // a true ingestion run)
+    def withArtifact(bip: DataFrame): DataFrame = corpusDenoms match {
+      case Some(dn) => bip.select(col("id"), col("den").as("bip"))
+        .join(dn.select(col("id"), col("den").as("art")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("art"), col("bip")).as("den"))
+      case None => bip
+    }
+    val denX = withArtifact(neighborhoodDenoms(cand, "xid", "yid", k))
+      .select(col("id").as("xid"), col("den").as("den_x"))
+    val denY = withArtifact(neighborhoodDenoms(cand, "yid", "xid", k))
+      .select(col("id").as("yid"), col("den").as("den_y"))
     val scored = cand.join(denX, Seq("xid")).join(denY, Seq("yid"))
       .withColumn("margin_ppm",
         expr("(2 * cos_micro * 1000000L) div (den_x + den_y)"))

@@ -239,6 +239,19 @@ object Warehouse {
     graft.vector.ProductQuant.encode(Tables.embeddings(spark, sfDir), dim = 64, books)
   }
 
+  /** Per-vector margin-mining denominators (id, den) under the landed
+    * ivf_assign — the CCMatrix criterion's per-vector normalizers
+    * ([[graft.vector.Similarity.marginDenoms]]), refreshed per corpus
+    * build beside the assignment so the full (q125) and incremental
+    * (q137) miners score against identical neighborhoods. */
+  def buildMarginDenoms(spark: SparkSession, sfDir: String,
+                        assign: DataFrame): DataFrame = {
+    val p = new Path(s"$sfDir/embeddings.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id"), col("id").as("den")).repartition(1)
+    graft.vector.Similarity.marginDenoms(Tables.embeddings(spark, sfDir), assign)
+  }
+
   /** Empty (qid, rank, nid, cosine) ranked list — the shared shape of
     * the three retrieval artifacts below for corpora without an
     * embeddings table. */
@@ -534,6 +547,8 @@ object Warehouse {
       // dependent table records its own Left — loud for its readers.
       "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
         spark.read.parquet(s"$dir/ivf_codebook"))),
+      "margin_denoms" -> (() => buildMarginDenoms(spark, sfDir,
+        spark.read.parquet(s"$dir/ivf_assign"))),
       // retrieval truth + searched-index lists: corpus state consumed
       // by the eval queries (q99/q104/q117/q118) and the demos
       // (q17/q18/q29) — built once, beside the index they evaluate
@@ -686,6 +701,10 @@ object Warehouse {
   /** Materialized PQ codes (see [[buildPqCodes]]). */
   def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "pq_codes")
+
+  /** Materialized margin denominators (see [[buildMarginDenoms]]). */
+  def marginDenoms(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "margin_denoms")
 
   /** Materialized exact-kNN ground truth (see [[buildKnnExact]]). */
   def knnExact(spark: SparkSession, sfDir: String): DataFrame =

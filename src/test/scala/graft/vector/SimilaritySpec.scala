@@ -154,6 +154,48 @@ class SimilaritySpec extends SparkSpec {
       s"planted duplicate (0,10) not mined; got $mined")
   }
 
+  test("incremental mining with the denominator artifact scores shared pairs exactly like the full miner") {
+    // three labels, one cell: the corpus holds labels 0 and 1, the
+    // arriving batch label 2 — so a corpus vector's FULL foreign
+    // neighborhood (labels 1+2) is strictly richer than what the
+    // bipartite candidate set shows it (label 2 only), and the planted
+    // near-dup (0, 20) is mutual-best in both runs
+    def v(i: Int): Array[Float] = { val a = Array.fill(8)(0.01f); a(i % 8) = 1.0f; a }
+    val v10 = { val a = Array.fill(8)(0.01f); a(0) = 1.0f; a(1) = 0.5f; a }
+    val rows = Seq(
+      (0L, v(0), 0), (1L, v(1), 0), (2L, v(2), 0),
+      (10L, v10, 1), (11L, v(4), 1),
+      (20L, v(0), 2), (21L, v(5), 2), (22L, v(6), 2))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val assign = emb.select(col("vec_id"), lit(0L).as("cell"), lit(1).as("rn"))
+    val denoms = Similarity.marginDenoms(emb, assign, k = 3)
+    val full = Similarity.marginMining(emb, assign, k = 3, denoms = Some(denoms))
+      .select("vec_x", "vec_y", "cos_micro", "margin_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (x, y, c, m) => (x, y) -> ((c, m)) }.toMap
+    val batch = emb.where(col("vec_id") >= 20L)
+    val corpus = emb.where(col("vec_id") < 20L)
+    val cb = Similarity.codebookDf(spark,
+      Similarity.trainIvfCentroids(emb, ncells = 1, iters = 1, sampleMod = 1))
+    def mineIncr(dn: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.marginMiningBetween(batch, corpus, assign, cb, k = 3, corpusDenoms = dn)
+        .select("vec_new", "vec_corpus", "cos_micro", "margin_ppm")
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (n, c, cos, m) => (math.min(n, c), math.max(n, c)) -> ((cos, m)) }
+    val withArt = mineIncr(Some(denoms))
+    val shared = withArt.filter { case (key, _) => full.contains(key) }
+    assert(shared.nonEmpty, s"no shared pairs — vacuous (incr=${withArt.toSeq}, full=$full)")
+    assert(shared.map(_._1).toSet.contains((0L, 20L)), "planted pair not shared")
+    shared.foreach { case (key, got) =>
+      assert(got == full(key), s"$key: artifact-denominator run scored $got, full run ${full(key)}")
+    }
+    // sharpness: without the artifact the corpus side only sees its
+    // bipartite neighborhood, so the planted pair's margin must differ
+    val bipOnly = mineIncr(None).toMap
+    assert(bipOnly((0L, 20L))._2 != full((0L, 20L))._2,
+      "bipartite denominators accidentally equal the full ones — test lost its teeth")
+  }
+
   test("hyperplanes are deterministic and distribute vectors across buckets") {
     val e = embeddings.withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("bucket", Similarity.bucketExpr(6, 64))
