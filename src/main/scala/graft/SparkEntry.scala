@@ -261,8 +261,10 @@ object SparkEntry {
     }),
     // Per-source verbatim diversity: distinct vs total 8-token grams
     // (type-token ratio at ExactSubstr resolution) + the fraction of
-    // gram occurrences that are WITHIN-source repeats — the
-    // self-boilerplate rate, the intra-source companion to q124's
+    // gram occurrences that are WITHIN-source repeats beyond each
+    // gram's first occurrence (c−1 per repeated gram — the first
+    // occurrence is content, only re-occurrences are boilerplate) —
+    // the self-boilerplate rate, the intra-source companion to q124's
     // cross-source matrix. Reads the gram artifact; two-level agg.
     "q129_source_gram_diversity" -> ((s, d) => {
       val per = graft.warehouse.Warehouse.gramOccurrences(s, d)
@@ -271,7 +273,7 @@ object SparkEntry {
       per.groupBy(col("source"))
         .agg(sum(col("c")).as("total_grams"),
           count(lit(1)).as("distinct_grams"),
-          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
+          sum(col("c") - 1).as("dup_occurrences"))
         .select(col("source"), col("total_grams"), col("distinct_grams"),
           col("dup_occurrences"),
           expr("(distinct_grams * 1000000) div total_grams").as("diversity_ppm"),
@@ -2665,9 +2667,9 @@ object SparkEntry {
         |SELECT source,
         |  CAST(sum(c) AS BIGINT) AS total_grams,
         |  count(*) AS distinct_grams,
-        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+        |  CAST(sum(c - 1) AS BIGINT) AS dup_occurrences,
         |  (count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS diversity_ppm,
-        |  (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+        |  (CAST(sum(c - 1) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
     // The q92 encode replay rolled to sources, with char mass and the
