@@ -12,6 +12,23 @@ import org.apache.spark.sql.SparkSession
   * `shufflePartitions` should track the executor-core budget of the
   * deployment — the repo default (32) matches the local[32] harness;
   * a real cluster sets cores and lets AQE coalesce from there.
+  *
+  * == Session-cache contract ==
+  * Operators persist shared intermediates (a candidate table probed by
+  * both a denominator aggregate and the scoring join, a bucketed side
+  * probed twice, …) and deliberately do NOT unpersist them before
+  * returning: the returned DataFrame is lazy and still executes over
+  * those intermediates — an eager unpersist inside the builder would
+  * defeat the sharing it exists for. The caller owns release: run
+  * `spark.catalog.clearCache()` after consuming a query's result (all
+  * graft entry points — Bench, BenchGuard, Verify — do this between
+  * queries). Every operator persist is registered through the session's
+  * CacheManager, so clearCache releases ALL of it —
+  * [[graft]] PersistBalanceSpec pins that invariant. Long-lived
+  * sessions that interleave graft queries with other work can instead
+  * unpersist selectively via `spark.sharedState.cacheManager`; at
+  * MEMORY_AND_DISK default storage the worst case of NOT clearing is
+  * eviction, never OOM-by-cache.
   */
 object Graft {
   def session(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
