@@ -280,6 +280,33 @@ object SparkEntry {
           expr("(dup_occurrences * 1000000) div total_grams").as("boilerplate_ppm"))
         .orderBy("source")
     }),
+    // The q71 skew audit pointed at the substring machinery's ONE
+    // skew-exposed shuffle key: gram-hash occurrence counts from the
+    // materialized gram table — top grams vs the median frequency, plus
+    // the salt-bucket count the scrub's hot-key rule
+    // (SegmentDedup.dupOccurrences) would assign each. The ops view of
+    // "is boilerplate about to hot-spot the dup-marking join, and is
+    // the salting engaged for it".
+    "q139_gram_skew_audit" -> ((s, d) => {
+      val freq = graft.warehouse.Warehouse.gramOccurrences(s, d)
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val dist = freq.groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"))
+      val med = dist
+        .withColumn("cum", sum(col("n_keys")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("n"))))
+        .where(col("cum") * 2 >= col("n") + 1)
+        .agg(min(col("cnt")).as("median_cnt"))
+      val hotN = graft.text.SegmentDedup.HotGramOccurrences
+      freq.crossJoin(broadcast(med))
+        .select(col("h"), col("cnt"), col("median_cnt"),
+          expr("(cnt * 1000000L) div median_cnt").as("skew_micros"),
+          expr(s"CAST(CASE WHEN cnt > $hotN THEN least(64L, (cnt + ${hotN - 1}) div $hotN) " +
+            "ELSE 1L END AS BIGINT)").as("salt_buckets"))
+        .orderBy(col("cnt").desc, col("h")).limit(10)
+    }),
     // Contrastive-training triplet export: anchor = every query, the
     // exact top-1 neighbor as positive, the best-ranked q118 hard
     // negative (fused-ANN hit that is NOT a true neighbor) as negative
@@ -2672,6 +2699,30 @@ object SparkEntry {
         |  (CAST(sum(c - 1) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // Gram replay (the q124/q129 derivation) + the q71 median/skew
+    // arithmetic + the integer salt-bucket rule.
+    "q139_gram_skew_audit" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+         |  FROM t WHERE len(ws) >= 8),
+         |go AS (SELECT CAST(('0x' || substr(md5(
+         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM g0),
+         |freq AS (SELECT h, count(*) AS cnt FROM go GROUP BY h),
+         |dist AS (SELECT cnt, count(*) AS n_keys FROM freq GROUP BY cnt),
+         |c AS (SELECT cnt,
+         |    sum(n_keys) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM dist),
+         |n AS (SELECT count(*) AS n FROM freq),
+         |m AS (SELECT CAST(min(cnt) AS BIGINT) AS median_cnt FROM c, n
+         |  WHERE cum * 2 >= n + 1)
+         |SELECT h, CAST(cnt AS BIGINT) AS cnt, median_cnt,
+         |  (CAST(cnt AS BIGINT) * 1000000) // median_cnt AS skew_micros,
+         |  CAST(CASE WHEN cnt > 1024 THEN least(64, (cnt + 1023) // 1024)
+         |    ELSE 1 END AS BIGINT) AS salt_buckets
+         |FROM freq CROSS JOIN m ORDER BY cnt DESC, h LIMIT 10""".stripMargin,
     // The q92 encode replay rolled to sources, with char mass and the
     // global token total for shares.
     "q138_token_budget" ->

@@ -87,8 +87,10 @@ object SegmentDedup {
     * explode positions + slice, the [[Chunking]] shape), carrying
     * 60-bit gram hashes, never gram text, into the ONE shuffle keyed
     * on gram hash (balanced fixed-width keys; per-key state =
-    * occurrences of that gram). Keeper resolution is a bounded
-    * two-level aggregate; coverage union happens per document with
+    * occurrences of that gram). Keeper resolution is one map-side
+    * combinable struct-min aggregate and the dup-marking join is
+    * hot-key salted (see [[dupOccurrences]]); coverage union happens
+    * per document with
     * higher-order functions over position arrays bounded by document
     * length (documents are bounded; the corpus is not). No suffix
     * array, no global sort, no all-pairs. */
@@ -107,22 +109,53 @@ object SegmentDedup {
     gramsOf(tokenized(docs), minTokens)
   }
 
+  /** A gram repeated more often than this across the corpus is treated
+    * as a HOT key (boilerplate-class) and salted in the dup-marking
+    * join — see [[dupOccurrences]]. */
+  val HotGramOccurrences = 1024L
+
+  /** Non-first occurrences (doc_id, pos) of every duplicated gram —
+    * the shared dup-marking core of the full and incremental scrubs.
+    *
+    * Keeper resolution is ONE aggregate: lexicographic min over
+    * (doc_id, pos) via struct-min, so a corpus-wide boilerplate gram
+    * combines MAP-SIDE (partial min + count per mapper) and the
+    * shuffle carries one row per (gram, mapper) — no hot reducer, no
+    * composite-key magnitude assumption at any document length.
+    *
+    * The occurrence×keeper join that marks non-first occurrences DOES
+    * key on the raw hash — a mega-gram would land its every occurrence
+    * on one reducer there. The keeper aggregate's occurrence count
+    * (free — same shuffle) feeds a bounded hot-key audit, and
+    * [[graft.operators.SkewJoin.saltedAudited]] spreads exactly the
+    * audited keys over ceil(cnt/[[HotGramOccurrences]]) buckets (≤ 64,
+    * ≤ 1024 keys — broadcast-sized at any corpus scale); cold keys pay
+    * no replication. AQE's runtime skew split remains the second line
+    * of defense for anything the audit's caps exclude. */
+  def dupOccurrences(grams: DataFrame): DataFrame = {
+    val keeperC = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"), count(lit(1)).as("cnt"))
+    val keeper = keeperC
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.pos").as("kp"))
+    val hot = keeperC.where(col("cnt") > HotGramOccurrences)
+      .orderBy(col("cnt").desc, col("h")).limit(1024)
+      .select(col("h"),
+        expr(s"CAST(least(64L, (cnt + ${HotGramOccurrences - 1}) div " +
+          s"$HotGramOccurrences) AS INT)").as("__buckets"))
+    graft.operators.SkewJoin
+      .saltedAudited(grams, keeper, Seq("h"), precomputedHot = Some(hot))
+      .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
+      .select(col("doc_id"), col("pos"))
+  }
+
   /** [[scrubExactSubstr]] with the gram table supplied (the
     * materialized-artifact path — `grams` must be
     * [[gramOccurrences]](docs, minTokens)). */
   def scrubExactSubstrFromGrams(docs: DataFrame, grams: DataFrame,
                                 minTokens: Int = 8): DataFrame = {
     require(minTokens > 0, "minTokens must be positive")
-    // first occurrence per gram: min doc, then min pos within that doc
-    // (two chained aggs — no doc_id*K+pos composite, any doc length)
-    val kDoc = grams.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
-    val keeper = grams.join(kDoc, Seq("h"))
-      .where(col("doc_id") === col("kd"))
-      .groupBy(col("h"), col("kd")).agg(min(col("pos")).as("kp"))
     // every non-first occurrence covers [pos, pos+L-1] in its doc
-    val dupPos = grams.join(keeper, Seq("h"))
-      .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
-    assemble(tokenized(docs), dupPos, minTokens)
+    assemble(tokenized(docs), dupOccurrences(grams), minTokens)
   }
 
   /** INCREMENTAL [[scrubExactSubstr]] — the ingestion shape: scrub a
@@ -180,15 +213,8 @@ object SegmentDedup {
     val probe = bloom.fold(grams)(b =>
       grams.where(graft.operators.BloomPrune.mightContainLong(b, col("h"))))
     val inCorpus = probe.join(index.select(col("h")), Seq("h"), "left_semi")
-    val kDoc = grams.groupBy(col("h")).agg(min(col("doc_id")).as("kd"))
-    val keeper = grams.join(kDoc, Seq("h"))
-      .where(col("doc_id") === col("kd"))
-      .groupBy(col("h"), col("kd")).agg(min(col("pos")).as("kp"))
-    val inBatchDup = grams.join(keeper, Seq("h"))
-      .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
-      .select(col("doc_id"), col("pos"))
     val dupPos = inCorpus.select(col("doc_id"), col("pos"))
-      .unionByName(inBatchDup)
+      .unionByName(dupOccurrences(grams))
     assemble(toks, dupPos, L)
   }
 

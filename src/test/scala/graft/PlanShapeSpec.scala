@@ -109,9 +109,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q125/q133: bounded top-k aggregates, no rank window, no cartesian") {
+    // q133 selects per-term top-k via the bounded aggregate in-plan;
+    // q125's denominator aggregate moved INTO the margin_denoms
+    // warehouse build (r10) — its per-query plan must stay top_k_free
+    // joins of corpus state, window-free either way
+    val p133 = plan("q133_bm25_postings")
+    assert(p133.contains("top_k_pairs"), s"q133 lost the bounded top-k aggregate:\n$p133")
     for (q <- Seq("q125_margin_mining", "q133_bm25_postings")) {
       val p = plan(q)
-      assert(p.contains("top_k_pairs"), s"$q lost the bounded top-k aggregate:\n$p")
       assert(countWindows(p) == 0, s"$q regained a rank window:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q gained a cross join:\n$p")
     }
@@ -139,6 +144,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(countWindows(p) >= 1 && countWindows(p) <= 2,
       s"q128 window count drifted (want 1..2, got ${countWindows(p)}):\n$p")
     assert(!p.contains("CartesianProduct"), s"q128 gained a cross join:\n$p")
+  }
+
+  test("q122: keeper is one struct-min aggregate; the dup-marking join is salt-ready") {
+    // keeper resolution must stay a map-side-combinable aggregate (no
+    // kDoc re-join of the gram table), and the occurrence×keeper join
+    // must run through the audited salt so a boilerplate mega-gram
+    // spreads instead of hot-spotting one reducer
+    val p = plan("q122_substr_scrub")
+    assert(p.contains("__salt"), s"q122 lost the salted dup-marking join:\n$p")
   }
 
   test("q123: the sketch bloom fronts the gram-index probe, map-side, payload-free") {

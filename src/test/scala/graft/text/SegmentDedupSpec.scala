@@ -146,6 +146,30 @@ class SegmentDedupSpec extends SparkSpec {
     assert(incr == full)
   }
 
+  test("planted mega-gram: hot-key salting engages and the scrub stays exact") {
+    // one boilerplate 3-gram repeated in > HotGramOccurrences docs —
+    // the skew case the dup-marking join salts: the audit must assign
+    // it > 1 bucket, and the salted join must still emit exactly the
+    // non-first occurrences (row-identity with the unsalted semantics)
+    val n = (SegmentDedup.HotGramOccurrences + 200).toInt
+    val docs = (0 until n).map(i => (i.toLong, s"x y z u$i")).toDF("doc_id", "text")
+    val grams = SegmentDedup.gramOccurrences(docs, minTokens = 3)
+    // the audit inside dupOccurrences: the planted gram is hot
+    val hotCnt = grams.groupBy($"h").count().orderBy($"count".desc).head.getLong(1)
+    assert(hotCnt == n, "the planted gram must dominate")
+    val out = SegmentDedup.scrubExactSubstrFromGrams(docs, grams, minTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 keeps everything; every later doc loses the covered span
+    // [1,3] ("x y z") but keeps its unique tail token
+    assert(out(0L) == ((4L, 0L, "x y z u0")))
+    for (i <- Seq(1, 57, n - 1))
+      assert(out(i.toLong) == ((4L, 3L, s"u$i")), s"doc $i wrong: ${out(i.toLong)}")
+    // plan evidence: the dup-marking join runs through the salt
+    val plan = SegmentDedup.scrubExactSubstrFromGrams(docs, grams, minTokens = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salted join structure missing:\n$plan")
+  }
+
   test("incr scrub with the sketch bloom pre-filter is bit-identical to the unpruned scrub") {
     // the bloom is built over the index it fronts, so a member gram can
     // never be dropped (no false negatives) — the pruned probe feeds
