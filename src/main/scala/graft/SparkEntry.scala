@@ -307,6 +307,18 @@ object SparkEntry {
             "ELSE 1L END AS BIGINT)").as("salt_buckets"))
         .orderBy(col("cnt").desc, col("h")).limit(10)
     }),
+    // The release capstone: scrub → near-dup keepers → per-source
+    // quality gate → mixture realization → chunk/pack, emitting the
+    // per-source data card OF THE RELEASED DATASET (q134 describes the
+    // raw corpus). Every stage is the already-gated operator; the
+    // oracle replays the whole chain end-to-end.
+    "q140_release_card" -> ((s, d) =>
+      graft.pipeline.Release.releaseCard(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        graft.warehouse.Warehouse.gramOccurrences(s, d),
+        graft.warehouse.Warehouse.nearDupClusters(s, d),
+        graft.warehouse.Warehouse.docQuality(s, d),
+        domainMixture(s, d).select(col("source"), col("mix_ppm")))),
     // Contrastive-training triplet export: anchor = every query, the
     // exact top-1 neighbor as positive, the best-ranked q118 hard
     // negative (fused-ANN hit that is NOT a true neighbor) as negative
@@ -2699,6 +2711,131 @@ object SparkEntry {
         |  (CAST(sum(c - 1) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // The release capstone replayed END-TO-END: LSH closure → keepers,
+    // q122 scrub (clean token lists), q128 thresholds over the
+    // survivors, the q127 mixture chain, q132 hash sampling on released
+    // token mass, q45 chunk/pack over the released clean text — one
+    // card per source.
+    "q140_release_card" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |t AS (SELECT doc_id,
+         |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+         |  FROM t WHERE len(ws) >= 8),
+         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    CAST(('0x' || substr(md5(
+         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM g0),
+         |kd AS (SELECT h, min(doc_id) AS kd FROM g GROUP BY h),
+         |kp AS (SELECT g.h, k.kd, min(g.pos) AS kp
+         |  FROM g JOIN kd k ON g.h = k.h AND g.doc_id = k.kd GROUP BY g.h, k.kd),
+         |dp AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS ps
+         |  FROM g JOIN kp ON g.h = kp.h
+         |  WHERE NOT (g.doc_id = kp.kd AND g.pos = kp.kp)
+         |  GROUP BY g.doc_id),
+         |rr AS (SELECT t.doc_id, ws, coalesce(ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN dp USING (doc_id)),
+         |cv AS (SELECT doc_id, ws,
+         |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
+         |  FROM rr),
+         |scr AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(ws) - len(cov) AS BIGINT) AS kept_tokens,
+         |    list_transform(list_filter(generate_series(1, len(ws)),
+         |      i -> NOT list_contains(cov, i)), i -> ws[i]) AS cws
+         |  FROM cv),
+         |$docQualityCtes,
+         |surv AS (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
+         |    scr.cws, q.quality
+         |  FROM scr JOIN keep USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
+         |sn AS (SELECT source, count(*) AS n_rows FROM surv GROUP BY source),
+         |sdist AS (SELECT source, quality, count(*) AS cq
+         |  FROM surv GROUP BY source, quality),
+         |scum AS (SELECT source, quality,
+         |    CAST(sum(cq) OVER (PARTITION BY source ORDER BY quality DESC)
+         |         AS BIGINT) AS cum
+         |  FROM sdist),
+         |thr AS (SELECT s2.source, max(s2.quality) AS threshold
+         |  FROM scum s2 JOIN sn USING (source)
+         |  WHERE s2.cum >= greatest(1, sn.n_rows // 4)
+         |  GROUP BY s2.source),
+         |gated AS (SELECT s3.* FROM surv s3
+         |  JOIN thr t3 ON t3.source = s3.source AND s3.quality >= t3.threshold),
+         |pd2 AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |ps2 AS (SELECT source, CAST(sum(quality) AS BIGINT) // count(*) AS avg_q
+         |  FROM pd2 GROUP BY source),
+         |gg2 AS (SELECT CAST(sum(quality) AS BIGINT) // count(*) AS gavg FROM pd2),
+         |b2 AS (SELECT ps2.source,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((gg2.gavg - ps2.avg_q) * 1000000) // gg2.gavg) AS deficit_ppm
+         |  FROM ps2 CROSS JOIN gg2),
+         |f2 AS (SELECT source,
+         |    1000000 + (200000 * deficit_ppm) // 1000000 AS factor FROM b2),
+         |it2 AS (SELECT source,
+         |    ((((((((((1000000 * factor) // 1000000) * factor) // 1000000)
+         |      * factor) // 1000000) * factor) // 1000000) * factor) // 1000000) AS w
+         |  FROM f2),
+         |tt2 AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it2),
+         |mx AS (SELECT source, (w * 1000000) // w_tot AS mix_ppm
+         |  FROM it2 CROSS JOIN tt2),
+         |mass AS (SELECT source, count(*) AS n_gated,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS gated_tokens
+         |  FROM gated GROUP BY source),
+         |mtot AS (SELECT CAST(sum(gated_tokens) AS BIGINT) AS all_tokens FROM mass),
+         |rates AS (SELECT mass.source, mass.n_gated,
+         |    (mass.gated_tokens * 1000000) // greatest(1, mtot.all_tokens) AS share_ppm,
+         |    mx.mix_ppm,
+         |    least(1000000, (mx.mix_ppm * 1000000) // greatest(1,
+         |      (mass.gated_tokens * 1000000) // greatest(1, mtot.all_tokens))) AS keep_ppm
+         |  FROM mass CROSS JOIN mtot JOIN mx ON mx.source = mass.source),
+         |rel AS (SELECT g2.*, r2.keep_ppm FROM gated g2
+         |  JOIN rates r2 ON r2.source = g2.source
+         |  WHERE CAST(('0x' || substr(md5(CAST(g2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 1000000 < r2.keep_ppm),
+         |cc AS (SELECT doc_id, source, len(cws) AS nn,
+         |    unnest(generate_series(CAST(0 AS BIGINT),
+         |      CAST((greatest(len(cws) - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_id
+         |  FROM rel),
+         |chf AS (SELECT doc_id, source, chunk_id,
+         |    greatest(least(nn - chunk_id*48, 64), CAST(0 AS BIGINT)) AS nct
+         |  FROM cc WHERE greatest(least(nn - chunk_id*48, 64), CAST(0 AS BIGINT)) > 0),
+         |rt2 AS (SELECT doc_id, source, chunk_id, nct,
+         |    sum(nct) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+         |      AS running_total
+         |  FROM chf),
+         |pk AS (SELECT source, (running_total - nct) // 512 AS pack_id FROM rt2),
+         |pstats AS (SELECT source, count(*) AS n_chunks,
+         |    count(DISTINCT pack_id) AS n_packs_touched FROM pk GROUP BY source),
+         |raw2 AS (SELECT source, count(*) AS n_docs_raw FROM documents GROUP BY source),
+         |sstats AS (SELECT source, count(*) AS n_survivors FROM surv GROUP BY source),
+         |rstats AS (SELECT source, count(*) AS n_released,
+         |    CAST(sum(n_tokens) AS BIGINT) AS pre_toks,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS released_tokens,
+         |    CAST(sum(quality) AS BIGINT) AS sq
+         |  FROM rel GROUP BY source)
+         |SELECT raw2.source, raw2.n_docs_raw, sstats.n_survivors, thr.threshold,
+         |  rates.n_gated, rates.share_ppm, rates.mix_ppm, rates.keep_ppm,
+         |  rstats.n_released, rstats.released_tokens,
+         |  ((rstats.pre_toks - rstats.released_tokens) * 1000000)
+         |    // greatest(1, rstats.pre_toks) AS scrub_removed_ppm,
+         |  rstats.sq // rstats.n_released AS avg_quality_released,
+         |  coalesce(pstats.n_chunks, 0) AS n_chunks,
+         |  coalesce(pstats.n_packs_touched, 0) AS n_packs_touched
+         |FROM raw2 JOIN sstats USING (source) JOIN thr USING (source)
+         |JOIN rates USING (source) JOIN rstats USING (source)
+         |LEFT JOIN pstats USING (source)
+         |ORDER BY source""".stripMargin,
     // Gram replay (the q124/q129 derivation) + the q71 median/skew
     // arithmetic + the integer salt-bucket rule.
     "q139_gram_skew_audit" ->

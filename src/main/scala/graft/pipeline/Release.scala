@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+import graft.text.{Chunking, Curation, SegmentDedup}
+
+/** End-to-end dataset RELEASE — the capstone composition of the
+  * curation stages that the registry gates individually, chained over
+  * one corpus in their production order:
+  *
+  *   1. exact-substring scrub (q122 — repeated ≥L-token spans removed,
+  *      first occurrence survives),
+  *   2. near-dup keeper filter (the cluster artifact's one-doc-per-
+  *      cluster rule),
+  *   3. per-source top-quartile quality gate (q128's source-RELATIVE
+  *      thresholds, computed over the SURVIVORS — gating the corpus
+  *      that is actually shipping, not the raw one),
+  *   4. mixture realization (q132's capped per-source hash keep-rates
+  *      against the DoReMi-style targets; shares measured in RELEASED
+  *      token mass, since that is what survives to training),
+  *   5. chunk + pack the released clean text (q45's windows and
+  *      fixed-budget packing).
+  *
+  * Output: the per-source data card OF THE RELEASED DATASET (q134
+  * describes the raw corpus; this is the card a dataset release ships
+  * with) — raw/surviving/gated/released doc counts, the gate
+  * threshold, scrub removal rate, released token mass, realized vs
+  * target mixture, released average quality, and the chunk/pack
+  * footprint.
+  *
+  * Scale posture: every stage is the already-gated operator itself —
+  * the corpus is touched by the scrub (one gram shuffle, salted) and
+  * the chunker (map-only); everything else is source-cardinality
+  * arithmetic, 1-row broadcasts, and id-keyed joins of corpus state
+  * (clusters, quality, grams are materialized warehouse artifacts).
+  * The intermediate survivors/released tables are persisted — probed
+  * by the threshold/mass aggregates AND the downstream stage (the
+  * session-cache contract, [[graft.Graft]]).
+  */
+object Release {
+
+  /** The released-dataset card. Inputs are corpus state: `docs`
+    * (doc_id, source, text), `grams` = the gram-occurrence artifact at
+    * `minTokens` resolution, `clusters` = near-dup closure, `quality` =
+    * composite doc quality, `mixture` = (source, mix_ppm) targets. */
+  def releaseCard(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
+                  quality: DataFrame, mixture: DataFrame,
+                  minTokens: Int = 8, window: Int = 64, stride: Int = 48,
+                  packBudget: Long = 512L): DataFrame = {
+    // 1. scrub: released text is the post-scrub reassembly
+    val scrubbed = SegmentDedup.scrubExactSubstrFromGrams(
+        docs.select(col("doc_id"), col("text")), grams, minTokens)
+      .withColumn("kept_tokens", col("n_tokens") - col("n_dup_tokens"))
+    // 2. near-dup keepers
+    val keepers = clusters.where(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    val surv = scrubbed.join(keepers, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .persist() // probed by the threshold agg, the gate, and the stats
+    // 3. source-relative quality gate over the survivors
+    val thr = Curation.topFractionThresholds(
+      surv.select(col("source"), col("quality")), "source", "quality")
+    val gated = surv
+      .join(thr.select(col("source"), col("threshold")), Seq("source"))
+      .where(col("quality") >= col("threshold"))
+      .persist() // probed by the mass agg, the sample, and the stats
+    // 4. mixture realization on released token mass
+    val mass = gated.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_gated"), sum(col("kept_tokens")).as("gated_tokens"))
+    val tot = mass.agg(sum(col("gated_tokens")).as("all_tokens"))
+    val rates = mass.crossJoin(broadcast(tot))
+      .join(mixture.select(col("source"), col("mix_ppm")), Seq("source"))
+      .withColumn("share_ppm",
+        expr("(gated_tokens * 1000000) div greatest(1L, all_tokens)"))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)")))
+    val released = gated
+      .join(broadcast(rates.select(col("source"), col("keep_ppm"))), Seq("source"))
+      .where(pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")),
+        lit(1000000L)) < col("keep_ppm"))
+      .persist() // probed by the chunker and the stats
+    // 5. chunk + pack the released clean text (empty-scrubbed docs
+    // contribute no chunks)
+    val chunks = Chunking.tokenWindows(
+        released.select(col("doc_id"), col("clean_text").as("text")), window, stride)
+      .where(col("n_chunk_tokens") > 0)
+      .withColumn("k",
+        when(col("chunk_id") >= 1024, expr(
+          "raise_error('chunk_id >= 1024 overflows the doc_id*1024 pack order key')")
+          .cast("long"))
+          .otherwise(col("doc_id") * 1024 + col("chunk_id")))
+    val packed = PrefixSum.packByBudget(chunks, "k", "n_chunk_tokens", packBudget)
+    val packStats = packed
+      .join(released.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("pack_id")).as("n_packs_touched"))
+    // card assembly — source-cardinality joins only
+    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs_raw"))
+    val survStats = surv.groupBy(col("source")).agg(count(lit(1)).as("n_survivors"))
+    val relStats = released.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_released"),
+        sum(col("n_tokens")).as("pre_scrub_tokens"),
+        sum(col("kept_tokens")).as("released_tokens"),
+        sum(col("quality")).as("sq"))
+      .select(col("source"), col("n_released"), col("released_tokens"),
+        expr("((pre_scrub_tokens - released_tokens) * 1000000) div " +
+          "greatest(1L, pre_scrub_tokens)").as("scrub_removed_ppm"),
+        expr("sq div n_released").as("avg_quality_released"))
+    raw
+      .join(survStats, Seq("source"))
+      .join(thr.select(col("source"), col("threshold")), Seq("source"))
+      .join(rates.select(col("source"), col("n_gated"), col("share_ppm"),
+        col("mix_ppm"), col("keep_ppm")), Seq("source"))
+      .join(relStats, Seq("source"))
+      .join(packStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs_raw"), col("n_survivors"),
+        col("threshold"), col("n_gated"), col("share_ppm"), col("mix_ppm"),
+        col("keep_ppm"), col("n_released"), col("released_tokens"),
+        col("scrub_removed_ppm"), col("avg_quality_released"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_packs_touched"), lit(0L)).as("n_packs_touched"))
+      .orderBy("source")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stage-visibility checks for the release capstone on a hand-built
+  * corpus where every gate provably removes something — the q140
+  * oracle gates the full-chain arithmetic; this spec pins that each
+  * stage is actually load-bearing (a chain that silently skipped a
+  * stage could still pass a too-easy corpus). */
+class ReleaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every stage of the chain removes what it should, and the card adds up") {
+    // source A: 4 docs — two exact-ish near-dups (one cluster), plus a
+    // doc that repeats a span of doc 1 (scrub fodder); source B: 4
+    // distinct docs of varied quality
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ") // 10-token span
+    val docs = Seq(
+      (1L, "A", s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "A", s"$boiler alpha beta gamma delta epsilon zeta eta theta"), // near-dup of 1
+      (3L, "A", s"unique three content here entirely $boiler"),            // repeats the span
+      (4L, "A", "short junk"),
+      (10L, "B", "b one has plenty of ordinary distinct text to keep around"),
+      (11L, "B", "b two has plenty of ordinary distinct words to keep nearby"),
+      (12L, "B", "b three rather different material discussing other topics"),
+      (13L, "B", "b four concluding document with separate subject matter")
+    ).toDF("doc_id", "source", "text")
+    val grams = graft.text.SegmentDedup.gramOccurrences(
+      docs.select($"doc_id", $"text"), minTokens = 8)
+    val pairs = graft.text.TextDedup.minhashLshPairs(docs.select($"doc_id", $"text"))
+    val clusters = graft.operators.Components.minLabel(
+        docs.select($"doc_id".as("id")),
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val quality = graft.text.TextAnalysis.compositeQuality(docs.select($"doc_id", $"text"))
+    // generous targets (mix >= any realizable share) so keep_ppm
+    // saturates at 1e6 and the hash sample is deterministic-keep-all —
+    // the sampling arithmetic itself is q132/q140-oracle-gated
+    val mixture = Seq(("A", 900000L), ("B", 900000L)).toDF("source", "mix_ppm")
+
+    val card = Release.releaseCard(docs, grams, clusters, quality, mixture)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("A", "B"))
+    val a = card("A"); val b = card("B")
+    // near-dup stage: docs 1/2 cluster together → A loses ≥ 1 survivor
+    assert(a.getAs[Long]("n_docs_raw") == 4L)
+    assert(a.getAs[Long]("n_survivors") < 4L, "near-dup keeper stage removed nothing")
+    // quality gate: top quartile of survivors keeps fewer than all
+    assert(a.getAs[Long]("n_gated") <= a.getAs[Long]("n_survivors"))
+    // scrub stage: doc 3 repeats doc 1's span — if doc 3 released, its
+    // tokens shrink; at minimum the A-side scrub rate is sane ppm
+    val ppm = a.getAs[Long]("scrub_removed_ppm")
+    assert(ppm >= 0L && ppm <= 1000000L)
+    // mixture: keep_ppm within [0, 1e6], released ≤ gated
+    for (r <- Seq(a, b)) {
+      assert(r.getAs[Long]("keep_ppm") >= 0L && r.getAs[Long]("keep_ppm") <= 1000000L)
+      assert(r.getAs[Long]("n_released") <= r.getAs[Long]("n_gated"))
+      // pack stage: released docs with tokens produce chunks
+      assert(r.getAs[Long]("n_chunks") >= 0L)
+      if (r.getAs[Long]("released_tokens") > 0L)
+        assert(r.getAs[Long]("n_chunks") > 0L, s"released tokens but no chunks: $r")
+    }
+    // B has no dups and no repeated spans: nothing scrubbed
+    assert(b.getAs[Long]("scrub_removed_ppm") == 0L)
+    assert(b.getAs[Long]("n_survivors") == 4L)
+  }
+}
