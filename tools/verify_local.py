@@ -47,8 +47,9 @@ if "--skip-spark" not in sys.argv:
         "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
         "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
         "java.base/sun.util.calendar"])
+    only_arg = (" " + ",".join(sorted(ONLY))) if ONLY else ""
     cmd = (f"java {opens} -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC "
-           f"-cp {jar}:/opt/spark/jars/* graft.Verify {SFDIR} {OUT}")
+           f"-cp {jar}:/opt/spark/jars/* graft.Verify {SFDIR} {OUT}{only_arg}")
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(["bash", "-c", cmd], capture_output=True, text=True, env=env)
     if r.returncode != 0:
