@@ -144,17 +144,32 @@ object Warehouse {
     * spherical k-means ([[graft.vector.Similarity.trainIvfCentroids]]),
     * trained ONCE per corpus — retrieval queries read it instead of
     * re-running Lloyd iterations per query. Corpora without an
-    * embeddings table get an empty codebook (searches return no rows). */
+    * embeddings table get an empty codebook (searches return no rows).
+    *
+    * ncells SCALES with the corpus (target cell width ~[[IvfCellWidth]]
+    * vectors, floor 16, cap 4096): every blocked consumer — in-cell ANN
+    * candidate scans, SemDeDup pairs, margin-mining fanout — costs
+    * cell_width² per cell, so a FIXED cell count turns them quadratic
+    * as the corpus grows (measured: 16 cells over a 10× corpus made
+    * q125 ~12× slower, not ~10×). At the test SFs (≤ 2k vectors) the
+    * formula resolves to the floor 16, the historical value. */
   def buildIvfCodebook(spark: SparkSession, sfDir: String): DataFrame = {
     val p = new Path(s"$sfDir/embeddings.parquet")
     val cents =
       if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
-      else graft.vector.Similarity.trainIvfCentroids(
-        Tables.embeddings(spark, sfDir), ncells = 16, iters = 3, sampleMod = 4)
+      else {
+        val e = Tables.embeddings(spark, sfDir)
+        val ncells = math.max(16L, math.min(4096L, e.count() / IvfCellWidth)).toInt
+        graft.vector.Similarity.trainIvfCentroids(
+          e, ncells = ncells, iters = 3, sampleMod = 4)
+      }
     // repartition(1): an empty LocalRelation writes zero part files
     // (only _SUCCESS), leaving nothing to infer the schema from on read
     graft.vector.Similarity.codebookDf(spark, cents).repartition(1)
   }
+
+  /** Target vectors per IVF cell (see [[buildIvfCodebook]]). */
+  val IvfCellWidth = 512L
 
   /** Near-dup cluster assignment (doc_id, cluster_id) — LSH pairs →
     * connected components, computed ONCE per corpus build exactly like
@@ -462,8 +477,12 @@ object Warehouse {
     *   (both exact truths and the two searched-index lists — the
     *   retrieval evals and the q17/q18/q29 demos read corpus state
     *   instead of re-searching) + gram_occurrences (the ExactSubstr
-    *   gram table — q122/q123/q124 read it instead of re-hashing). */
-  private val CacheVersion = "v8"
+    *   gram table — q122/q123/q124 read it instead of re-hashing).
+    * v9: ivf_codebook ncells scales with corpus size (fixed cell-width
+    *   target; resolves to the legacy 16 at the test SFs) + bm25
+    *   postings/doclens, gram_index_base/gram_bloom_base, margin_denoms
+    *   artifacts joined the registry. */
+  private val CacheVersion = "v9"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")

@@ -49,7 +49,12 @@ pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts,
                          "n_chars": pa.array(nch, pa.int64())}),
                os.path.join(OUT, "documents.parquet"))
 
-centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(10)]
+# labels 2k / 2k+1 share a near-identical center (the bitext shape:
+# same content, different language) so IVF cells hold BOTH labels and
+# cross-label margin mining has real candidates at scale
+base = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(5)]
+centers = [[base[l // 2][d] + rng.gauss(0, 0.05) for d in range(DIM)]
+           for l in range(10)]
 vid, emb, lab = [], [], []
 for i in range(N_VECS):
     l = rng.randint(0, 9)
