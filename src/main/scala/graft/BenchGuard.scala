@@ -22,12 +22,18 @@ package graft
   * checklist next to the full verify.
   */
 object BenchGuard {
-  /** Recorded steady-median budgets (seconds) — BASELINE.md r9 row
-    * (zero-error run, warehouse v8). The retrieval evals are pinned at
-    * their ARTIFACT-backed costs (q104 5.5→1.5, q117 5.0→2.2, q102
-    * 3.2→0.8, q114 2.5→1.2, q118 3.2→1.1): a trip there means
-    * something re-introduced a per-query index/truth re-scan. q101/q55
-    * stay pinned at their r8 repaired costs. */
+  /** Recorded steady-median budgets (seconds) — r10 re-measure
+    * (BenchRepeat ×5 post-cold medians, warehouse v9). The retrieval
+    * evals are pinned at their ARTIFACT-backed costs (q104 5.5→1.5,
+    * q117 5.0→2.2, q102 3.2→0.8, q114 2.5→1.2, q118 3.2→1.1): a trip
+    * there means something re-introduced a per-query index/truth
+    * re-scan. q101/q55 stay pinned at their r8 repaired costs. r10
+    * pins: the substring family at its salted/bloom-fronted costs
+    * (q122 2.4, q123 2.2 — a trip means the keeper re-join or the
+    * per-query index re-derivation is back), bm25 at its
+    * postings-artifact costs (q80/q133 ~1.0), margin mining at its
+    * denominator-artifact costs (q125 2.4, q137 3.6), and the q140
+    * release capstone at its whole-chain 11 s. */
   val Budgets: Seq[(String, Double)] = Seq(
     "q117_rerank_recall" -> 3.1,
     "q115_quality_training_prep" -> 1.8,
@@ -37,7 +43,8 @@ object BenchGuard {
     // r9: weight table became a plan literal (one digest chain per
     // feature instead of two) — a trip means the second chain is back
     "q106_model_filter" -> 1.9,
-    "q125_margin_mining" -> 3.0,
+    "q125_margin_mining" -> 2.6,
+    "q137_margin_mining_incr" -> 3.8,
     "q102_rrf_ensemble" -> 0.8,
     "q99_ann_recall" -> 1.4,
     "q61_zorder_layout" -> 2.5,
@@ -49,7 +56,15 @@ object BenchGuard {
     "q44_ann_ivfpq" -> 2.5,
     "q101_textrank" -> 1.3,
     "q55_countmin_tokens" -> 1.2,
-    "q122_substr_scrub" -> 4.0,
+    "q122_substr_scrub" -> 2.8,
+    "q123_substr_scrub_incr" -> 2.5,
+    "q124_source_substr_overlap" -> 1.9,
+    "q129_source_gram_diversity" -> 1.3,
+    "q92_bpe_fertility" -> 1.7,
+    "q80_bm25_search" -> 1.1,
+    "q133_bm25_postings" -> 1.2,
+    "q139_gram_skew_audit" -> 1.5,
+    "q140_release_card" -> 11.5,
     "q28_curation_pipeline" -> 4.5,
     "q39_keywords" -> 3.3,
     "q98_cas_chunks" -> 2.8)

@@ -49,14 +49,21 @@ object Release {
                   quality: DataFrame, mixture: DataFrame,
                   minTokens: Int = 8, window: Int = 64, stride: Int = 48,
                   packBudget: Long = 512L): DataFrame = {
-    // 1. scrub: released text is the post-scrub reassembly
-    val scrubbed = SegmentDedup.scrubExactSubstrFromGrams(
-        docs.select(col("doc_id"), col("text")), grams, minTokens)
-      .withColumn("kept_tokens", col("n_tokens") - col("n_dup_tokens"))
-    // 2. near-dup keepers
+    // 1+2. scrub the near-dup KEEPERS against the FULL corpus gram
+    // table: dup marking and keeper-resolution see every occurrence
+    // corpus-wide (a span whose first occurrence lives in a dropped
+    // near-dup still scrubs), but the reassembly runs only over docs
+    // that can ship. ONE scrub pass: the clean text rides in the
+    // persisted survivor table to the chunker — measured cheaper than
+    // a leaner stats pass + a second released-only scrub, because the
+    // gram-side dup marking (not the reassembly) dominates the scrub
+    // and would run twice.
     val keepers = clusters.where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
-    val surv = scrubbed.join(keepers, Seq("doc_id"))
+    val surv = SegmentDedup.scrubExactSubstrFromGrams(
+        docs.select(col("doc_id"), col("text")).join(keepers, Seq("doc_id")),
+        grams, minTokens)
+      .withColumn("kept_tokens", col("n_tokens") - col("n_dup_tokens"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .join(quality, Seq("doc_id"))
       .persist() // probed by the threshold agg, the gate, and the stats
@@ -66,7 +73,6 @@ object Release {
     val gated = surv
       .join(thr.select(col("source"), col("threshold")), Seq("source"))
       .where(col("quality") >= col("threshold"))
-      .persist() // probed by the mass agg, the sample, and the stats
     // 4. mixture realization on released token mass
     val mass = gated.groupBy(col("source"))
       .agg(count(lit(1)).as("n_gated"), sum(col("kept_tokens")).as("gated_tokens"))
@@ -81,7 +87,7 @@ object Release {
       .join(broadcast(rates.select(col("source"), col("keep_ppm"))), Seq("source"))
       .where(pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")),
         lit(1000000L)) < col("keep_ppm"))
-      .persist() // probed by the chunker and the stats
+      .persist() // probed by the chunk-pass id join and the stats
     // 5. chunk + pack the released clean text (empty-scrubbed docs
     // contribute no chunks)
     val chunks = Chunking.tokenWindows(
