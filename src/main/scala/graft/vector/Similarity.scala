@@ -675,18 +675,24 @@ object Similarity {
     // where a vector has one (so the incremental miner scores against
     // the same neighborhoods the full miner landed — q125≡q137 on
     // shared pairs), falling back to the bipartite-candidate estimate
-    // for vectors the artifact has not seen yet (a brand-new vector in
-    // a true ingestion run)
-    def withArtifact(bip: DataFrame): DataFrame = corpusDenoms match {
-      case Some(dn) => bip.select(col("id"), col("den").as("bip"))
-        .join(dn.select(col("id"), col("den").as("art")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("art"), col("bip")).as("den"))
-      case None => bip
+    // ONLY for vectors the artifact has not seen yet (brand-new
+    // vectors in a true ingestion run). The fallback aggregate runs
+    // over the anti-joined remainder — empty when the artifact covers
+    // the corpus, so the steady cost is two id-keyed semi-joins, not
+    // two full top-k aggregations
+    def denoms(id: String, partner: String): DataFrame = corpusDenoms match {
+      case Some(dn) =>
+        val ids = cand.select(col(id).as("id")).distinct()
+        val art = dn.select(col("id"), col("den")).join(ids, Seq("id"), "left_semi")
+        val missing = ids.join(dn.select(col("id")), Seq("id"), "left_anti")
+        val fallback = neighborhoodDenoms(
+          cand.join(missing.withColumnRenamed("id", id), Seq(id), "left_semi"),
+          id, partner, k)
+        art.unionByName(fallback)
+      case None => neighborhoodDenoms(cand, id, partner, k)
     }
-    val denX = withArtifact(neighborhoodDenoms(cand, "xid", "yid", k))
-      .select(col("id").as("xid"), col("den").as("den_x"))
-    val denY = withArtifact(neighborhoodDenoms(cand, "yid", "xid", k))
-      .select(col("id").as("yid"), col("den").as("den_y"))
+    val denX = denoms("xid", "yid").select(col("id").as("xid"), col("den").as("den_x"))
+    val denY = denoms("yid", "xid").select(col("id").as("yid"), col("den").as("den_y"))
     val scored = cand.join(denX, Seq("xid")).join(denY, Seq("yid"))
       .withColumn("margin_ppm",
         expr("(2 * cos_micro * 1000000L) div (den_x + den_y)"))
