@@ -319,6 +319,55 @@ object SparkEntry {
         graft.warehouse.Warehouse.nearDupClusters(s, d),
         graft.warehouse.Warehouse.docQuality(s, d),
         domainMixture(s, d).select(col("source"), col("mix_ppm")))),
+    // Right-to-be-forgotten ACROSS THE INDEX ARTIFACTS — q79 deletes
+    // warehouse rows; this erases a victim doc set from the DERIVED
+    // state a pipeline actually serves from (postings, doc lengths,
+    // gram occurrences, near-dup pairs) and REPAIRS the state that
+    // can't be row-deleted: the distinct gram index keeps a hash only
+    // while a surviving occurrence carries it, and clusters whose
+    // min-label WAS a victim are relabeled to their minimum surviving
+    // member. Every row re-probes its erased output (n_leaked is
+    // measured, never assumed); n_repaired counts relabeled members.
+    "q141_index_erasure" -> ((s, d) => {
+      val wh = graft.warehouse.Warehouse
+      val victims = Tables.documents(s, d).select(col("doc_id").as("key"))
+        .where(pmod(col("doc_id"), lit(37)) === 5)
+      val base = graft.operators.Erasure.audit(Seq(
+          ("bm25_doclens", wh.bm25DocLens(s, d), "doc_id"),
+          ("bm25_postings", wh.bm25Postings(s, d), "doc_id"),
+          ("gram_occurrences", wh.gramOccurrences(s, d), "doc_id")), victims)
+        .withColumn("n_repaired", lit(0L))
+      val pairsRow = graft.operators.Erasure.auditAny("neardup_pairs",
+          wh.nearDupPairs(s, d), Seq("doc_a", "doc_b"), victims)
+        .withColumn("n_repaired", lit(0L))
+      val occ = wh.gramOccurrences(s, d)
+      val occErased = graft.operators.Erasure.erase(occ, "doc_id", victims)
+      val idx = occ.select(col("h")).distinct()
+      val idxRepaired = graft.operators.Erasure.repairDistinctIndex(idx, "h", occErased)
+      val idxRow = idx.agg(count(lit(1)).as("n_before"))
+        .crossJoin(idxRepaired.agg(count(lit(1)).as("n_after")))
+        .crossJoin(idxRepaired
+          .join(occErased.select(col("h")).distinct(), Seq("h"), "left_anti")
+          .agg(count(lit(1)).as("n_leaked")))
+        .select(lit("gram_index").as("table_name"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_deleted"),
+          col("n_after"), col("n_leaked"), lit(0L).as("n_repaired"))
+      val cl = wh.nearDupClusters(s, d)
+      val rel = graft.operators.Erasure.relabelClusters(cl, victims)
+      val clRow = cl.agg(count(lit(1)).as("n_before"))
+        .crossJoin(rel.agg(count(lit(1)).as("n_after")))
+        .crossJoin(rel
+          .join(victims.select(col("key")), rel("doc_id") === col("key") ||
+            rel("cluster_id") === col("key"), "left_semi")
+          .agg(count(lit(1)).as("n_leaked")))
+        .crossJoin(rel.join(cl.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
+          .agg(count(when(col("cluster_id") =!= col("__old"), 1)).as("n_repaired")))
+        .select(lit("neardup_clusters").as("table_name"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_deleted"),
+          col("n_after"), col("n_leaked"), col("n_repaired"))
+      base.unionByName(pairsRow).unionByName(idxRow).unionByName(clRow)
+        .orderBy("table_name")
+    }),
     // Contrastive-training triplet export: anchor = every query, the
     // exact top-1 neighbor as positive, the best-ranked q118 hard
     // negative (fused-ANN hit that is NOT a true neighbor) as negative
@@ -2711,6 +2760,75 @@ object SparkEntry {
         |  (CAST(sum(c - 1) AS BIGINT) * 1000000)
         |    // CAST(sum(c) AS BIGINT) AS boilerplate_ppm
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // Erasure arithmetic replayed over the landed index artifacts
+    // (the artifacts themselves are gated by their own queries): same
+    // victim rule, same any-key pair rule, same distinct-index repair
+    // semi-join, same min-surviving-member relabel; every n_leaked is
+    // measured from the erased output.
+    "q141_index_erasure" ->
+      s"""WITH v AS (SELECT doc_id AS key FROM documents WHERE doc_id % 37 = 5),
+         |dl AS (SELECT * FROM '$oracleWhDir/bm25_doclens/*.parquet'),
+         |bp AS (SELECT * FROM '$oracleWhDir/bm25_postings/*.parquet'),
+         |go2 AS (SELECT * FROM '$oracleWhDir/gram_occurrences/*.parquet'),
+         |pr AS (SELECT * FROM '$oracleWhDir/neardup_pairs/*.parquet'),
+         |cl AS (SELECT * FROM '$oracleWhDir/neardup_clusters/*.parquet'),
+         |goe AS (SELECT * FROM go2 WHERE doc_id NOT IN (SELECT key FROM v)),
+         |idx AS (SELECT DISTINCT h FROM go2),
+         |idxr AS (SELECT DISTINCT h FROM goe),
+         |surv AS (SELECT * FROM cl WHERE doc_id NOT IN (SELECT key FROM v)),
+         |nlab AS (SELECT cluster_id, min(doc_id) AS nl FROM surv GROUP BY cluster_id),
+         |rel AS (SELECT s.doc_id, n.nl AS new_cid, s.cluster_id AS old_cid
+         |  FROM surv s JOIN nlab n USING (cluster_id))
+         |SELECT * FROM (
+         |SELECT 'bm25_doclens' AS table_name,
+         |  (SELECT count(*) FROM dl) AS n_before,
+         |  (SELECT count(*) FROM dl WHERE doc_id IN (SELECT key FROM v)) AS n_deleted,
+         |  (SELECT count(*) FROM dl WHERE doc_id NOT IN (SELECT key FROM v)) AS n_after,
+         |  (SELECT count(*) FROM dl WHERE doc_id NOT IN (SELECT key FROM v)
+         |     AND doc_id IN (SELECT key FROM v)) AS n_leaked,
+         |  CAST(0 AS BIGINT) AS n_repaired
+         |UNION ALL
+         |SELECT 'bm25_postings',
+         |  (SELECT count(*) FROM bp),
+         |  (SELECT count(*) FROM bp WHERE doc_id IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM bp WHERE doc_id NOT IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM bp WHERE doc_id NOT IN (SELECT key FROM v)
+         |     AND doc_id IN (SELECT key FROM v)),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'gram_occurrences',
+         |  (SELECT count(*) FROM go2),
+         |  (SELECT count(*) FROM go2 WHERE doc_id IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM goe),
+         |  (SELECT count(*) FROM goe WHERE doc_id IN (SELECT key FROM v)),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'neardup_pairs',
+         |  (SELECT count(*) FROM pr),
+         |  (SELECT count(*) FROM pr WHERE doc_a IN (SELECT key FROM v)
+         |     OR doc_b IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM pr WHERE doc_a NOT IN (SELECT key FROM v)
+         |     AND doc_b NOT IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM pr WHERE doc_a NOT IN (SELECT key FROM v)
+         |     AND doc_b NOT IN (SELECT key FROM v)
+         |     AND (doc_a IN (SELECT key FROM v) OR doc_b IN (SELECT key FROM v))),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'gram_index',
+         |  (SELECT count(*) FROM idx),
+         |  (SELECT count(*) FROM idx) - (SELECT count(*) FROM idxr),
+         |  (SELECT count(*) FROM idxr),
+         |  (SELECT count(*) FROM idxr WHERE h NOT IN (SELECT h FROM goe)),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'neardup_clusters',
+         |  (SELECT count(*) FROM cl),
+         |  (SELECT count(*) FROM cl) - (SELECT count(*) FROM rel),
+         |  (SELECT count(*) FROM rel),
+         |  (SELECT count(*) FROM rel WHERE doc_id IN (SELECT key FROM v)
+         |     OR new_cid IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM rel WHERE new_cid <> old_cid)
+         |) ORDER BY table_name""".stripMargin,
     // The release capstone replayed END-TO-END: LSH closure → keepers,
     // q122 scrub (clean token lists), q128 thresholds over the
     // survivors, the q127 mixture chain, q132 hash sampling on released

@@ -24,6 +24,59 @@ object Erasure {
     df.join(
       victims.select(col("key")).dropDuplicates("key").withColumnRenamed("key", keyCol),
       Seq(keyCol), "left_anti")
+      // a USING-join fronts the key column; restore the input order so
+      // chained erases ([[eraseAny]]) keep the table's shape
+      .select(df.columns.map(col): _*)
+
+  /** Remove every row of `df` where ANY of `keyCols` hits the victim
+    * set — the edge/pair-table form (a near-dup pair dies if EITHER
+    * endpoint is erased). */
+  def eraseAny(df: DataFrame, keyCols: Seq[String], victims: DataFrame): DataFrame =
+    keyCols.foldLeft(df)((d, k) => erase(d, k, victims))
+
+  /** Repair a DISTINCT derived index after erasing its base
+    * occurrences: a key survives iff at least one surviving occurrence
+    * still carries it (a gram hash leaves the index only when its
+    * EVERY occurrence belonged to victims — hashes shared with
+    * survivors must stay, or the scrub would under-delete). One
+    * semi-join of the index against the erased base. */
+  def repairDistinctIndex(index: DataFrame, keyCol: String,
+                          erasedBase: DataFrame): DataFrame =
+    index.join(erasedBase.select(col(keyCol)).dropDuplicates(keyCol),
+      Seq(keyCol), "left_semi")
+
+  /** Repair a min-label cluster assignment after erasure: victim
+    * member rows are removed, and any cluster whose LABEL was a victim
+    * (the min-id member) is relabeled to its minimum surviving member
+    * — derived state must never keep pointing at an erased id. Output:
+    * (doc_id, cluster_id) over the survivors. */
+  def relabelClusters(clusters: DataFrame, victims: DataFrame): DataFrame = {
+    val surv = erase(clusters, "doc_id", victims)
+    val newLabel = surv.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("__nl"))
+    surv.join(newLabel, Seq("cluster_id"))
+      .select(col("doc_id"), col("__nl").as("cluster_id"))
+  }
+
+  /** [[audit]]'s row for an ANY-key table (pair/edge lists): n_deleted
+    * counts rows where any of `keyCols` hits the victim set; n_leaked
+    * re-probes the erased output the same way. */
+  def auditAny(name: String, df: DataFrame, keyCols: Seq[String],
+               victims: DataFrame): DataFrame = {
+    val v = victims.select(col("key")).dropDuplicates("key")
+    def pass(d: DataFrame, total: String, hits: String) = {
+      val marked = keyCols.zipWithIndex.foldLeft(d) { case (acc, (k, i)) =>
+        acc.join(broadcast(v.select(col("key").as(s"__vk$i"))),
+          acc(k) === col(s"__vk$i"), "left")
+      }
+      val hit = keyCols.indices.map(i => col(s"__vk$i").isNotNull).reduce(_ || _)
+      marked.agg(count(lit(1)).as(total), count(when(hit, 1)).as(hits))
+    }
+    pass(df, "n_before", "n_deleted")
+      .crossJoin(pass(eraseAny(df, keyCols, v), "n_after", "n_leaked"))
+      .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
+        col("n_after"), col("n_leaked"))
+  }
 
   /** One audit row per (name, table, keyCol): n_before, n_deleted,
     * n_after, n_leaked — the leak count comes from re-probing the

@@ -34,4 +34,37 @@ class ErasureSpec extends SparkSpec {
     // invariant: before = deleted + after, leak = 0
     rows.values.foreach { case (nb, nd, na, nl) => assert(nb == nd + na && nl == 0L) }
   }
+
+  test("eraseAny drops rows where ANY key hits; auditAny reconciles") {
+    val pairs = Seq((1L, 2L), (3L, 5L), (2L, 6L), (7L, 8L)).toDF("a", "b")
+    val kept = Erasure.eraseAny(pairs, Seq("a", "b"), victims)
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((3L, 5L), (7L, 8L))) // both rows touching victim 2 die
+    val row = Erasure.auditAny("p", pairs, Seq("a", "b"), victims).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == ((4L, 2L, 2L, 0L)))
+  }
+
+  test("repairDistinctIndex keeps a key only while a surviving occurrence carries it") {
+    val occ = Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("doc_id", "h") // h=100 shared by victim 2 and survivor 1
+    val idx = occ.select($"h").distinct()
+    val repaired = Erasure.repairDistinctIndex(idx, "h",
+        Erasure.erase(occ, "doc_id", victims))
+      .as[Long].collect().toSet
+    // 200 dies (only victim 2 carried it); 100 survives via doc 1
+    assert(repaired == Set(100L, 300L))
+  }
+
+  test("relabelClusters removes victims and relabels clusters whose label WAS a victim") {
+    // cluster labeled 2 (victim) with survivors {5, 9}; cluster {3}
+    // untouched; victim-only cluster {4} vanishes
+    val clusters = Seq((2L, 2L), (5L, 2L), (9L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val rel = Erasure.relabelClusters(clusters, victims)
+      .as[(Long, Long)].collect().toSet
+    assert(rel == Set((5L, 5L), (9L, 5L), (3L, 3L)))
+    // no erased id survives anywhere — member or label
+    assert(!rel.exists { case (d, c) => Set(2L, 4L).contains(d) || Set(2L, 4L).contains(c) })
+  }
 }
