@@ -1482,7 +1482,8 @@ object SparkEntry {
     // posting stream, filtered to the phrase's terms before any join.
     // Counts overlapping occurrences — substring replace can't.
     "q84_phrase_search" -> ((s, d) =>
-      graft.text.InvertedIndex.phraseSearch(docs(s, d), PhraseTerms)),
+      graft.text.InvertedIndex.phraseSearchFromIndex(
+        graft.warehouse.Warehouse.tokenPositions(s, d), PhraseTerms)),
     // Skip-gram co-occurrence with an integer PMI surrogate — the
     // word-embedding / collocation training-prep table. Window ±3 as a
     // map-side offset explode + (doc, pos) EQUI-join (never a range

@@ -52,12 +52,27 @@ object InvertedIndex {
     * phrase-query plan over a positional inverted index; at 100 TB the
     * filtered stream comes straight from the materialized index instead
     * of a re-tokenize, same joins. */
-  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.length >= 2, "phrase needs at least two tokens")
-    val toks = graft.Par.fanOut(docs)
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseSearchFromIndex(tokenPositions(docs), phrase)
+
+  /** The POSITIONAL posting table (tok, doc_id, pos) over the raw
+    * whitespace tokenization — the phrase-query artifact (warehouse
+    * `token_positions`, landed term-sorted like bm25_postings so a
+    * phrase's term filter prunes by row-group stats; bucketed by `tok`
+    * at real scale). Map-only. */
+  def tokenPositions(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs)
       .select(col("doc_id"),
         posexplode(expr("filter(split(text, ' '), w -> w <> '')")).as(Seq("pos", "tok")))
-      .where(col("tok").isin(phrase.distinct: _*))
+      .select(col("tok"), col("doc_id"), col("pos"))
+
+  /** [[phraseSearch]] over the materialized positional index — the
+    * serving shape: the term filter prunes the posting read, each
+    * adjacency join is keyed (doc_id, pos) over posting-list-sized
+    * inputs, and the corpus text is never re-tokenized per query. */
+  def phraseSearchFromIndex(positions: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least two tokens")
+    val toks = positions.where(col("tok").isin(phrase.distinct: _*))
       .persist() // probed once per phrase term by the adjacency joins
     val first = toks.where(col("tok") === phrase.head).select(col("doc_id"), col("pos"))
     val matches = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>

@@ -417,6 +417,20 @@ object Warehouse {
   def buildBm25DocLens(postings: DataFrame): DataFrame =
     postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
 
+  /** Positional posting table (tok, doc_id, pos) — the phrase-query
+    * artifact beside the tf-only bm25_postings (see
+    * [[graft.text.InvertedIndex.tokenPositions]]); landed term-sorted
+    * for row-group pruning. */
+  def buildTokenPositions(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").cast("string").as("tok"),
+        col("id").as("doc_id"), col("id").cast("int").as("pos")).repartition(1)
+    graft.text.InvertedIndex.tokenPositions(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+      .repartition(1).sortWithinPartitions("tok", "doc_id", "pos")
+  }
+
   /** Composite document quality (doc_id, quality) — the keeper-policy
     * score ([[graft.text.TextAnalysis.compositeQuality]]), corpus
     * state like the clusters it ranks: derived once, read by every
@@ -597,6 +611,7 @@ object Warehouse {
       "gram_bloom_base" -> (() => buildGramBloomBase(spark,
         spark.read.parquet(s"$dir/gram_index_base"))),
       "bm25_postings" -> (() => buildBm25Postings(spark, sfDir)),
+      "token_positions" -> (() => buildTokenPositions(spark, sfDir)),
       "bm25_doclens" -> (() => buildBm25DocLens(
         spark.read.parquet(s"$dir/bm25_postings"))),
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
@@ -744,6 +759,10 @@ object Warehouse {
   /** Materialized BM25 doc lengths (see [[buildBm25DocLens]]). */
   def bm25DocLens(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "bm25_doclens")
+
+  /** Materialized positional postings (see [[buildTokenPositions]]). */
+  def tokenPositions(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "token_positions")
 
   /** Materialized base-corpus gram index (see [[buildGramIndexBase]]). */
   def gramIndexBase(spark: SparkSession, sfDir: String): DataFrame =

@@ -126,7 +126,7 @@ class PlanShapeSpec extends SparkSpec {
     // the scorer joins bm25_postings + bm25_doclens; a `text` column in
     // any scan schema means the corpus is being re-tokenized per query
     // (the per-query-rescan regression r9 fixed for grams/knn truth)
-    for (q <- Seq("q80_bm25_search", "q133_bm25_postings")) {
+    for (q <- Seq("q80_bm25_search", "q133_bm25_postings", "q84_phrase_search")) {
       val p = plan(q)
       assert(!p.contains("text"), s"$q re-reads raw text:\n$p")
     }
