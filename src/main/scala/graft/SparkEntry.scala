@@ -103,7 +103,8 @@ object SparkEntry {
     // Exact n-gram Jaccard self-join (prefix filtering): deterministic
     // perfect recall — the oracle is plain brute-force jaccard, so a
     // hash-match proves the prefix filter dropped nothing.
-    "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairs(docs(s, d))),
+    "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairsFromHashsets(
+      graft.warehouse.Warehouse.docHashsets(s, d))),
     // Near-dup cluster assignment: LSH pairs → connected components
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
@@ -1073,10 +1074,10 @@ object SparkEntry {
     // any-shared-shingle join — the hash-match proves the containment
     // prefix filter has perfect recall.
     "q40_contamination" -> ((s, d) => {
-      val ds = docs(s, d)
-      TextDedup.containmentPairs(
-        ds.where(col("doc_id") % 10 === 0),
-        ds.where(col("doc_id") % 10 =!= 0))
+      val hs = graft.warehouse.Warehouse.docHashsets(s, d)
+      TextDedup.containmentPairsFromHashsets(
+        hs.where(col("doc_id") % 10 === 0),
+        hs.where(col("doc_id") % 10 =!= 0))
     }),
     // Segmented inverted index over normalized words (posting lists
     // bounded per segment; comma-joined canonical form).
@@ -1445,7 +1446,8 @@ object SparkEntry {
     // Cross-document duplicated-n-gram coverage — suffix-array dedup's
     // distributed proxy: per doc, the fraction of its distinct shingles
     // that recur elsewhere in the corpus (boilerplate detector).
-    "q82_dupgram_coverage" -> ((s, d) => TextDedup.dupGramCoverage(docs(s, d))),
+    "q82_dupgram_coverage" -> ((s, d) => TextDedup.dupGramCoverageFromHashsets(
+      graft.warehouse.Warehouse.docHashsets(s, d))),
     // Temperature-based multilingual mixing (the mT5/CC multinomial
     // recipe, α = ½): per-language keep rates ∝ √n_lang, applied as a
     // deterministic integer-ppm hash filter (q69's split mechanism).

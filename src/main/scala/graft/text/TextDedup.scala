@@ -223,6 +223,16 @@ object TextDedup {
     // derive the hashed-set table, which is the cache the joins reuse
     ngramJaccardPairsFromShingles(shingled(docs), threshold)
 
+  /** Canonical hashed shingle SETS (doc_id, hs ARRAY<BIGINT> — 60-bit
+    * md5 hashes, distinct + sorted) — the shared corpus artifact behind
+    * every exact set-similarity operator (warehouse `doc_hashsets`):
+    * the PPJoin self-join (q32), the containment probe (q40), and the
+    * dup-gram coverage metric (q82) all consume THIS table instead of
+    * re-shingling the corpus per query. Fixed-width longs, ~8 bytes per
+    * corpus token. */
+  def hashedShingleSets(docs: DataFrame): DataFrame =
+    hashedSets(shingled(docs))
+
   /** EXACT n-gram (word-3-gram) Jaccard set-similarity self-join via
     * prefix filtering — the AllPairs/PPJoin family (Bayardo et al.,
     * WWW'07; Vernica et al., SIGMOD'10 for the MapReduce formulation).
@@ -256,8 +266,7 @@ object TextDedup {
     * Scale: one hash self-join on prefix shingles (narrow rows);
     * shingle arrays attach only to surviving candidates. At 100 TB the
     * prefix table is materialized parquet, same plan shape. */
-  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame =
     // 60-bit hashed shingle SETS (distinct + sorted = canonical): the
     // candidate shuffle carries fixed-width longs instead of ~20-char
     // shingle strings, and the verify intersects long arrays instead of
@@ -267,7 +276,14 @@ object TextDedup {
     // so the compare stays exact, not approximate. The prefix-filter
     // lemma is order-agnostic: the hash order is just another fixed
     // total order on shingles.
-    val hs = hashedSets(sh).persist()
+    ngramJaccardPairsFromHashsets(hashedSets(sh), threshold)
+
+  /** [[ngramJaccardPairsFromShingles]] over the materialized hashed-set
+    * artifact ([[hashedShingleSets]] / warehouse `doc_hashsets`). */
+  def ngramJaccardPairsFromHashsets(hashsets: DataFrame,
+                                    threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val hs = hashsets.persist()
     // Eager cache fill: four probes below (two prefix sides, two verify
     // attaches) read `hs` inside one action, and Spark's lazy cache fill
     // is not synchronized across concurrent build futures — each future
@@ -365,8 +381,12 @@ object TextDedup {
     * hash-keyed count agg (map-side combine), one semi-join back. The
     * single division per doc is IEEE-exact from integers, so the DuckDB
     * oracle reproduces every ratio bit-for-bit. */
-  def dupGramCoverage(docs: DataFrame): DataFrame = {
-    val hs = hashedSets(shingled(docs)).persist()
+  def dupGramCoverage(docs: DataFrame): DataFrame =
+    dupGramCoverageFromHashsets(hashedSets(shingled(docs)))
+
+  /** [[dupGramCoverage]] over the materialized hashed-set artifact. */
+  def dupGramCoverageFromHashsets(hashsets: DataFrame): DataFrame = {
+    val hs = hashsets.persist()
     hs.count() // eager fill: read by the token stream AND the join-back
     val tok = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     // arrays are distinct per doc, so count(*) per hash = distinct docs
@@ -391,10 +411,17 @@ object TextDedup {
         .stripMargin).as("hs"))
 
   def containmentPairs(test: DataFrame, train: DataFrame,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame =
+    containmentPairsFromHashsets(
+      hashedSets(shingled(test)), hashedSets(shingled(train)), threshold)
+
+  /** [[containmentPairs]] over pre-hashed shingle sets (the artifact
+    * path: both splits are id-filters of warehouse `doc_hashsets`). */
+  def containmentPairsFromHashsets(testSets: DataFrame, trainSets: DataFrame,
+                                   threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val hsTest = hashedSets(shingled(test)).persist()
-    val hsTrain = hashedSets(shingled(train)).persist()
+    val hsTest = testSets.persist()
+    val hsTrain = trainSets.persist()
     // eager cache fill (the q32 lesson): prefix + verify probes read
     // these inside one action; lazy fill races across build futures
     hsTest.count(); hsTrain.count()

@@ -417,6 +417,20 @@ object Warehouse {
   def buildBm25DocLens(postings: DataFrame): DataFrame =
     postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
 
+  /** Canonical hashed shingle sets (doc_id, hs ARRAY<BIGINT>) — the
+    * shared exact-set-similarity artifact
+    * ([[graft.text.TextDedup.hashedShingleSets]]): PPJoin (q32),
+    * containment (q40) and dup-gram coverage (q82) read it instead of
+    * re-shingling the corpus per query. */
+  def buildDocHashsets(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("doc_id"),
+        array().cast("array<bigint>").as("hs")).repartition(1)
+    graft.text.TextDedup.hashedShingleSets(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
   /** Positional posting table (tok, doc_id, pos) — the phrase-query
     * artifact beside the tf-only bm25_postings (see
     * [[graft.text.InvertedIndex.tokenPositions]]); landed term-sorted
@@ -612,6 +626,7 @@ object Warehouse {
         spark.read.parquet(s"$dir/gram_index_base"))),
       "bm25_postings" -> (() => buildBm25Postings(spark, sfDir)),
       "token_positions" -> (() => buildTokenPositions(spark, sfDir)),
+      "doc_hashsets" -> (() => buildDocHashsets(spark, sfDir)),
       "bm25_doclens" -> (() => buildBm25DocLens(
         spark.read.parquet(s"$dir/bm25_postings"))),
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
@@ -763,6 +778,10 @@ object Warehouse {
   /** Materialized positional postings (see [[buildTokenPositions]]). */
   def tokenPositions(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "token_positions")
+
+  /** Materialized hashed shingle sets (see [[buildDocHashsets]]). */
+  def docHashsets(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "doc_hashsets")
 
   /** Materialized base-corpus gram index (see [[buildGramIndexBase]]). */
   def gramIndexBase(spark: SparkSession, sfDir: String): DataFrame =
