@@ -65,7 +65,7 @@ object BenchGuard {
     "q133_bm25_postings" -> 1.2,
     "q139_gram_skew_audit" -> 1.5,
     "q140_release_card" -> 11.5,
-    "q141_index_erasure" -> 9.0,
+    "q141_index_erasure" -> 5.0,
     "q84_phrase_search" -> 1.2,
     "q28_curation_pipeline" -> 4.5,
     "q39_keywords" -> 3.3,

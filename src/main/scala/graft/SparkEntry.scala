@@ -336,23 +336,31 @@ object SparkEntry {
       val base = graft.operators.Erasure.audit(Seq(
           ("bm25_doclens", wh.bm25DocLens(s, d), "doc_id"),
           ("bm25_postings", wh.bm25Postings(s, d), "doc_id"),
-          ("gram_occurrences", wh.gramOccurrences(s, d), "doc_id")), victims)
+          ("doc_hashsets", wh.docHashsets(s, d), "doc_id"),
+          ("gram_occurrences", wh.gramOccurrences(s, d), "doc_id"),
+          ("token_positions", wh.tokenPositions(s, d), "doc_id")), victims)
         .withColumn("n_repaired", lit(0L))
       val pairsRow = graft.operators.Erasure.auditAny("neardup_pairs",
           wh.nearDupPairs(s, d), Seq("doc_a", "doc_b"), victims)
         .withColumn("n_repaired", lit(0L))
-      val occ = wh.gramOccurrences(s, d)
-      val occErased = graft.operators.Erasure.erase(occ, "doc_id", victims)
-      val idx = occ.select(col("h")).distinct()
-      val idxRepaired = graft.operators.Erasure.repairDistinctIndex(idx, "h", occErased)
-      val idxRow = idx.agg(count(lit(1)).as("n_before"))
-        .crossJoin(idxRepaired.agg(count(lit(1)).as("n_after")))
-        .crossJoin(idxRepaired
-          .join(occErased.select(col("h")).distinct(), Seq("h"), "left_anti")
-          .agg(count(lit(1)).as("n_leaked")))
+      // index repair stats in ONE pass over the gram table: per-hash
+      // (total, victim-carried) counts decide survival — a hash dies
+      // iff its every occurrence was a victim's; leaked is the
+      // measured count of survivors with no surviving occurrence
+      val perH = wh.gramOccurrences(s, d)
+        .join(broadcast(victims.select(col("key").as("doc_id"))
+          .withColumn("__v", lit(1))), Seq("doc_id"), "left")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_total"), count(col("__v")).as("n_victim"))
+      val idxRow = perH.agg(
+          count(lit(1)).as("n_before"),
+          count(when(col("n_total") === col("n_victim"), 1)).as("n_deleted"),
+          count(when(col("n_total") > col("n_victim"), 1)).as("n_after"),
+          count(when(col("n_total") > col("n_victim") &&
+            col("n_total") - col("n_victim") <= 0, 1)).as("n_leaked"))
         .select(lit("gram_index").as("table_name"), col("n_before"),
-          (col("n_before") - col("n_after")).as("n_deleted"),
-          col("n_after"), col("n_leaked"), lit(0L).as("n_repaired"))
+          col("n_deleted"), col("n_after"), col("n_leaked"),
+          lit(0L).as("n_repaired"))
       val cl = wh.nearDupClusters(s, d)
       val rel = graft.operators.Erasure.relabelClusters(cl, victims)
       val clRow = cl.agg(count(lit(1)).as("n_before"))
@@ -2775,9 +2783,12 @@ object SparkEntry {
          |go2 AS (SELECT * FROM '$oracleWhDir/gram_occurrences/*.parquet'),
          |pr AS (SELECT * FROM '$oracleWhDir/neardup_pairs/*.parquet'),
          |cl AS (SELECT * FROM '$oracleWhDir/neardup_clusters/*.parquet'),
+         |hsd AS (SELECT * FROM '$oracleWhDir/doc_hashsets/*.parquet'),
+         |tp AS (SELECT * FROM '$oracleWhDir/token_positions/*.parquet'),
          |goe AS (SELECT * FROM go2 WHERE doc_id NOT IN (SELECT key FROM v)),
-         |idx AS (SELECT DISTINCT h FROM go2),
-         |idxr AS (SELECT DISTINCT h FROM goe),
+         |perh AS (SELECT h, count(*) AS n_total,
+         |    count(CASE WHEN doc_id IN (SELECT key FROM v) THEN 1 END) AS n_victim
+         |  FROM go2 GROUP BY h),
          |surv AS (SELECT * FROM cl WHERE doc_id NOT IN (SELECT key FROM v)),
          |nlab AS (SELECT cluster_id, min(doc_id) AS nl FROM surv GROUP BY cluster_id),
          |rel AS (SELECT s.doc_id, n.nl AS new_cid, s.cluster_id AS old_cid
@@ -2817,11 +2828,28 @@ object SparkEntry {
          |     AND (doc_a IN (SELECT key FROM v) OR doc_b IN (SELECT key FROM v))),
          |  CAST(0 AS BIGINT)
          |UNION ALL
+         |SELECT 'doc_hashsets',
+         |  (SELECT count(*) FROM hsd),
+         |  (SELECT count(*) FROM hsd WHERE doc_id IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM hsd WHERE doc_id NOT IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM hsd WHERE doc_id NOT IN (SELECT key FROM v)
+         |     AND doc_id IN (SELECT key FROM v)),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'token_positions',
+         |  (SELECT count(*) FROM tp),
+         |  (SELECT count(*) FROM tp WHERE doc_id IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM tp WHERE doc_id NOT IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM tp WHERE doc_id NOT IN (SELECT key FROM v)
+         |     AND doc_id IN (SELECT key FROM v)),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
          |SELECT 'gram_index',
-         |  (SELECT count(*) FROM idx),
-         |  (SELECT count(*) FROM idx) - (SELECT count(*) FROM idxr),
-         |  (SELECT count(*) FROM idxr),
-         |  (SELECT count(*) FROM idxr WHERE h NOT IN (SELECT h FROM goe)),
+         |  (SELECT count(*) FROM perh),
+         |  (SELECT count(*) FROM perh WHERE n_total = n_victim),
+         |  (SELECT count(*) FROM perh WHERE n_total > n_victim),
+         |  (SELECT count(*) FROM perh WHERE n_total > n_victim
+         |     AND n_total - n_victim <= 0),
          |  CAST(0 AS BIGINT)
          |UNION ALL
          |SELECT 'neardup_clusters',
