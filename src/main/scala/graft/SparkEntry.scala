@@ -1054,6 +1054,35 @@ object SparkEntry {
           col("running_total"), col("pack_id"))
         .orderBy("doc_id", "chunk_id")
     }),
+    // CURRICULUM packing: q45's chunk/pack with the global pack order
+    // flipped to (quality DESC, doc, chunk) — easy-first curriculum
+    // ordering, the training-prep variant where batch composition
+    // follows the quality signal instead of ingestion order. The order
+    // key folds (MaxQuality − quality, doc, chunk) into one guarded
+    // integer so the SAME two-level distributed prefix sum assigns
+    // pack ids — no global sort of the chunk stream, ever.
+    "q142_curriculum_pack" -> ((s, d) => {
+      val keepers = graft.warehouse.Warehouse.nearDupClusters(s, d)
+        .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      val chunks = graft.text.Chunking
+        .tokenWindows(docs(s, d).join(keepers, Seq("doc_id")))
+        .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
+      // composite bounds: quality < 2^23 by construction (4 flag
+      // levels × 2^20 + chars capped at 2^20−1); doc_id*1024+chunk
+      // must fit 2^34 — guarded, same discipline as chunkOrderKey
+      val MaxQ = 5242879L
+      val keyed = chunks.withColumn("k",
+        when(col("chunk_id") >= 1024 || col("doc_id") >= (1L << 24), expr(
+          "raise_error('curriculum key overflow: need chunk_id < 1024 and doc_id < 2^24')")
+          .cast("long"))
+          .otherwise((lit(MaxQ) - col("quality")) * (1L << 34) +
+            col("doc_id") * 1024 + col("chunk_id")))
+      graft.operators.PrefixSum.packByBudget(keyed, "k", "n_chunk_tokens",
+          budget = 512L, bucketWidth = 1L << 34)
+        .select(col("doc_id"), col("chunk_id"), col("quality"),
+          col("n_chunk_tokens"), col("running_total"), col("pack_id"))
+        .orderBy(col("quality").desc, col("doc_id"), col("chunk_id"))
+    }),
     // Corpus length-distribution profile: exact percentile_disc by
     // integer rank selection — rank ⌈q·n⌉ in (n_tokens, doc_id) order,
     // all-integer (⌈q·n⌉ = (q·n + denom−1) div denom), so quantiles
@@ -3658,6 +3687,40 @@ object SparkEntry {
          |  CAST(running_total AS BIGINT) AS running_total,
          |  CAST((running_total - n_chunk_tokens) // 512 AS BIGINT) AS pack_id
          |FROM r ORDER BY doc_id, chunk_id""".stripMargin,
+    // q45's replay with the pack order flipped to (quality DESC, doc,
+    // chunk) — closure for keepers, quality chain, chunking, one
+    // running-total window in curriculum order.
+    "q142_curriculum_pack" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |$docQualityCtes,
+         |t2 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents JOIN keep USING (doc_id)),
+         |c3 AS (SELECT doc_id, len(ws) AS n,
+         |  unnest(generate_series(CAST(0 AS BIGINT),
+         |    CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_id
+         |  FROM t2),
+         |ch3 AS (SELECT doc_id, chunk_id,
+         |  greatest(least(n - chunk_id*48, 64), CAST(0 AS BIGINT)) AS n_chunk_tokens
+         |  FROM c3),
+         |j3 AS (SELECT ch3.doc_id, ch3.chunk_id, q.quality, ch3.n_chunk_tokens
+         |  FROM ch3 JOIN q USING (doc_id)),
+         |r3 AS (SELECT doc_id, chunk_id, quality, n_chunk_tokens,
+         |  sum(n_chunk_tokens) OVER (ORDER BY quality DESC, doc_id, chunk_id
+         |    ROWS UNBOUNDED PRECEDING) AS running_total
+         |  FROM j3)
+         |SELECT doc_id, chunk_id, quality, n_chunk_tokens,
+         |  CAST(running_total AS BIGINT) AS running_total,
+         |  CAST((running_total - n_chunk_tokens) // 512 AS BIGINT) AS pack_id
+         |FROM r3 ORDER BY quality DESC, doc_id, chunk_id""".stripMargin,
     // Same rank-selection quantiles (percentile_disc semantics) with
     // identical integer ceiling arithmetic.
     "q43_length_quantiles" ->
