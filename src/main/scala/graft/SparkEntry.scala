@@ -496,6 +496,41 @@ object SparkEntry {
         graft.warehouse.Warehouse.ivfCodebook(s, d),
         corpusDenoms = Some(graft.warehouse.Warehouse.marginDenoms(s, d)))
     }),
+    // INDEX-DRIFT monitor — the retrain trigger every frozen-codebook
+    // deployment needs: per-cell occupancy of the landed corpus
+    // assignment vs a freshly-assigned arriving batch (same codebook,
+    // so divergence IS data drift, not index noise), in integer ppm
+    // with the absolute gap. A drifting mixture shows up as cells
+    // gaining/losing share; ops re-trains when max drift crosses its
+    // threshold. Cells enumerate from the codebook (small dim) so
+    // zero-occupancy cells report too.
+    "q143_index_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val ca = graft.warehouse.Warehouse.ivfAssign(s, d)
+        .where(col("rn") === 1)
+        .where(pmod(col("vec_id"), lit(10)) =!= 7)
+        .groupBy(col("cell")).agg(count(lit(1)).as("corpus_n"))
+      val ba = Similarity.cellAssignments(
+          e.where(pmod(col("vec_id"), lit(10)) === 7),
+          graft.warehouse.Warehouse.ivfCodebook(s, d))
+        .where(col("rn") === 1)
+        .groupBy(col("cell")).agg(count(lit(1)).as("batch_n"))
+      val cells = graft.warehouse.Warehouse.ivfCodebook(s, d)
+        .select(col("cid").as("cell"))
+      val joined = cells
+        .join(ca, Seq("cell"), "left").join(ba, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("corpus_n"), lit(0L)).as("corpus_n"),
+          coalesce(col("batch_n"), lit(0L)).as("batch_n"))
+      val tot = joined.agg(sum(col("corpus_n")).as("ct"), sum(col("batch_n")).as("bt"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("cell"), col("corpus_n"), col("batch_n"),
+          expr("(corpus_n * 1000000) div greatest(1L, ct)").as("corpus_ppm"),
+          expr("(batch_n * 1000000) div greatest(1L, bt)").as("batch_ppm"),
+          expr("abs((corpus_n * 1000000) div greatest(1L, ct) - " +
+            "(batch_n * 1000000) div greatest(1L, bt))").as("drift_ppm"))
+        .orderBy("cell")
+    }),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -3053,6 +3088,33 @@ object SparkEntry {
          |  (n_tokens * 1000000) // tok_all AS token_share_ppm,
          |  (n_tokens * 1000000) // greatest(1, n_chars) AS tokens_per_char_micro
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // Assignment replay from the codebook parquet for both sides, the
+    // same vec_id%10 split, per-cell counts over the codebook's cell
+    // dim, integer ppm + abs gap.
+    "q143_index_drift" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |a1 AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |ca AS (SELECT cell, count(*) AS corpus_n FROM a1
+         |  WHERE vec_id % 10 <> 7 GROUP BY cell),
+         |ba AS (SELECT cell, count(*) AS batch_n FROM a1
+         |  WHERE vec_id % 10 = 7 GROUP BY cell),
+         |j AS (SELECT c.cid AS cell,
+         |    CAST(coalesce(ca.corpus_n, 0) AS BIGINT) AS corpus_n,
+         |    CAST(coalesce(ba.batch_n, 0) AS BIGINT) AS batch_n
+         |  FROM cent c LEFT JOIN ca ON ca.cell = c.cid LEFT JOIN ba ON ba.cell = c.cid),
+         |t AS (SELECT CAST(sum(corpus_n) AS BIGINT) AS ct,
+         |             CAST(sum(batch_n) AS BIGINT) AS bt FROM j)
+         |SELECT cell, corpus_n, batch_n,
+         |  (corpus_n * 1000000) // greatest(1, ct) AS corpus_ppm,
+         |  (batch_n * 1000000) // greatest(1, bt) AS batch_ppm,
+         |  abs((corpus_n * 1000000) // greatest(1, ct)
+         |    - (batch_n * 1000000) // greatest(1, bt)) AS drift_ppm
+         |FROM j CROSS JOIN t ORDER BY cell""".stripMargin,
     // Bipartite margin replay: assignment from the codebook parquet,
     // batch/corpus split on vec_id, mutual best — denominators replay
     // the margin_denoms ARTIFACT semantics: the FULL-corpus
