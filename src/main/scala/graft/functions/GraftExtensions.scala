@@ -91,6 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(children.length == 3, "top_k_pairs(id, score, k)")
       TopKPairs(children.head, children(1), intLit("top_k_pairs", "k")(children(2)))
     }
+    register("sorted_intersect_count", classOf[SortedIntersectCount]) { children =>
+      require(children.length == 2, "sorted_intersect_count(a, b)")
+      SortedIntersectCount(children.head, children(1))
+    }
     register("bloom_contains", classOf[BloomContainsLong]) { children =>
       require(children.length == 2, "bloom_contains(value, bloom_b64)")
       BloomContainsLong(children.head,

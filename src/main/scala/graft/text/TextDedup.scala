@@ -329,7 +329,11 @@ object TextDedup {
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        // hashed sets are sorted+distinct by construction: the native
+        // two-pointer count replaces the per-pair hash-set build +
+        // intersection-array materialization of the built-in chain
+        expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double")))
@@ -442,7 +446,7 @@ object TextDedup {
         Seq("test_id"))
       .join(hsTrain.select(col("doc_id").as("train_id"), col("hs").as("sh_r"))
         .hint("shuffle_hash"), Seq("train_id"))
-      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_r"))))
+      .withColumn("inter", expr("sorted_intersect_count(sh_t, sh_r)"))
       .withColumn("containment",
         when(size(col("sh_t")) > 0,
           col("inter").cast("double") / size(col("sh_t")).cast("double")))
