@@ -67,6 +67,12 @@ object Release {
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .join(quality, Seq("doc_id"))
       .persist() // probed by the threshold agg, the gate, and the stats
+    // eager fill (the q32 discipline): four subtrees of the final plan
+    // read surv inside one action; filling the cache up front removes
+    // the lazy-fill race those concurrent stage futures CAN hit
+    // (measured neutral here, but the failure mode is load-dependent
+    // and cost a measured 4-15× on q32 when it bit)
+    surv.count()
     // 3. source-relative quality gate over the survivors
     val thr = Curation.topFractionThresholds(
       surv.select(col("source"), col("quality")), "source", "quality")
