@@ -22,6 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `top_k_pairs(id, score, k)` → ARRAY<STRUCT<id,score>> aggregate
   *    ([[TopKPairs]])
   *  - `bloom_contains(value, bloom_b64)` → BOOLEAN ([[BloomContainsLong]])
+  *  - `sorted_intersect_count(a, b)` → INT ([[SortedIntersectCount]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
