@@ -1445,6 +1445,33 @@ object SparkEntry {
         .withColumn("fertility",
           col("n_pieces").cast("double") / col("n_words").cast("double"))
         .orderBy("lang")),
+    // TOKENIZER-DRIFT monitor — q143's sibling for the frozen BPE: per
+    // language, fertility (pieces per word, integer micros) of the
+    // landed corpus vs the arriving batch under the SAME merge table.
+    // Rising batch fertility = the vocabulary no longer fits the
+    // incoming text (new domain/language mix) — the retrain trigger
+    // for the tokenizer artifact, exactly as q143 is for the codebook.
+    // One encode pass, split by the canonical doc_id%10 holdout.
+    "q144_tokenizer_drift" -> ((s, d) => {
+      val isBatch = pmod(col("doc_id"), lit(10)) === 7
+      graft.text.Bpe.encode(docs(s, d), graft.warehouse.Warehouse.bpeMerges(s, d))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          coalesce(sum(when(!isBatch, col("n_words"))), lit(0L)).as("corpus_words"),
+          coalesce(sum(when(!isBatch, col("n_pieces"))), lit(0L)).as("corpus_pieces"),
+          coalesce(sum(when(isBatch, col("n_words"))), lit(0L)).as("batch_words"),
+          coalesce(sum(when(isBatch, col("n_pieces"))), lit(0L)).as("batch_pieces"))
+        .select(col("lang"), col("corpus_words"), col("corpus_pieces"),
+          col("batch_words"), col("batch_pieces"),
+          expr("(corpus_pieces * 1000000) div greatest(1L, corpus_words)")
+            .as("corpus_fert_micro"),
+          expr("(batch_pieces * 1000000) div greatest(1L, batch_words)")
+            .as("batch_fert_micro"),
+          expr("abs((corpus_pieces * 1000000) div greatest(1L, corpus_words) - " +
+            "(batch_pieces * 1000000) div greatest(1L, batch_words))").as("drift_micro"))
+        .orderBy("lang")
+    }),
     // PII scrubbing (pre-release redaction pass). The corpus carries no
     // natural PII, so each doc is extended with DETERMINISTIC synthetic
     // contact fields derived from doc_id — the oracle replays the same
@@ -4581,6 +4608,24 @@ object SparkEntry {
          |    AS fertility
          |FROM ag JOIN documents USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // The q92 encode replay split by the holdout rule, integer-micros
+    // fertility per side + abs gap.
+    "q144_tokenizer_drift" ->
+      s"""WITH RECURSIVE $bpeEncodeCtes,
+         |ag AS (SELECT doc_id, count(*) AS w, CAST(sum(n_pieces) AS BIGINT) AS p
+         |  FROM pc GROUP BY doc_id),
+         |per AS (SELECT lang,
+         |    CAST(sum(CASE WHEN doc_id % 10 <> 7 THEN w ELSE 0 END) AS BIGINT) AS corpus_words,
+         |    CAST(sum(CASE WHEN doc_id % 10 <> 7 THEN p ELSE 0 END) AS BIGINT) AS corpus_pieces,
+         |    CAST(sum(CASE WHEN doc_id % 10 = 7 THEN w ELSE 0 END) AS BIGINT) AS batch_words,
+         |    CAST(sum(CASE WHEN doc_id % 10 = 7 THEN p ELSE 0 END) AS BIGINT) AS batch_pieces
+         |  FROM ag JOIN documents USING (doc_id) GROUP BY lang)
+         |SELECT lang, corpus_words, corpus_pieces, batch_words, batch_pieces,
+         |  (corpus_pieces * 1000000) // greatest(1, corpus_words) AS corpus_fert_micro,
+         |  (batch_pieces * 1000000) // greatest(1, batch_words) AS batch_fert_micro,
+         |  abs((corpus_pieces * 1000000) // greatest(1, corpus_words)
+         |    - (batch_pieces * 1000000) // greatest(1, batch_words)) AS drift_micro
+         |FROM per ORDER BY lang""".stripMargin,
     // Same deterministic augmentation, same restricted-regex rules in
     // the same order — counts on the original, replaces chained, md5 of
     // the scrubbed text hash-gates the redaction end to end.
