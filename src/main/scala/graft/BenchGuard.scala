@@ -66,6 +66,9 @@ object BenchGuard {
     "q139_gram_skew_audit" -> 1.5,
     "q140_release_card" -> 11.5,
     "q141_index_erasure" -> 5.0,
+    "q142_curriculum_pack" -> 2.4,
+    "q143_index_drift" -> 2.0,
+    "q144_tokenizer_drift" -> 1.8,
     "q84_phrase_search" -> 1.2,
     "q28_curation_pipeline" -> 4.5,
     "q39_keywords" -> 3.3,

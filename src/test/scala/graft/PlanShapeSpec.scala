@@ -155,6 +155,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__salt"), s"q122 lost the salted dup-marking join:\n$p")
   }
 
+  test("q141: index erasure audits the landed artifacts, never document text") {
+    // every audited table is materialized corpus state; a `text` column
+    // in any scan schema means an artifact was silently re-derived
+    val p = plan("q141_index_erasure")
+    assert(!p.contains("text"), s"q141 re-reads raw text:\n$p")
+  }
+
   test("q123: the sketch bloom fronts the gram-index probe, map-side, payload-free") {
     // the incremental scrub's batch grams must hit the codegen'd
     // bloom_contains FILTER before the index semi-join shuffle — and
