@@ -347,17 +347,28 @@ object SparkEntry {
       // (total, victim-carried) counts decide survival — a hash dies
       // iff its every occurrence was a victim's; leaked is the
       // measured count of survivors with no surviving occurrence
-      val perH = wh.gramOccurrences(s, d)
+      val go = wh.gramOccurrences(s, d)
+      val perH = go
         .join(broadcast(victims.select(col("key").as("doc_id"))
           .withColumn("__v", lit(1))), Seq("doc_id"), "left")
         .groupBy(col("h"))
         .agg(count(lit(1)).as("n_total"), count(col("__v")).as("n_victim"))
+      // n_leaked is MEASURED from the repair operator's actual output:
+      // run [[Erasure.repairDistinctIndex]] over the erased base and
+      // probe it against the victim-only hash set derived by the
+      // INDEPENDENT grouped pass above — a broken repair (wrong key,
+      // stale base) shows as n_leaked > 0 instead of being defined away
+      val repaired = graft.operators.Erasure.repairDistinctIndex(
+        go.select(col("h")).dropDuplicates("h"), "h",
+        graft.operators.Erasure.erase(go, "doc_id", victims))
       val idxRow = perH.agg(
           count(lit(1)).as("n_before"),
           count(when(col("n_total") === col("n_victim"), 1)).as("n_deleted"),
-          count(when(col("n_total") > col("n_victim"), 1)).as("n_after"),
-          count(when(col("n_total") > col("n_victim") &&
-            col("n_total") - col("n_victim") <= 0, 1)).as("n_leaked"))
+          count(when(col("n_total") > col("n_victim"), 1)).as("n_after"))
+        .crossJoin(repaired.join(
+            perH.where(col("n_total") === col("n_victim")).select(col("h")),
+            Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("n_leaked")))
         .select(lit("gram_index").as("table_name"), col("n_before"),
           col("n_deleted"), col("n_after"), col("n_leaked"),
           lit(0L).as("n_repaired"))
@@ -2939,8 +2950,10 @@ object SparkEntry {
          |  (SELECT count(*) FROM perh),
          |  (SELECT count(*) FROM perh WHERE n_total = n_victim),
          |  (SELECT count(*) FROM perh WHERE n_total > n_victim),
-         |  (SELECT count(*) FROM perh WHERE n_total > n_victim
-         |     AND n_total - n_victim <= 0),
+         |  (SELECT count(*)
+         |     FROM (SELECT DISTINCT h FROM go2
+         |           WHERE h IN (SELECT h FROM goe)) rep
+         |     WHERE rep.h IN (SELECT h FROM perh WHERE n_total = n_victim)),
          |  CAST(0 AS BIGINT)
          |UNION ALL
          |SELECT 'neardup_clusters',
@@ -3064,16 +3077,22 @@ object SparkEntry {
          |    CAST(sum(kept_tokens) AS BIGINT) AS released_tokens,
          |    CAST(sum(quality) AS BIGINT) AS sq
          |  FROM rel GROUP BY source)
-         |SELECT raw2.source, raw2.n_docs_raw, sstats.n_survivors, thr.threshold,
-         |  rates.n_gated, rates.share_ppm, rates.mix_ppm, rates.keep_ppm,
-         |  rstats.n_released, rstats.released_tokens,
-         |  ((rstats.pre_toks - rstats.released_tokens) * 1000000)
-         |    // greatest(1, rstats.pre_toks) AS scrub_removed_ppm,
-         |  rstats.sq // rstats.n_released AS avg_quality_released,
+         |SELECT raw2.source, raw2.n_docs_raw,
+         |  coalesce(sstats.n_survivors, 0) AS n_survivors,
+         |  coalesce(thr.threshold, 0) AS threshold,
+         |  coalesce(rates.n_gated, 0) AS n_gated,
+         |  coalesce(rates.share_ppm, 0) AS share_ppm,
+         |  coalesce(rates.mix_ppm, 0) AS mix_ppm,
+         |  coalesce(rates.keep_ppm, 0) AS keep_ppm,
+         |  coalesce(rstats.n_released, 0) AS n_released,
+         |  coalesce(rstats.released_tokens, 0) AS released_tokens,
+         |  coalesce(((rstats.pre_toks - rstats.released_tokens) * 1000000)
+         |    // greatest(1, rstats.pre_toks), 0) AS scrub_removed_ppm,
+         |  coalesce(rstats.sq // rstats.n_released, 0) AS avg_quality_released,
          |  coalesce(pstats.n_chunks, 0) AS n_chunks,
          |  coalesce(pstats.n_packs_touched, 0) AS n_packs_touched
-         |FROM raw2 JOIN sstats USING (source) JOIN thr USING (source)
-         |JOIN rates USING (source) JOIN rstats USING (source)
+         |FROM raw2 LEFT JOIN sstats USING (source) LEFT JOIN thr USING (source)
+         |LEFT JOIN rates USING (source) LEFT JOIN rstats USING (source)
          |LEFT JOIN pstats USING (source)
          |ORDER BY source""".stripMargin,
     // Gram replay (the q124/q129 derivation) + the q71 median/skew

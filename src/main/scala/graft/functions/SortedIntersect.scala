@@ -63,6 +63,16 @@ object SortedIntersectOps {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
+      // fail fast on null elements: the function is registered as a
+      // general SQL function and the type check admits containsNull
+      // arrays, so a null slot must surface as an error — getLong on a
+      // null slot would silently return garbage (a wrong count). The
+      // isNullAt probe is a bitset test, negligible next to getLong.
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element — inputs must be " +
+            "sorted, distinct, non-null BIGINT arrays " +
+            "(array_sort(array_distinct(...)) of non-null hashes)")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1

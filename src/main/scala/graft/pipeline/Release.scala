@@ -122,17 +122,29 @@ object Release {
         expr("((pre_scrub_tokens - released_tokens) * 1000000) div " +
           "greatest(1L, pre_scrub_tokens)").as("scrub_removed_ppm"),
         expr("sq div n_released").as("avg_quality_released"))
+    // LEFT joins from the raw per-source counts: a source whose docs
+    // are all removed by a stage (or that is missing from the mixture
+    // table) must still appear in the card with its n_docs_raw and
+    // zeroed stage columns — a card that silently omits a fully-
+    // filtered source misrepresents the release
     raw
-      .join(survStats, Seq("source"))
-      .join(thr.select(col("source"), col("threshold")), Seq("source"))
+      .join(survStats, Seq("source"), "left")
+      .join(thr.select(col("source"), col("threshold")), Seq("source"), "left")
       .join(rates.select(col("source"), col("n_gated"), col("share_ppm"),
-        col("mix_ppm"), col("keep_ppm")), Seq("source"))
-      .join(relStats, Seq("source"))
+        col("mix_ppm"), col("keep_ppm")), Seq("source"), "left")
+      .join(relStats, Seq("source"), "left")
       .join(packStats, Seq("source"), "left")
-      .select(col("source"), col("n_docs_raw"), col("n_survivors"),
-        col("threshold"), col("n_gated"), col("share_ppm"), col("mix_ppm"),
-        col("keep_ppm"), col("n_released"), col("released_tokens"),
-        col("scrub_removed_ppm"), col("avg_quality_released"),
+      .select(col("source"), col("n_docs_raw"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("threshold"), lit(0L)).as("threshold"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("share_ppm"), lit(0L)).as("share_ppm"),
+        coalesce(col("mix_ppm"), lit(0L)).as("mix_ppm"),
+        coalesce(col("keep_ppm"), lit(0L)).as("keep_ppm"),
+        coalesce(col("n_released"), lit(0L)).as("n_released"),
+        coalesce(col("released_tokens"), lit(0L)).as("released_tokens"),
+        coalesce(col("scrub_removed_ppm"), lit(0L)).as("scrub_removed_ppm"),
+        coalesce(col("avg_quality_released"), lit(0L)).as("avg_quality_released"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_packs_touched"), lit(0L)).as("n_packs_touched"))
       .orderBy("source")

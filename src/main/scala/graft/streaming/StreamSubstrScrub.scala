@@ -61,6 +61,16 @@ object StreamSubstrScrub {
       val bloom =
         if (existing.isDefined && Ingest.ready(spark, bloomPath))
           Some(spark.read.parquet(bloomPath).select(col("bf")).head.getAs[Array[Byte]](0))
+        else if (existing.isDefined)
+          // Bootstrap: attaching to a pre-existing index with no
+          // maintained sketch (a batch-built index, or a resume from
+          // before the bloom existed). Seed the sketch from the INDEX
+          // itself — seeding from the batch alone would leave later
+          // batches pre-filtering with a bloom that misses the old
+          // index's grams: false negatives, silent under-scrubbing,
+          // stream≢batch. One full index scan, paid once at attach.
+          Some(graft.operators.BloomPrune.serialize(
+            index.stat.bloomFilter("h", BloomCapacity, BloomFpp)))
         else None
       val scrubbed = SegmentDedup
         .scrubExactSubstrAgainstIndex(batch, index, minTokens, bloom)

@@ -32,6 +32,20 @@ class SortedIntersectSpec extends SparkSpec {
     assert(got.toSeq == Seq(None, Some(0)))
   }
 
+  test("null ELEMENT fails fast instead of returning a silently-wrong count") {
+    // general SQL function, containsNull arrays admitted by the type
+    // check — a null slot must be an error, not garbage from getLong
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(3L))))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(expr("sorted_intersect_count(a, b)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("null array element")), s"got: $e")
+  }
+
   test("interpreted eval matches codegen") {
     // force the interpreted path via eval on the expression directly
     val e = SortedIntersectCount(

@@ -66,4 +66,29 @@ class ReleaseSpec extends SparkSpec {
     assert(b.getAs[Long]("scrub_removed_ppm") == 0L)
     assert(b.getAs[Long]("n_survivors") == 4L)
   }
+
+  test("a fully-filtered source still appears in the card with zeroed stage columns") {
+    // source C is absent from the mixture table — its docs survive the
+    // scrub and the gate but die at mixture realization; a card that
+    // drops the row (the r10 inner-join shape) misrepresents the release
+    val docs = Seq(
+      (1L, "B", "b one has plenty of ordinary distinct text to keep around"),
+      (2L, "B", "b two has plenty of ordinary distinct words to keep nearby"),
+      (20L, "C", "c only doc with its own entirely separate wording here")
+    ).toDF("doc_id", "source", "text")
+    val grams = graft.text.SegmentDedup.gramOccurrences(
+      docs.select($"doc_id", $"text"), minTokens = 8)
+    val clusters = docs.select($"doc_id", $"doc_id".as("cluster_id"))
+    val quality = graft.text.TextAnalysis.compositeQuality(docs.select($"doc_id", $"text"))
+    val mixture = Seq(("B", 1000000L)).toDF("source", "mix_ppm") // no C row
+    val card = Release.releaseCard(docs, grams, clusters, quality, mixture)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(card.keySet == Set("B", "C"), s"card dropped a source: ${card.keySet}")
+    val c = card("C")
+    assert(c.getAs[Long]("n_docs_raw") == 1L)
+    assert(c.getAs[Long]("n_survivors") == 1L) // stages BEFORE the drop still report
+    for (f <- Seq("n_gated", "share_ppm", "mix_ppm", "keep_ppm", "n_released",
+        "released_tokens", "n_chunks", "n_packs_touched"))
+      assert(c.getAs[Long](f) == 0L, s"$f should be zeroed for a mixture-absent source")
+  }
 }

@@ -73,6 +73,33 @@ class StreamSubstrScrubSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("attaching to a pre-existing index without a bloom seeds the sketch from the index") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val index = tmp("attach") + "/idx"
+    val out = tmp("attachout") + "/scrubbed"
+    // a batch-built index (ledger present, NO bloom file) — the
+    // deployment the scaladoc documents: the stream attaches to the
+    // artifact the batch pipeline already maintains
+    graft.sources.Ingest.overwriteSwap(spark,
+      SegmentDedup.gramIndex(Seq((1L, "a b c d")).toDF("doc_id", "text"), minTokens = 3)
+        .withColumn("last_batch", lit(0L)), index)
+    // attach-batch carries only fresh grams; a batch-only bootstrap
+    // bloom would miss every pre-existing gram from here on
+    StreamSubstrScrub.mergeBatch(spark,
+      Seq((2L, "q r s t")).toDF("doc_id", "text"), 1L, index, out, minTokens = 3)
+    // the NEXT batch repeats a gram known only to the pre-existing
+    // index — it must still be scrubbed (the r10 false-negative bug)
+    StreamSubstrScrub.mergeBatch(spark,
+      Seq((3L, "x a b c")).toDF("doc_id", "text"), 2L, index, out, minTokens = 3)
+    assert(canon(spark.read.parquet(out)) ==
+      Set((2L, 4L, 0L, "q r s t"), (3L, 4L, 3L, "x")))
+    val bloom = spark.read.parquet(s"${index}_bloom")
+      .select(col("bf")).head.getAs[Array[Byte]](0)
+    val dropped = spark.read.parquet(index).select(col("h"))
+      .where(!graft.operators.BloomPrune.mightContainLong(bloom, col("h"))).count()
+    assert(dropped == 0L, s"bootstrap bloom dropped $dropped index grams — false negatives")
+  }
+
   test("maintained bloom passes every gram of the maintained index (no false negatives)") {
     import org.apache.spark.sql.functions.col
     val index = tmp("bloom") + "/idx"
