@@ -32,7 +32,7 @@ object Bench {
     // Charging these pauses to the query being measured would skew every
     // reported time by up to seconds (round-2 advice).
     def cleanup(): Unit = {
-      spark.catalog.clearCache()
+      Graft.releaseLeases(); spark.catalog.clearCache()
       System.gc()
     }
 

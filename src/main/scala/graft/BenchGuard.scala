@@ -76,6 +76,62 @@ object BenchGuard {
 
   val Headroom = 1.5
 
+  /** Per-STAGE budgets for the q140 release capstone (seconds, sf0.1
+    * steady medians) — the capstone is a 5-stage composite under one
+    * 11.5 s whole-chain budget, so a 2× regression in one stage hides
+    * inside it (the r10 verdict's ask #3). Each pin times ONE stage:
+    * predecessor stage outputs are persisted and materialized OUTSIDE
+    * the timed region. Budgets from the r11 re-measure; 1.5× headroom
+    * as for the query pins. */
+  val ReleaseStageBudgets: Seq[(String, Double)] = Seq(
+    "q140:scrub" -> 4.0,
+    "q140:gate" -> 1.0,
+    "q140:mixture" -> 1.0,
+    "q140:pack" -> 2.6)
+
+  /** Time the q140 stages in isolation (see [[ReleaseStageBudgets]]).
+    * Returns (label, steadyMedian) rows. */
+  private def releaseStageTimes(spark: org.apache.spark.sql.SparkSession,
+                                sfDir: String, runs: Int): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val wh = graft.warehouse.Warehouse
+    val rel = graft.pipeline.Release
+    def docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    def mixture = docs.select(col("source")).distinct()
+      .withColumn("mix_ppm", lit(50000L))
+    // pre: build + materialize the predecessor OUTSIDE the clock;
+    // timed: one stage's own action over the warmed predecessor
+    def timed(label: String, pre: () => org.apache.spark.sql.DataFrame,
+              stage: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (String, Double) = {
+      val times = (1 to runs).map { _ =>
+        Graft.releaseLeases(); spark.catalog.clearCache(); System.gc()
+        val p = pre().persist()
+        p.count()
+        val t0 = System.nanoTime()
+        stage(p).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        p.unpersist(blocking = false)
+        dt
+      }
+      (label, times.drop(1).sorted.apply((runs - 1) / 2))
+    }
+    def surv = rel.survivors(docs, wh.gramOccurrences(spark, sfDir),
+      wh.nearDupClusters(spark, sfDir), wh.docQuality(spark, sfDir))
+    Seq(
+      // scrub has no in-session predecessor (reads landed artifacts) —
+      // the 1-row pre keeps the run structure uniform
+      timed("q140:scrub", () => spark.range(1).toDF("x"), _ => surv),
+      timed("q140:gate", () => surv, s => rel.gated(s)),
+      timed("q140:mixture", () => rel.gated(Graft.lease(surv)),
+        g => rel.releasedDocs(g, rel.mixtureRates(g, mixture))),
+      timed("q140:pack", () => {
+        val g = rel.gated(Graft.lease(surv))
+        rel.releasedDocs(g, rel.mixtureRates(g, mixture))
+      }, r => rel.chunkPack(r)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val runs = if (args.length > 1) args(1).toInt else 4
@@ -86,7 +142,7 @@ object BenchGuard {
 
     val failures = Budgets.flatMap { case (name, budget) =>
       val times = (1 to runs).map { _ =>
-        spark.catalog.clearCache(); System.gc()
+        Graft.releaseLeases(); spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
@@ -99,12 +155,21 @@ object BenchGuard {
       println(f"[guard] $verdict $name steady=$steady%.2f s budget=$budget%.2f (limit $limit%.2f)")
       if (steady > limit) Some(name -> steady) else None
     }
+    val stageFailures = releaseStageTimes(spark, sfDir, runs).flatMap {
+      case (label, steady) =>
+        val budget = ReleaseStageBudgets.toMap.apply(label)
+        val limit = budget * Headroom
+        val verdict = if (steady > limit) "FAIL" else "ok"
+        println(f"[guard] $verdict $label steady=$steady%.2f s budget=$budget%.2f (limit $limit%.2f)")
+        if (steady > limit) Some(label -> steady) else None
+    }
     spark.stop()
-    if (failures.nonEmpty) {
-      println(s"[guard] ${failures.size} budget trip(s): " +
-        failures.map { case (n, s) => f"$n=$s%.2f s" }.mkString(", "))
+    val allFailures = failures ++ stageFailures
+    if (allFailures.nonEmpty) {
+      println(s"[guard] ${allFailures.size} budget trip(s): " +
+        allFailures.map { case (n, s) => f"$n=$s%.2f s" }.mkString(", "))
       sys.exit(1)
     }
-    println(s"[guard] all ${Budgets.size} budgets hold")
+    println(s"[guard] all ${Budgets.size + ReleaseStageBudgets.size} budgets hold")
   }
 }

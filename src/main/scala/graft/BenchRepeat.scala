@@ -14,7 +14,7 @@ object BenchRepeat {
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val times = (1 to n).map { i =>
-      spark.catalog.clearCache(); System.gc()
+      Graft.releaseLeases(); spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val s = (System.nanoTime() - t0) / 1e9

@@ -17,7 +17,7 @@ object Q140Probe {
     graft.warehouse.Warehouse.ensureMaterialized(spark, sfDir)
     def time(label: String)(df: => DataFrame): Unit = {
       val times = (1 to 2).map { _ =>
-        spark.catalog.clearCache(); System.gc()
+        Graft.releaseLeases(); spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9

@@ -17,7 +17,7 @@ object Q32Probe {
         ev ::= ((j.time, s"JOB ${j.jobId} end"))
     })
     for (i <- 1 to 2) {
-      spark.catalog.clearCache(); System.gc(); ev = Nil
+      Graft.releaseLeases(); spark.catalog.clearCache(); System.gc(); ev = Nil
       val w0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       SparkEntry.queries("q32_ngram_jaccard")(spark, "/root/testdata/sf0.1")

@@ -18,7 +18,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        spark.catalog.clearCache() // free operator-persisted intermediates
+        Graft.releaseLeases(); spark.catalog.clearCache() // free operator-persisted intermediates
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }

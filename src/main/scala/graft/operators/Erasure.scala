@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -99,7 +101,7 @@ object Erasure {
     * the victim list to parquet beside the erasure manifest anyway). */
   def audit(tables: Seq[(String, DataFrame, String)], victims: DataFrame): DataFrame = {
     require(tables.nonEmpty, "audit needs at least one table")
-    val v = victims.select(col("key")).dropDuplicates("key").persist()
+    val v = victims.select(col("key")).dropDuplicates("key").leased
     tables.map { case (name, df, keyCol) =>
       val vk = broadcast(v.withColumnRenamed("key", keyCol).withColumn("__v", lit(1)))
       def pass(d: DataFrame, total: String, hits: String) =

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -46,7 +48,7 @@ object Triangles {
       // feeds three sides of the wedge/close joins; stays cached until
       // the caller clears the session cache (Curation's cache-policy
       // note — Bench/Verify clearCache() between runs)
-      .persist()
+      .leased
     val a = ori.select(col("u"), col("v").as("va"), col("dv").as("da"))
     val b = ori.select(col("u"), col("v").as("vb"), col("dv").as("db"))
     val close = ori.select(col("u").as("va"), col("v").as("vb"))

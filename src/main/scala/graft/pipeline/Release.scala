@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -41,61 +43,64 @@ import graft.text.{Chunking, Curation, SegmentDedup}
   */
 object Release {
 
-  /** The released-dataset card. Inputs are corpus state: `docs`
-    * (doc_id, source, text), `grams` = the gram-occurrence artifact at
-    * `minTokens` resolution, `clusters` = near-dup closure, `quality` =
-    * composite doc quality, `mixture` = (source, mix_ppm) targets. */
-  def releaseCard(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
-                  quality: DataFrame, mixture: DataFrame,
-                  minTokens: Int = 8, window: Int = 64, stride: Int = 48,
-                  packBudget: Long = 512L): DataFrame = {
-    // 1+2. scrub the near-dup KEEPERS against the FULL corpus gram
-    // table: dup marking and keeper-resolution see every occurrence
-    // corpus-wide (a span whose first occurrence lives in a dropped
-    // near-dup still scrubs), but the reassembly runs only over docs
-    // that can ship. ONE scrub pass: the clean text rides in the
-    // persisted survivor table to the chunker — measured cheaper than
-    // a leaner stats pass + a second released-only scrub, because the
-    // gram-side dup marking (not the reassembly) dominates the scrub
-    // and would run twice.
+  /** Stage 1+2 — scrub the near-dup KEEPERS against the FULL corpus
+    * gram table: dup marking and keeper-resolution see every occurrence
+    * corpus-wide (a span whose first occurrence lives in a dropped
+    * near-dup still scrubs), but the reassembly runs only over docs
+    * that can ship. ONE scrub pass: the clean text rides in the
+    * persisted survivor table to the chunker — measured cheaper than
+    * a leaner stats pass + a second released-only scrub, because the
+    * gram-side dup marking (not the reassembly) dominates the scrub
+    * and would run twice. */
+  def survivors(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
+                quality: DataFrame, minTokens: Int = 8): DataFrame = {
     val keepers = clusters.where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
-    val surv = SegmentDedup.scrubExactSubstrFromGrams(
+    SegmentDedup.scrubExactSubstrFromGrams(
         docs.select(col("doc_id"), col("text")).join(keepers, Seq("doc_id")),
         grams, minTokens)
       .withColumn("kept_tokens", col("n_tokens") - col("n_dup_tokens"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .join(quality, Seq("doc_id"))
-      .persist() // probed by the threshold agg, the gate, and the stats
-    // eager fill (the q32 discipline): four subtrees of the final plan
-    // read surv inside one action; filling the cache up front removes
-    // the lazy-fill race those concurrent stage futures CAN hit
-    // (measured neutral here, but the failure mode is load-dependent
-    // and cost a measured 4-15× on q32 when it bit)
-    surv.count()
-    // 3. source-relative quality gate over the survivors
-    val thr = Curation.topFractionThresholds(
-      surv.select(col("source"), col("quality")), "source", "quality")
-    val gated = surv
+  }
+
+  /** Stage 3 — source-relative top-quartile gate over the survivors. */
+  def gated(surv: DataFrame): DataFrame = {
+    val thr = gateThresholds(surv)
+    surv
       .join(thr.select(col("source"), col("threshold")), Seq("source"))
       .where(col("quality") >= col("threshold"))
-    // 4. mixture realization on released token mass
-    val mass = gated.groupBy(col("source"))
+  }
+
+  /** The gate's per-source thresholds (exposed for the card). */
+  def gateThresholds(surv: DataFrame): DataFrame =
+    Curation.topFractionThresholds(
+      surv.select(col("source"), col("quality")), "source", "quality")
+
+  /** Stage 4a — mixture realization rates on released token mass. */
+  def mixtureRates(gatedDf: DataFrame, mixture: DataFrame): DataFrame = {
+    val mass = gatedDf.groupBy(col("source"))
       .agg(count(lit(1)).as("n_gated"), sum(col("kept_tokens")).as("gated_tokens"))
     val tot = mass.agg(sum(col("gated_tokens")).as("all_tokens"))
-    val rates = mass.crossJoin(broadcast(tot))
+    mass.crossJoin(broadcast(tot))
       .join(mixture.select(col("source"), col("mix_ppm")), Seq("source"))
       .withColumn("share_ppm",
         expr("(gated_tokens * 1000000) div greatest(1L, all_tokens)"))
       .withColumn("keep_ppm", least(lit(1000000L),
         expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)")))
-    val released = gated
+  }
+
+  /** Stage 4b — the capped per-source hash sample under the rates. */
+  def releasedDocs(gatedDf: DataFrame, rates: DataFrame): DataFrame =
+    gatedDf
       .join(broadcast(rates.select(col("source"), col("keep_ppm"))), Seq("source"))
       .where(pmod(graft.functions.PortableHash.h60(col("doc_id").cast("string")),
         lit(1000000L)) < col("keep_ppm"))
-      .persist() // probed by the chunk-pass id join and the stats
-    // 5. chunk + pack the released clean text (empty-scrubbed docs
-    // contribute no chunks)
+
+  /** Stage 5 — chunk + pack the released clean text (empty-scrubbed
+    * docs contribute no chunks). */
+  def chunkPack(released: DataFrame, window: Int = 64, stride: Int = 48,
+                packBudget: Long = 512L): DataFrame = {
     val chunks = Chunking.tokenWindows(
         released.select(col("doc_id"), col("clean_text").as("text")), window, stride)
       .where(col("n_chunk_tokens") > 0)
@@ -104,7 +109,35 @@ object Release {
           "raise_error('chunk_id >= 1024 overflows the doc_id*1024 pack order key')")
           .cast("long"))
           .otherwise(col("doc_id") * 1024 + col("chunk_id")))
-    val packed = PrefixSum.packByBudget(chunks, "k", "n_chunk_tokens", packBudget)
+    PrefixSum.packByBudget(chunks, "k", "n_chunk_tokens", packBudget)
+  }
+
+  /** The released-dataset card. Inputs are corpus state: `docs`
+    * (doc_id, source, text), `grams` = the gram-occurrence artifact at
+    * `minTokens` resolution, `clusters` = near-dup closure, `quality` =
+    * composite doc quality, `mixture` = (source, mix_ppm) targets.
+    * Composes the named stage builders above — the per-stage BenchGuard
+    * pins time exactly these, so a budget trip names the stage. */
+  def releaseCard(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
+                  quality: DataFrame, mixture: DataFrame,
+                  minTokens: Int = 8, window: Int = 64, stride: Int = 48,
+                  packBudget: Long = 512L): DataFrame = {
+    val surv = survivors(docs, grams, clusters, quality, minTokens)
+      .leased // probed by the threshold agg, the gate, and the stats
+    // eager fill (the q32 discipline): four subtrees of the final plan
+    // read surv inside one action; filling the cache up front removes
+    // the lazy-fill race those concurrent stage futures CAN hit
+    // (measured neutral here, but the failure mode is load-dependent
+    // and cost a measured 4-15× on q32 when it bit)
+    surv.count()
+    val thr = gateThresholds(surv)
+    val gatedDf = surv
+      .join(thr.select(col("source"), col("threshold")), Seq("source"))
+      .where(col("quality") >= col("threshold"))
+    val rates = mixtureRates(gatedDf, mixture)
+    val released = releasedDocs(gatedDf, rates)
+      .leased // probed by the chunk-pass id join and the stats
+    val packed = chunkPack(released, window, stride, packBudget)
     val packStats = packed
       .join(released.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -71,7 +73,7 @@ object CountMin {
       .select(explode(expr("filter(split(text, ' '), w -> w != '')")).as("tok"))
     // one corpus pass: everything downstream (counters AND estimates)
     // derives from the vocabulary-sized exact-count table
-    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt")).persist()
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt")).leased
     val counters = sketchFromCounts(
       truth.select(col("tok"), col("true_cnt").as("cnt")), depth, width)
     truth

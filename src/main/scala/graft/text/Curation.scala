@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -39,7 +41,7 @@ object Curation {
     // and cost ~2.5× the sum of its stages (round-2 verdict). The
     // normalized-dedup / quality / language stages are cheap map scans
     // of the raw docs and share the parquet scan via codegen fusion.
-    val sh = TextDedup.shingled(docs).persist()
+    val sh = TextDedup.shingled(docs).leased
     val keepers = TextDedup.normalized(docs).select(col("doc_id"))
     val nearDupLosers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -66,7 +68,7 @@ object Curation {
              jaccardThreshold: Double = 0.5,
              minQuality: Double = 0.5,
              lang: String = "en"): DataFrame = {
-    val sh = TextDedup.shingled(docs).persist()
+    val sh = TextDedup.shingled(docs).leased
     val keepers = TextDedup.normalized(docs).select(col("doc_id")).withColumn("kf", lit(1))
     val losers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct().withColumn("lzf", lit(1))

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -73,7 +75,7 @@ object InvertedIndex {
   def phraseSearchFromIndex(positions: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "phrase needs at least two tokens")
     val toks = positions.where(col("tok").isin(phrase.distinct: _*))
-      .persist() // probed once per phrase term by the adjacency joins
+      .leased // probed once per phrase term by the adjacency joins
     val first = toks.where(col("tok") === phrase.head).select(col("doc_id"), col("pos"))
     val matches = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
       acc.join(toks.where(col("tok") === w)

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -107,7 +109,7 @@ object TextDedup {
              |  concat_ws('_', element_at(sig, 2*b + 1), element_at(sig, 2*b + 2)) AS band_key))"""
             .stripMargin)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
-      .persist()
+      .leased
 
   /** MinHash+LSH near-duplicate pairs over a fresh shingle projection —
     * see [[minhashLshPairsFromShingles]]. The projection (and the band
@@ -115,7 +117,7 @@ object TextDedup {
     * (clearCache / unpersist) — see [[graft.text.Curation.curate]]'s
     * lifecycle note. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    minhashLshPairsFromShingles(shingled(docs).persist(), threshold)
+    minhashLshPairsFromShingles(shingled(docs).leased, threshold)
 
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
     * candidates share ≥1 of 8 two-row bands; survivors have word-3-gram
@@ -162,8 +164,8 @@ object TextDedup {
     * Output: (new_id, old_id, jaccard ≥ threshold). */
   def minhashLshPairsBetween(newDocs: DataFrame, corpus: DataFrame,
                              threshold: Double = 0.5): DataFrame = {
-    val shNew = shingled(newDocs).persist()
-    val shOld = shingled(corpus).persist()
+    val shNew = shingled(newDocs).leased
+    val shOld = shingled(corpus).leased
     val cand = bandedSignatures(shNew)
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
       .join(bandedSignatures(shOld)
@@ -198,7 +200,7 @@ object TextDedup {
     * but runs only over candidate PAIRS — band-bounded, never the
     * corpus. */
   def minhashCalibration(docs: DataFrame): DataFrame = {
-    val sh = shingled(docs).persist()
+    val sh = shingled(docs).leased
     val pairs = minhashLshPairsFromShingles(sh, 0.0)
     val sigs = sh.withColumn("sig", minhashExpr("shingles"))
       .select(col("doc_id"), col("sig"))
@@ -283,7 +285,7 @@ object TextDedup {
   def ngramJaccardPairsFromHashsets(hashsets: DataFrame,
                                     threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val hs = hashsets.persist()
+    val hs = hashsets.leased
     // Eager cache fill: four probes below (two prefix sides, two verify
     // attaches) read `hs` inside one action, and Spark's lazy cache fill
     // is not synchronized across concurrent build futures — each future
@@ -390,7 +392,7 @@ object TextDedup {
 
   /** [[dupGramCoverage]] over the materialized hashed-set artifact. */
   def dupGramCoverageFromHashsets(hashsets: DataFrame): DataFrame = {
-    val hs = hashsets.persist()
+    val hs = hashsets.leased
     hs.count() // eager fill: read by the token stream AND the join-back
     val tok = hs.select(col("doc_id"), explode(col("hs")).as("h"))
     // arrays are distinct per doc, so count(*) per hash = distinct docs
@@ -424,8 +426,8 @@ object TextDedup {
   def containmentPairsFromHashsets(testSets: DataFrame, trainSets: DataFrame,
                                    threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val hsTest = testSets.persist()
-    val hsTrain = trainSets.persist()
+    val hsTest = testSets.leased
+    val hsTrain = trainSets.leased
     // eager cache fill (the q32 lesson): prefix + verify probes read
     // these inside one action; lazy fill races across build futures
     hsTest.count(); hsTrain.count()
@@ -476,7 +478,7 @@ object TextDedup {
   def simhashPairs(fingerprints: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam <= 3, "chunk bucketing guarantees recall only for maxHam <= 3")
     // narrow (doc_id, simhash) persisted: probed twice by the self-join
-    val fp = fingerprints.persist()
+    val fp = fingerprints.leased
       .select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(simhash, 8*c) & 255) AS chunk_val))"))

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,8 +54,8 @@ object TextRank {
     // are probed once per iteration (vocabulary-sized state)
     val edges = und.select(col("tok_a").as("src"), col("tok_b").as("dst"), col("w"))
       .unionByName(und.select(col("tok_b").as("src"), col("tok_a").as("dst"), col("w")))
-      .persist()
-    val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw")).persist()
+      .leased
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw")).leased
     var ws = sw.select(col("src").as("tok"), lit(1000000L).as("ws"))
     for (_ <- 1 to iters) {
       ws = edges

@@ -1,5 +1,7 @@
 package graft.vector
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -191,7 +193,7 @@ object ProductQuant {
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(dotExpr("v", "v")))
       .select(col("vec_id"), col("v"), col("nrm"))
-      .persist()
+      .leased
     e.count() // eager fill: assignment, probe and re-rank all read e
     // Codes and cell assignment are CORPUS STATE (encoded/ranked once
     // per corpus build): production passes the materialized warehouse

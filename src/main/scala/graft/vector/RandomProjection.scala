@@ -1,5 +1,7 @@
 package graft.vector
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,7 +49,7 @@ object RandomProjection {
       .select(col("vec_id"), col("label"), col("v"), col("p"),
         sqrt(Similarity.dotExpr("v", "v")).as("nv"),
         sqrt(Similarity.dotExpr("p", "p")).as("np"))
-      .persist() // both sides of the in-label pair join
+      .leased // both sides of the in-label pair join
     val a = pr.select(col("label"), col("vec_id").as("qid"), col("v").as("va"),
       col("p").as("pa"), col("nv").as("nva"), col("np").as("npa"))
     val b = pr.select(col("label"), col("vec_id").as("nid"), col("v").as("vb"),

@@ -1,5 +1,7 @@
 package graft.vector
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,7 +79,7 @@ object Similarity {
     require(embeddings.columns.contains(blockCol),
       s"knnBruteForce requires blocking column '$blockCol' " +
         "(all-pairs without a block does not scale; add lit(0) to force a global scan)")
-    val e = prepared(embeddings.withColumn("label", col(blockCol))).persist()
+    val e = prepared(embeddings.withColumn("label", col(blockCol))).leased
     val q = e.select(col("vec_id").as("qid"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val n = e.select(col("vec_id").as("nid"), col("label"),
@@ -92,7 +94,7 @@ object Similarity {
     * of [[knnBruteForce]] (dedup semantics instead of retrieval). Same
     * blocking discipline: never all-pairs across blocks. */
   def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = prepared(embeddings).persist()
+    val e = prepared(embeddings).leased
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
@@ -130,7 +132,7 @@ object Similarity {
     * cell count; recall rises with multi-probe (nprobe>1 = take top-n
     * cells in the assignment window — same plan shape). */
   def annIvf(embeddings: DataFrame, ncells: Int = 8, k: Int = 3, nprobe: Int = 1): DataFrame = {
-    val e = prepared(embeddings).persist()
+    val e = prepared(embeddings).leased
     val cent = e.orderBy("vec_id").limit(ncells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     ivfSearch(e, cent, k, nprobe)
@@ -148,7 +150,7 @@ object Similarity {
     * Gated in SimilaritySpec. */
   def annIvfTrained(embeddings: DataFrame, ncells: Int = 16, k: Int = 3,
                     nprobe: Int = 6, iters: Int = 3, sampleMod: Int = 4): DataFrame = {
-    val e = prepared(embeddings).persist()
+    val e = prepared(embeddings).leased
     val cents = trainFromPrepared(e, ncells, iters, sampleMod)
     ivfSearch(e, codebookDf(embeddings.sparkSession, cents), k, nprobe)
   }
@@ -172,7 +174,7 @@ object Similarity {
     * only pay assignment + in-cell search. */
   def annIvfWithCodebook(embeddings: DataFrame, codebook: DataFrame,
                          k: Int = 3, nprobe: Int = 6): DataFrame =
-    ivfSearch(prepared(embeddings).persist(),
+    ivfSearch(prepared(embeddings).leased,
       codebook.select(col("cid"), col("cv"), col("cnrm")), k, nprobe)
 
   /** The full ranked cell assignment (vec_id, cell, rn) for every vector
@@ -210,7 +212,7 @@ object Similarity {
     * assignment is computed once per corpus build, not once per query. */
   def annIvfWithAssign(embeddings: DataFrame, assign: DataFrame,
                        k: Int = 3, nprobe: Int = 6): DataFrame = {
-    val e = prepared(embeddings).persist()
+    val e = prepared(embeddings).leased
     val q = assign.where(col("rn") <= nprobe).select(col("vec_id"), col("cell"))
       .join(e, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("cell"), col("v").as("va"), col("nrm").as("na"))
@@ -478,7 +480,7 @@ object Similarity {
     }
     val cells = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
       .select(col("vec_id"), col("v"), col("nrm"), expr("__cells[0].cid").as("cell"))
-      .persist() // probed by both sides of the in-cell self-join
+      .leased // probed by both sides of the in-cell self-join
     val a = cells.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
     val b = cells.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -513,7 +515,7 @@ object Similarity {
     * label. */
   def labelOutliers(embeddings: DataFrame, k: Int = 3): DataFrame = {
     require(k > 0)
-    val e = prepared(embeddings).persist()
+    val e = prepared(embeddings).leased
     val fix = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(floor((col("x") + 1) * lit(1048576L)).cast("long")).as("s"),
@@ -541,7 +543,7 @@ object Similarity {
     val e = prepared(embeddings)
       .withColumn("bucket", bucketExpr(planes, dim))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
-      .persist() // probed twice; bucket hashing is the expensive map stage
+      .leased // probed twice; bucket hashing is the expensive map stage
     val q = e.select(col("vec_id").as("qid"), col("bucket"),
       col("v").as("va"), col("nrm").as("na"))
     val n = e.select(col("vec_id").as("nid"), col("bucket"),
@@ -621,12 +623,12 @@ object Similarity {
                    denoms: Option[DataFrame] = None): DataFrame = {
     val e = prepared(embeddings)
     val a1 = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
-    val ea = e.join(a1, Seq("vec_id")).persist() // probed as both pair sides
+    val ea = e.join(a1, Seq("vec_id")).leased // probed as both pair sides
     // directed candidate set: each unordered cross-label in-cell pair
     // appears in both orientations, so per-xid aggregates below see
     // every vector's full foreign neighborhood
     val cand = crossLabelCand(xSide(ea), ySide(ea))
-      .persist() // feeds the denominator agg AND the margin scoring
+      .leased // feeds the denominator agg AND the margin scoring
     // per-vector neighborhood denominator: avg of the k best foreign
     // cosines — from the materialized `margin_denoms` artifact when
     // supplied (it is THIS aggregate, landed per corpus build), else
@@ -670,7 +672,7 @@ object Similarity {
     val eNew = prepared(newVecs).join(na, Seq("vec_id"))
     val ca = corpusAssign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
     val eCor = prepared(corpus).join(ca, Seq("vec_id"))
-    val cand = crossLabelCand(xSide(eNew), ySide(eCor)).persist()
+    val cand = crossLabelCand(xSide(eNew), ySide(eCor)).leased
     // per-side denominators: the REFRESHED per-corpus-build artifact
     // where a vector has one (so the incremental miner scores against
     // the same neighborhoods the full miner landed — q125≡q137 on

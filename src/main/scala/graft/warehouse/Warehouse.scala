@@ -1,5 +1,7 @@
 package graft.warehouse
 
+import graft.Graft.LeaseOps
+
 import java.security.MessageDigest
 
 import scala.collection.concurrent.TrieMap
@@ -113,7 +115,7 @@ object Warehouse {
     * it (identity = lazy chain with a persist, for tests; the cached
     * warehouse passes a parquet swap). */
   def buildDimParts(spark: SparkSession, sfDir: String,
-                    materialize: DataFrame => DataFrame = d => d.persist()): DataFrame = {
+                    materialize: DataFrame => DataFrame = d => d.leased): DataFrame = {
     val d1 = Scd2.snapshotMerge(
       emptyDim(spark, partsDimSchema), partsSnapshot1(spark, sfDir),
       Seq("category", "price"), PartsBatch1)
@@ -132,7 +134,7 @@ object Warehouse {
     * BATCH TIME (the reference quirk), then batch 2's own version chain
     * appends. */
   def buildDimOrdersTwoBatches(spark: SparkSession, sfDir: String,
-                               materialize: DataFrame => DataFrame = d => d.persist()): DataFrame = {
+                               materialize: DataFrame => DataFrame = d => d.leased): DataFrame = {
     val ev = orderEvents(spark, sfDir)
     val split = to_timestamp(lit(BatchSplit))
     val d1 = Scd2.eventsMerge(
@@ -646,7 +648,13 @@ object Warehouse {
         try {
           val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (!fs.exists(new Path(s"$dir/$name/_SUCCESS")))
-            Ingest.overwriteSwap(spark, build(), s"$dir/$name")
+            // leaseScope: intermediates the build operators lease are
+            // provably consumed once the artifact lands on parquet —
+            // release them here instead of letting a 30-artifact
+            // ensureMaterialized accumulate block-manager state
+            graft.Graft.leaseScope {
+              Ingest.overwriteSwap(spark, build(), s"$dir/$name")
+            }
           Right(())
         } catch { case e: Throwable => Left(e) }
       }

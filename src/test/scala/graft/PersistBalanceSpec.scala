@@ -28,4 +28,52 @@ class PersistBalanceSpec extends SparkSpec {
       s"clearCache left ${leaked.size} cached RDD(s) behind: " +
         leaked.values.map(_.name).mkString(", "))
   }
+
+  test("releaseLeases releases every operator lease without touching caller caches") {
+    Graft.releaseLeases(); spark.catalog.clearCache()
+    // a caller-owned cache that a graft release must NOT clobber
+    import spark.implicits._
+    val mine = Seq(1, 2, 3).toDF("x").persist()
+    mine.count()
+    for (q <- Seq("q125_margin_mining", "q123_substr_scrub_incr", "q12_dedup_exact"))
+      SparkEntry.queries(q)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    assert(Graft.releaseLeases() > 0,
+      "no leases registered — operators stopped using Graft.lease; contract test vacuous")
+    assert(Graft.releaseLeases() == 0, "release did not clear the registry")
+    // only the caller's own persist survives
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.size == 1,
+      s"expected exactly the caller-owned cache to survive, got ${left.size}: " +
+        left.values.map(_.name).mkString(", "))
+    mine.unpersist()
+  }
+
+  test("a warehouse build returns with zero cached blocks (leaseScope releases in finally)") {
+    // fresh corpus dir → the memoized ensureMaterialized actually builds
+    val tmp = java.nio.file.Files.createTempDirectory("whlease").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$tmp/$t.parquet"))
+    Graft.releaseLeases(); spark.catalog.clearCache()
+    graft.warehouse.Warehouse.ensureMaterialized(spark, tmp)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"warehouse build leaked ${leaked.size} cached RDD(s): " +
+        leaked.values.map(_.name).mkString(", "))
+    assert(Graft.releaseLeases() == 0,
+      "warehouse build leaked leases into the global registry (escaped leaseScope)")
+  }
+
+  test("withCached releases in finally even when the body throws") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    intercept[RuntimeException] {
+      Graft.withCached(df) { df.count(); throw new RuntimeException("boom") }
+    }
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "withCached left the frame persisted after a throwing body")
+  }
 }
