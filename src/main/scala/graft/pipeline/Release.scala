@@ -121,8 +121,25 @@ object Release {
   def releaseCard(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
                   quality: DataFrame, mixture: DataFrame,
                   minTokens: Int = 8, window: Int = 64, stride: Int = 48,
-                  packBudget: Long = 512L): DataFrame = {
-    val surv = survivors(docs, grams, clusters, quality, minTokens)
+                  packBudget: Long = 512L): DataFrame =
+    releaseCardFromSurvivors(
+      survivors(docs, grams, clusters, quality, minTokens),
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs_raw")),
+      mixture, window, stride, packBudget)
+
+  /** Decision stages of the card (gate → mixture → sample → pack →
+    * assembly) over an ALREADY-SCRUBBED survivor table — shared by
+    * [[releaseCard]] and the continuous twin
+    * ([[graft.streaming.StreamRelease]]), which maintains the scrubbed
+    * corpus incrementally and re-derives only these decisions per
+    * batch. `surv` columns: doc_id, source, quality, n_tokens,
+    * n_dup_tokens, kept_tokens, clean_text. `raw` = per-source
+    * (source, n_docs_raw) over the RAW corpus. */
+  def releaseCardFromSurvivors(survIn: DataFrame, raw: DataFrame,
+                               mixture: DataFrame, window: Int = 64,
+                               stride: Int = 48,
+                               packBudget: Long = 512L): DataFrame = {
+    val surv = survIn
       .leased // probed by the threshold agg, the gate, and the stats
     // eager fill (the q32 discipline): four subtrees of the final plan
     // read surv inside one action; filling the cache up front removes
@@ -144,7 +161,6 @@ object Release {
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("pack_id")).as("n_packs_touched"))
     // card assembly — source-cardinality joins only
-    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs_raw"))
     val survStats = surv.groupBy(col("source")).agg(count(lit(1)).as("n_survivors"))
     val relStats = released.groupBy(col("source"))
       .agg(count(lit(1)).as("n_released"),

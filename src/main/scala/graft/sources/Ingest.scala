@@ -121,14 +121,33 @@ object Ingest {
 
   /** Read-modify-overwrite swap for SCD rewrites (SURVEY.md §7.4.3): parquet
     * can't be overwritten while being read, so land the new version beside
-    * the old one and swap atomically via rename. */
+    * the old one and swap via two renames.
+    *
+    * == Crash-recovery contract (spec-gated, IngestSpec) ==
+    * The sequence is: write `path.swap` → rename `path` → `path.old` →
+    * rename `path.swap` → `path` → delete `path.old`. Renames are
+    * single metadata ops (atomic on HDFS and local FS), so a reader
+    * concurrent with a crash at ANY point observes exactly one of:
+    * the complete old table, the complete new table, or an ABSENT path
+    * (the window between the two renames — [[ready]] reports not-ready,
+    * never a partial table). A killed swap leaves only `.swap`/`.old`
+    * side dirs; RE-RUNNING the same swap converges: the new version is
+    * rewritten from scratch, leftovers are cleared, and the target ends
+    * complete. The old version is deleted only AFTER the new one is
+    * live — the r10 shape deleted first, leaving the path absent for
+    * the whole O(files) recursive delete of a large table. */
   def overwriteSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val tmp = path + ".swap"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target)) fs.delete(target, true)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // leftover from a swap killed after its first rename: the previous
+    // version, superseded by the fresh .swap written above
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 }

@@ -108,4 +108,60 @@ class IngestSpec extends SparkSpec {
     assert(partFiles == 3)
     assert(spark.read.parquet(dir).orderBy("x").as[Int].collect().toSeq == (0 until 120))
   }
+
+  test("overwriteSwap recovers from a crash at every window (fault injection)") {
+    import spark.implicits._
+    def fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val v1 = Seq(1, 2, 3).toDF("x")
+    val v2 = Seq(10, 20).toDF("x")
+    def readSet(dir: String) =
+      spark.read.parquet(dir).as[Int].collect().toSet
+    def assertConverges(dir: String): Unit = {
+      // the recovery contract: RE-RUNNING the same swap lands v2
+      // completely and clears every side dir
+      Ingest.overwriteSwap(spark, v2, dir)
+      assert(readSet(dir) == Set(10, 20))
+      assert(!fs.exists(p(dir + ".swap")), "leftover .swap after recovery")
+      assert(!fs.exists(p(dir + ".old")), "leftover .old after recovery")
+    }
+
+    // window 1: killed after the .swap write, before any rename —
+    // reader still sees the complete OLD table
+    val w1 = java.nio.file.Files.createTempDirectory("swapw1").toString + "/t"
+    Ingest.overwriteSwap(spark, v1, w1)
+    v2.write.parquet(w1 + ".swap.partial") // simulate: swap written…
+    fs.rename(p(w1 + ".swap.partial"), p(w1 + ".swap")) // …then crash
+    assert(readSet(w1) == Set(1, 2, 3), "old table must stay complete")
+    assert(Ingest.ready(spark, w1))
+    assertConverges(w1)
+
+    // window 2: killed between the two renames — path ABSENT (reported
+    // not-ready, never partial), old version parked in .old
+    val w2 = java.nio.file.Files.createTempDirectory("swapw2").toString + "/t"
+    Ingest.overwriteSwap(spark, v1, w2)
+    v2.write.parquet(w2 + ".swap")
+    fs.rename(p(w2), p(w2 + ".old")) // crash after rename #1
+    assert(!Ingest.ready(spark, w2), "absence window must read as not-ready")
+    assertConverges(w2)
+
+    // window 3: killed after the final rename, before the .old delete —
+    // reader already sees the complete NEW table
+    val w3 = java.nio.file.Files.createTempDirectory("swapw3").toString + "/t"
+    Ingest.overwriteSwap(spark, v1, w3)
+    v1.write.parquet(w3 + ".old") // simulate the parked old version
+    assert(readSet(w3) == Set(1, 2, 3))
+    assertConverges(w3)
+
+    // a partial .swap (no _SUCCESS) from a kill MID-write is ignored by
+    // recovery: the swap rewrites it from scratch
+    val w4 = java.nio.file.Files.createTempDirectory("swapw4").toString + "/t"
+    Ingest.overwriteSwap(spark, v1, w4)
+    fs.mkdirs(p(w4 + ".swap"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(w4 + ".swap/part-00000.parquet"), "garbage")
+    assert(readSet(w4) == Set(1, 2, 3))
+    assertConverges(w4)
+  }
 }

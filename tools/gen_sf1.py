@@ -65,3 +65,44 @@ pq.write_table(pa.table({"vec_id": pa.array(vid, pa.int64()),
                          "label": pa.array(lab, pa.int32())}),
                os.path.join(OUT, "embeddings.parquet"))
 print(f"wrote {N_DOCS} docs / {N_VECS} vecs to {OUT}")
+
+# ---- star-schema tables at 10x sf0.1 (key-offset replication) ----
+# The full-registry sf1 gate needs every table, not just the corpus.
+# Self-consistent data is all the oracle compare requires (Spark and
+# DuckDB read the SAME parquet): each of the 10 key-offset copies
+# preserves sf0.1's FK graph and event orderings exactly; cross-copy
+# interaction only occurs in global aggregates, which are well-defined
+# on the union. Strides are aligned (user_id/custkey share 1e6) so any
+# cross-table key equality that held in sf0.1 holds per copy.
+SRC = "/root/testdata/sf0.1"
+con = duckdb.connect()
+KS = "(SELECT unnest(range(10)) AS k) ks"
+
+def rep(table, sql):
+    con.sql(f"COPY ({sql}) TO '{os.path.join(OUT, table + '.parquet')}' (FORMAT PARQUET)")
+
+for t in ("region", "nation"):  # fixed dims, one copy
+    rep(t, f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+
+rep("customer", f"""SELECT c_custkey + k*1000000 AS c_custkey, c_name,
+    c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{SRC}/customer.parquet'), {KS} ORDER BY c_custkey""")
+rep("supplier", f"""SELECT s_suppkey + k*1000000 AS s_suppkey, s_name,
+    s_nationkey, s_acctbal
+  FROM read_parquet('{SRC}/supplier.parquet'), {KS} ORDER BY s_suppkey""")
+rep("part", f"""SELECT p_partkey + k*1000000 AS p_partkey, p_name, p_brand,
+    p_type, p_size, p_retailprice
+  FROM read_parquet('{SRC}/part.parquet'), {KS} ORDER BY p_partkey""")
+rep("orders", f"""SELECT o_orderkey + k*10000000 AS o_orderkey,
+    o_custkey + k*1000000 AS o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate, o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet'), {KS} ORDER BY o_orderkey""")
+rep("lineitem", f"""SELECT l_orderkey + k*10000000 AS l_orderkey,
+    l_partkey + k*1000000 AS l_partkey, l_suppkey + k*1000000 AS l_suppkey,
+    l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+    l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{SRC}/lineitem.parquet'), {KS} ORDER BY l_orderkey, l_linenumber""")
+rep("events", f"""SELECT event_id + k*10000000 AS event_id, ts,
+    user_id + k*1000000 AS user_id, event_type, value, props
+  FROM read_parquet('{SRC}/events.parquet'), {KS} ORDER BY event_id""")
+print(f"wrote star schema (10x sf0.1) to {OUT}")
