@@ -1483,6 +1483,30 @@ object SparkEntry {
             "(batch_pieces * 1000000) div greatest(1L, batch_words))").as("drift_micro"))
         .orderBy("lang")
     }),
+    // Date-RANGED daily metric over the day-partitioned events
+    // artifact (Warehouse.eventsByDay): the filter on the partition
+    // column reaches the scan as a PartitionFilter (PlanShapeSpec pins
+    // it), so only the seven matching day directories are read — at
+    // 100 TB the years outside the window cost nothing. Fixed-point
+    // value sums keep both engines exact.
+    "q145_events_day_range" -> ((s, d) =>
+      graft.warehouse.Warehouse.eventsByDay(s, d)
+        .where(col("day").between(lit("2024-01-10"), lit("2024-01-16")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1048576L)).cast("long")).as("v_fix"))
+        .orderBy("day", "event_type")),
+    // Second pruned shape over the same artifact: per-user activity in
+    // a 3-day window — a point-lookup-ish range whose scan reads 3 of
+    // 30 partitions (PartitionFilters pinned alongside q145).
+    "q146_events_recent_window" -> ((s, d) =>
+      graft.warehouse.Warehouse.eventsByDay(s, d)
+        .where(col("day") >= lit("2024-01-28"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          max(col("day")).as("last_day"))
+        .orderBy("user_id")),
     // PII scrubbing (pre-release redaction pass). The corpus carries no
     // natural PII, so each doc is extended with DETERMINISTIC synthetic
     // contact fields derived from doc_id — the oracle replays the same
@@ -4645,6 +4669,20 @@ object SparkEntry {
          |  abs((corpus_pieces * 1000000) // greatest(1, corpus_words)
          |    - (batch_pieces * 1000000) // greatest(1, batch_words)) AS drift_micro
          |FROM per ORDER BY lang""".stripMargin,
+    // Date-range replay from the base events table (the artifact is a
+    // partitioned relayout of it — same rows, plus the day key).
+    "q145_events_day_range" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1048576) AS BIGINT)) AS BIGINT) AS v_fix
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+        |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q146_events_recent_window" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |  max(CAST(ts AS DATE)) AS last_day
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-28'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Same deterministic augmentation, same restricted-regex rules in
     // the same order — counts on the original, replaces chained, md5 of
     // the scrubbed text hash-gates the redaction end to end.

@@ -136,9 +136,27 @@ object Ingest {
     * complete. The old version is deleted only AFTER the new one is
     * live — the r10 shape deleted first, leaving the path absent for
     * the whole O(files) recursive delete of a large table. */
-  def overwriteSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def overwriteSwap(spark: SparkSession, df: DataFrame, path: String): Unit =
+    overwriteSwapWith(spark, path) { tmp =>
+      df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+
+  /** [[overwriteSwap]] laid out hive-partitioned on `partitionCol` —
+    * the warehouse form for date-keyed fact/event artifacts: a
+    * date-ranged reader prunes to the matching `col=value` directories
+    * at planning time (PartitionFilters in the scan — PlanShapeSpec
+    * pins it), and incremental maintenance appends new date partitions
+    * via [[appendPartitioned]] without touching landed ones. */
+  def overwriteSwapPartitioned(spark: SparkSession, df: DataFrame, path: String,
+                               partitionCol: String): Unit =
+    overwriteSwapWith(spark, path) { tmp =>
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp)
+    }
+
+  private def overwriteSwapWith(spark: SparkSession, path: String)
+                               (write: String => Unit): Unit = {
     val tmp = path + ".swap"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    write(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val target = new org.apache.hadoop.fs.Path(path)

@@ -1,0 +1,228 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Components
+import graft.pipeline.Release
+import graft.sources.Ingest
+import graft.text.{SegmentDedup, TextAnalysis, TextDedup}
+
+/** CONTINUOUS dataset release — the streaming twin of the
+  * [[graft.pipeline.Release]] capstone (q140), the composed form of
+  * the per-stage twins ([[StreamSubstrScrub]], [[StreamNearDup]],
+  * [[StreamBm25]], [[StreamPack]]): documents arrive in micro-batches,
+  * corpus state (gram index, shingle table, near-dup clusters,
+  * scrubbed survivor pool, raw counts) is maintained incrementally,
+  * and the released-dataset CARD is re-derived after every batch —
+  * continuous curation at the reference's daily-batch cadence
+  * (`docs/guides.md:16`, generalized to the 100 TB ingestion shape).
+  *
+  * == Stream ≡ batch ==
+  * After ingesting batches B₁..Bₙ the card at `statePath/card` equals
+  * `Release.releaseCard(B₁∪..∪Bₙ, …)` EXACTLY (spec-gated), under the
+  * ingestion precondition that doc_ids are unique and batches arrive
+  * in ascending doc_id ranges (monotonic ids — the natural shape of an
+  * append-only ingest log). The per-stage arguments:
+  *
+  *  - ''Scrub'': first occurrence = lexicographic min over (doc_id,
+  *    pos), so history (all smaller ids) can only mark a new doc's
+  *    spans, never the reverse — scrub-at-arrival against the
+  *    maintained gram index + within-batch keeper resolution is the
+  *    batch scrub, and a landed scrub result never changes.
+  *  - ''Keepers'': cluster labels are component MINIMA, and new docs
+  *    have larger ids than all of history, so labels only ever
+  *    DECREASE as edges accumulate: a non-keeper is never promoted
+  *    (its label can only drop further) and scrubbing batch keepers at
+  *    arrival covers every doc that could be a keeper in any final
+  *    state. A keeper IS demoted when a later doc bridges its cluster
+  *    to one with a smaller min — so the pool keeps scrub results for
+  *    every doc that was a keeper AT ARRIVAL, and the card derivation
+  *    re-filters the pool by the CURRENT keeper set each batch.
+  *  - ''Quality'': per-doc map-only ([[TextAnalysis.compositeQuality]])
+  *    — batch-local computation equals the corpus-wide artifact.
+  *  - ''Gate / mixture / pack'': global DECISIONS, not state — re-run
+  *    by [[Release.releaseCardFromSurvivors]] over the maintained
+  *    survivor table every batch, exactly as the batch capstone runs
+  *    them over its corpus.
+  *
+  * == State ==
+  * All state is parquet under `statePath` — readable by any batch
+  * consumer, nothing in the streaming state store (the
+  * [[StreamSubstrScrub]] discipline):
+  *
+  *  - `gram_index`  (h, last_batch)        — all ingested docs' grams;
+  *                                           carries the ledger and is
+  *                                           written LAST (commit point)
+  *  - `shingles/batch=N`  (doc_id, shingles) — corpus side of the
+  *                                           bipartite near-dup join
+  *  - `pool/batch=N`     scrub-at-arrival survivor rows
+  *  - `raw/batch=N`      (source, n)       — per-batch raw counts
+  *  - `clusters`  (doc_id, cluster_id)     — near-dup closure, swapped
+  *  - `card`                               — the released-dataset card
+  *
+  * == Exactly-once ==
+  * The ledger (`gram_index.last_batch`) makes redelivery of a merged
+  * batch a no-op. A crash MID-batch leaves the ledger at the previous
+  * batch; every pre-ledger write is idempotent under re-run: per-batch
+  * subdirs are atomic [[Ingest.overwriteSwap]] rewrites of themselves,
+  * the cluster rewrite anti-joins the batch's ids out of the old table
+  * before re-applying (and relabeling an already-relabeled table is a
+  * fixpoint), and the gram-index union is a distinct. The card is
+  * re-derived UNCONDITIONALLY on every call — even a redelivered
+  * no-op — so a crash between the ledger commit and the card swap
+  * heals at the next delivery.
+  *
+  * == Scale posture ==
+  * Per-batch corpus-dependent cost is the same set the batch capstone
+  * pays per run — the bipartite band join scans the maintained shingle
+  * table and the card re-derivation scans the pool (both
+  * source/corpus-cardinality aggregates after one id-keyed semi-join);
+  * the quadratic stages (pair generation within history, history
+  * re-scrub) never re-run. The cluster table is rewritten per batch at
+  * demo scale; at 100 TB it is partitioned by cluster_id range and
+  * only partitions holding relabeled clusters rewrite (the relabel map
+  * is batch-bounded and broadcast-sized). */
+object StreamRelease {
+
+  private def emptyIndex(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("h"))
+
+  /** Merge one micro-batch of documents (doc_id, source, text) into the
+    * release state at `statePath` and refresh the card — exactly once
+    * per batchId. `mixture` = static (source, mix_ppm) targets. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                 statePath: String, mixture: DataFrame,
+                 minTokens: Int = 8, threshold: Double = 0.5,
+                 window: Int = 64, stride: Int = 48,
+                 packBudget: Long = 512L): Unit = {
+    val indexPath = s"$statePath/gram_index"
+    val existingIndex =
+      if (Ingest.ready(spark, indexPath)) Some(spark.read.parquet(indexPath))
+      else None
+    val lastMerged = existingIndex
+      .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+
+    if (batchId > lastMerged) graft.Graft.leaseScope {
+      val docs = graft.Graft.lease(
+        batch.select(col("doc_id"), col("source"), col("text")))
+      val shNew = graft.Graft.lease(
+        TextDedup.shingled(docs.select(col("doc_id"), col("text"))))
+
+      // ---- near-dup pairs: within-batch + batch×corpus bipartite ----
+      val within = TextDedup.minhashLshPairsFromShingles(shNew, threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val shinglesPath = s"$statePath/shingles"
+      val clustersPath = s"$statePath/clusters"
+      val oldClusters =
+        if (Ingest.ready(spark, clustersPath))
+          spark.read.parquet(clustersPath).select(col("doc_id"), col("cluster_id"))
+        else spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+      val crossRep =
+        if (Ingest.ready(spark, shinglesPath)) {
+          val shOld = spark.read.parquet(shinglesPath)
+            .select(col("doc_id"), col("shingles"))
+          // edges go to the corpus doc's CLUSTER REP (its component
+          // min), so the tiny rep-graph below merges whole clusters
+          TextDedup.minhashLshPairsBetweenFromShingles(shNew, shOld, threshold)
+            .join(oldClusters.withColumnRenamed("doc_id", "old_id"), Seq("old_id"))
+            .select(col("new_id").as("src"), col("cluster_id").as("dst"))
+        } else within.limit(0)
+
+      // ---- incremental closure on the batch-induced rep graph ----
+      // nodes = batch docs + touched cluster reps: batch-bounded, so
+      // the iterative propagation runs on a graph that scales with the
+      // BATCH, never the corpus
+      val comp = Components.minLabel(
+        docs.select(col("doc_id").as("id")),
+        within.unionByName(crossRep))
+      val batchLabels = graft.Graft.lease(
+        docs.select(col("doc_id").as("id"))
+          .join(comp, Seq("id"))
+          .select(col("id").as("doc_id"), col("component").as("cluster_id")))
+      // reps whose component label dropped: relabel their whole cluster
+      val relabel = comp
+        .join(docs.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+        .where(col("component") =!= col("id"))
+        .select(col("id").as("cluster_id"), col("component").as("new_cluster"))
+      val updatedClusters = oldClusters
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti") // replay-idempotent
+        .join(broadcast(relabel), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+        .unionByName(batchLabels)
+
+      // ---- scrub batch keepers at arrival (the q123 shape) ----
+      // grams cover ALL batch docs: a span whose first occurrence lives
+      // in a dropped near-dup still scrubs (the batch capstone's rule)
+      val grams = SegmentDedup.gramOccurrences(
+        docs.select(col("doc_id"), col("text")), minTokens)
+      val index = existingIndex.map(_.select(col("h"))).getOrElse(emptyIndex(spark))
+      val keeperDocs = docs
+        .join(batchLabels.where(col("doc_id") === col("cluster_id"))
+          .select(col("doc_id")), Seq("doc_id"))
+      val quality = TextAnalysis.compositeQuality(
+        keeperDocs.select(col("doc_id"), col("text")))
+      val poolRows = SegmentDedup
+        .scrubAgainstIndexFromGrams(
+          keeperDocs.select(col("doc_id"), col("text")), grams, index, minTokens)
+        .withColumn("kept_tokens", col("n_tokens") - col("n_dup_tokens"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+
+      // ---- land state; every write before the ledger is idempotent ----
+      Ingest.overwriteSwap(spark, poolRows, s"$statePath/pool/batch=$batchId")
+      Ingest.overwriteSwap(spark, shNew, s"$shinglesPath/batch=$batchId")
+      Ingest.overwriteSwap(spark,
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n")),
+        s"$statePath/raw/batch=$batchId")
+      Ingest.overwriteSwap(spark, updatedClusters, clustersPath)
+      // commit point: the ledger rides the gram index
+      val mergedIndex = index
+        .unionByName(grams.select(col("h")).distinct())
+        .distinct()
+        .withColumn("last_batch", lit(batchId))
+      Ingest.overwriteSwap(spark, mergedIndex, indexPath)
+    }
+
+    refreshCard(spark, statePath, mixture, window, stride, packBudget)
+  }
+
+  /** Re-derive the card from the maintained state — unconditionally
+    * idempotent (called on every delivery, including replayed no-ops,
+    * so a crash between ledger commit and card swap self-heals). */
+  def refreshCard(spark: SparkSession, statePath: String, mixture: DataFrame,
+                  window: Int = 64, stride: Int = 48,
+                  packBudget: Long = 512L): Unit = {
+    val clustersPath = s"$statePath/clusters"
+    if (!Ingest.ready(spark, clustersPath)) return // nothing ingested yet
+    graft.Graft.leaseScope {
+      val keepers = spark.read.parquet(clustersPath)
+        .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      val surv = spark.read.parquet(s"$statePath/pool")
+        .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+          col("n_dup_tokens"), col("kept_tokens"), col("clean_text"))
+        .join(keepers, Seq("doc_id")) // demotions drop out here
+      val raw = spark.read.parquet(s"$statePath/raw")
+        .groupBy(col("source")).agg(sum(col("n")).as("n_docs_raw"))
+      val card = Release.releaseCardFromSurvivors(
+        surv, raw, mixture, window, stride, packBudget)
+      Ingest.overwriteSwap(spark, card, s"$statePath/card")
+    }
+  }
+
+  /** Attach the continuous-release sink. `docs` is a streaming
+    * DataFrame carrying (doc_id, source, text). */
+  def sink(spark: SparkSession, docs: DataFrame, statePath: String,
+           mixture: DataFrame, checkpointDir: String,
+           minTokens: Int = 8, threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        mergeBatch(spark, batch.toDF(), batchId, statePath, mixture,
+          minTokens, threshold)
+      }
+      .start()
+}

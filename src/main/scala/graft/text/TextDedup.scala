@@ -163,9 +163,18 @@ object TextDedup {
     * [[minhashLshPairsFromShingles]] over the batch alone.
     * Output: (new_id, old_id, jaccard ≥ threshold). */
   def minhashLshPairsBetween(newDocs: DataFrame, corpus: DataFrame,
-                             threshold: Double = 0.5): DataFrame = {
-    val shNew = shingled(newDocs).leased
-    val shOld = shingled(corpus).leased
+                             threshold: Double = 0.5): DataFrame =
+    minhashLshPairsBetweenFromShingles(
+      shingled(newDocs).leased, shingled(corpus).leased, threshold)
+
+  /** [[minhashLshPairsBetween]] with both shingle projections supplied —
+    * the maintained-artifact path ([[graft.streaming.StreamRelease]]
+    * keeps the corpus (doc_id, shingles) table on parquet and passes it
+    * here per batch instead of re-shingling history from text). Persist
+    * (or materialize) both inputs: each feeds its signature stage AND
+    * the exact-jaccard attach. */
+  def minhashLshPairsBetweenFromShingles(shNew: DataFrame, shOld: DataFrame,
+                                         threshold: Double = 0.5): DataFrame = {
     val cand = bandedSignatures(shNew)
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
       .join(bandedSignatures(shOld)

@@ -182,4 +182,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("text"), s"q134 re-reads raw text:\n$p")
     assert(!p.contains("CartesianProduct"), s"q134 gained a cross join:\n$p")
   }
+
+  test("q145/q146: date-ranged reads PRUNE the day-partitioned events artifact") {
+    // the warehouse lands events_by_day hive-partitioned on `day`; the
+    // range predicate must reach the scan as a PartitionFilter (read
+    // only the matching day directories) — an empty PartitionFilters
+    // means the relayout is decorative and the scan still reads every
+    // day at any corpus age.
+    for (q <- Seq("q145_events_day_range", "q146_events_recent_window")) {
+      val p = plan(q)
+      assert(p.contains("PartitionFilters: ["), s"$q scan reports no partition filters:\n$p")
+      assert(!p.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+        s"$q partition filters are EMPTY — the day range never reached the scan:\n$p")
+    }
+  }
 }

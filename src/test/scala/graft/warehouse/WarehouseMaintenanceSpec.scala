@@ -1,0 +1,233 @@
+package graft.warehouse
+
+import graft.SparkSpec
+import graft.streaming.{StreamBm25, StreamIvfAssign, StreamRelease, StreamSubstrScrub}
+import graft.text.{Cooccur, InvertedIndex, SegmentDedup, TextAnalysis, TextDedup}
+import graft.operators.{BloomPrune, Components}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental-maintenance AUDIT over the warehouse registry: every
+  * artifact name must carry a maintenance story, and each story that
+  * claims incremental appendability is proven here by appending a batch
+  * through its maintainer (streaming twin or append law) and comparing
+  * against a COLD REBUILD over the union corpus. A new registry entry
+  * that lacks a classification fails the enumeration test by
+  * construction — an artifact cannot land without deciding how
+  * ingestion keeps it fresh.
+  *
+  * Categories:
+  *  - `maintained`        — append-through-maintainer ≡ cold rebuild,
+  *                          tested in this spec;
+  *  - `maintainedElsewhere` — kept fresh by a streaming twin against
+  *                          its own state path, stream≡batch spec-gated
+  *                          in that twin's suite (named below);
+  *  - `refreshOnBuild`    — trained / eval-truth / neighborhood state
+  *                          that is DELIBERATELY frozen between corpus
+  *                          builds (retraining is triggered by the
+  *                          drift monitors q143/q144, not by appends).
+  */
+class WarehouseMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val maintained = Map(
+    "bm25_postings" -> "StreamBm25.mergeBatch",
+    "bm25_doclens" -> "StreamBm25.mergeBatch",
+    "ivf_assign" -> "StreamIvfAssign.mergeBatch",
+    "gram_index_base" -> "StreamSubstrScrub.mergeBatch",
+    "gram_bloom_base" -> "StreamSubstrScrub.mergeBatch (sketch OR-merge)",
+    "gram_occurrences" -> "per-doc append law",
+    "neardup_pairs" -> "within ∪ between append law (q76 shape)",
+    "neardup_clusters" -> "StreamRelease.mergeBatch",
+    "doc_quality" -> "per-doc append law",
+    "doc_hashsets" -> "per-doc append law",
+    "token_positions" -> "per-doc append law",
+    "cooccur_edges" -> "keyed sum-merge law",
+    "token_unigrams" -> "keyed sum-merge law",
+    "pq_codes" -> "per-vector encode under frozen codebooks",
+    "events_by_day" -> "Ingest.appendPartitioned of each day batch")
+
+  private val maintainedElsewhere = Map(
+    "dim_orders" -> "StreamScd2Spec (snapshot merge twin)",
+    "dim_products" -> "StreamScd2Spec (snapshot merge twin)",
+    "dim_orders_2b" -> "StreamScd2Spec (events merge twin)",
+    "fact_orders" -> "StreamIngestSpec / StreamMetricsSpec")
+
+  private val refreshOnBuild = Map(
+    "ivf_codebook" -> "trained quantizer; q143 index-drift monitor triggers retrain",
+    "pq_codebooks" -> "trained quantizer; q143",
+    "bpe_merges" -> "trained tokenizer; q144 fertility-drift monitor",
+    "margin_denoms" -> ("frozen per-build neighborhoods — the incremental miner " +
+      "MUST score against the last build's denominators (q125≡q137 consistency)"),
+    "knn_exact" -> "eval ground truth over the frozen eval set",
+    "knn_global_sampled" -> "eval ground truth",
+    "ann_lsh_topk" -> "searched-index eval lists, rebuilt with their index",
+    "ann_ivf_topk" -> "searched-index eval lists, rebuilt with their index")
+
+  test("every registry artifact is classified (new artifacts fail here)") {
+    val names = Warehouse.artifactNames(spark, "/nonexistent").toSet
+    val classified = maintained.keySet ++ maintainedElsewhere.keySet ++ refreshOnBuild.keySet
+    val unclassified = names -- classified
+    val stale = classified -- names
+    assert(unclassified.isEmpty,
+      s"registry artifacts with NO maintenance story: $unclassified — " +
+        "classify them here and, if maintained, add the equality test")
+    assert(stale.isEmpty, s"classification entries for unknown artifacts: $stale")
+  }
+
+  // ---- fixtures: corpus A, then batch B appended ----
+  private val corpusA = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "pack my box with five dozen liquor jugs again"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight"),
+    (4L, "sphinx of black quartz judge my vow now then"))
+  private val batchB = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog today maybe"),
+    (11L, "entirely new vocabulary arrives with this batch of text"),
+    (12L, "pack my box with five dozen liquor jugs again please"))
+  private def dfA = corpusA.toDF("doc_id", "text")
+  private def dfB = batchB.toDF("doc_id", "text")
+  private def dfAB = (corpusA ++ batchB).toDF("doc_id", "text")
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"whm_$tag").toString
+
+  private def assertEq(maintainedDf: DataFrame, rebuilt: DataFrame, what: String): Unit =
+    assert(rowsOf(maintainedDf) == rowsOf(rebuilt), s"$what: maintained ≠ cold rebuild")
+
+  test("bm25_postings + bm25_doclens: stream merge equals cold rebuild") {
+    val (p, d) = (tmp("bm25") + "/postings", tmp("bm25") + "/doclens")
+    StreamBm25.mergeBatch(spark, dfA, 0L, p, d)
+    StreamBm25.mergeBatch(spark, dfB, 1L, p, d)
+    assertEq(spark.read.parquet(p).select("tok", "doc_id", "tf"),
+      TextAnalysis.bm25Postings(dfAB), "bm25_postings")
+    assertEq(spark.read.parquet(d),
+      Warehouse.buildBm25DocLens(TextAnalysis.bm25Postings(dfAB)), "bm25_doclens")
+  }
+
+  test("ivf_assign: stream merge under a frozen codebook equals cold rebuild") {
+    val codebook = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0), (1L, Seq(0.0, 1.0, 0.0, 0.0), 1.0),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0), 1.0)).toDF("cid", "cv", "cnrm")
+    def vecs(rows: Seq[(Long, Int, Seq[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+    val va = Seq((1L, 0, Seq(0.9f, 0.1f, 0f, 0f)), (2L, 1, Seq(0.1f, 0.8f, 0.2f, 0f)),
+      (3L, 0, Seq(0f, 0.2f, 0.9f, 0.1f)))
+    val vb = Seq((10L, 1, Seq(0.7f, 0.3f, 0.1f, 0f)), (11L, 0, Seq(0f, 0.9f, 0.3f, 0f)))
+    val path = tmp("ivf") + "/assign"
+    StreamIvfAssign.mergeBatch(spark, vecs(va), 0L, codebook, path)
+    StreamIvfAssign.mergeBatch(spark, vecs(vb), 1L, codebook, path)
+    assertEq(spark.read.parquet(path).select("vec_id", "cell", "rn"),
+      graft.vector.Similarity.cellAssignments(vecs(va ++ vb), codebook), "ivf_assign")
+  }
+
+  test("gram index + fronting bloom: stream merge equals cold rebuild") {
+    val idx = tmp("gram") + "/idx"
+    val out = tmp("gram") + "/out"
+    StreamSubstrScrub.mergeBatch(spark, dfA, 0L, idx, out, minTokens = 3)
+    StreamSubstrScrub.mergeBatch(spark, dfB, 1L, idx, out, minTokens = 3)
+    assertEq(spark.read.parquet(idx).select("h"),
+      SegmentDedup.gramIndex(dfAB, minTokens = 3), "gram_index")
+    // bloom: OR-merge of per-batch sketches ≡ one-shot sketch of the
+    // union at the SAME geometry — the maintenance law (the warehouse
+    // build provisions capacity = n instead of the stream's fixed
+    // expected-index capacity; geometry is provisioning, not content)
+    val streamed = spark.read.parquet(s"${idx}_bloom")
+      .select("bf").head.getAs[Array[Byte]](0)
+    val cold = BloomPrune.serialize(
+      SegmentDedup.gramIndex(dfAB, minTokens = 3)
+        .stat.bloomFilter("h", StreamSubstrScrub.BloomCapacity, StreamSubstrScrub.BloomFpp))
+    assert(java.util.Arrays.equals(streamed, cold),
+      "gram bloom: merged sketch ≠ cold sketch of the union index")
+  }
+
+  test("neardup_pairs: within ∪ between append law equals cold rebuild") {
+    val incremental =
+      TextDedup.minhashLshPairs(dfA, 0.5)
+        .unionByName(TextDedup.minhashLshPairs(dfB, 0.5))
+        .unionByName(TextDedup.minhashLshPairsBetween(dfB, dfA, 0.5)
+          .select(col("old_id").as("doc_a"), col("new_id").as("doc_b"), col("jaccard")))
+    assertEq(incremental, TextDedup.minhashLshPairs(dfAB, 0.5), "neardup_pairs")
+    // non-vacuous: the cross-batch near-dup pair (1, 10) must be there
+    assert(rowsOf(incremental).exists(r => r(0) == "1" && r(1) == "10"))
+  }
+
+  test("neardup_clusters: StreamRelease cluster state equals cold rebuild") {
+    val state = tmp("rel")
+    val mix = Seq(("s", 1000000L)).toDF("source", "mix_ppm")
+    StreamRelease.mergeBatch(spark, dfA.withColumn("source", lit("s")), 0L,
+      state, mix, minTokens = 3)
+    StreamRelease.mergeBatch(spark, dfB.withColumn("source", lit("s")), 1L,
+      state, mix, minTokens = 3)
+    val cold = Components.minLabel(
+        dfAB.select(col("doc_id").as("id")),
+        TextDedup.minhashLshPairs(dfAB, 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    assertEq(spark.read.parquet(s"$state/clusters"), cold, "neardup_clusters")
+  }
+
+  test("per-doc artifacts obey the append law (build(A) ∪ build(B) = build(A∪B))") {
+    assertEq(SegmentDedup.gramOccurrences(dfA, 3)
+        .unionByName(SegmentDedup.gramOccurrences(dfB, 3)),
+      SegmentDedup.gramOccurrences(dfAB, 3), "gram_occurrences")
+    assertEq(TextAnalysis.compositeQuality(dfA)
+        .unionByName(TextAnalysis.compositeQuality(dfB)),
+      TextAnalysis.compositeQuality(dfAB), "doc_quality")
+    assertEq(TextDedup.hashedShingleSets(dfA)
+        .unionByName(TextDedup.hashedShingleSets(dfB)),
+      TextDedup.hashedShingleSets(dfAB), "doc_hashsets")
+    assertEq(InvertedIndex.tokenPositions(dfA)
+        .unionByName(InvertedIndex.tokenPositions(dfB)),
+      InvertedIndex.tokenPositions(dfAB), "token_positions")
+  }
+
+  test("count artifacts obey the keyed sum-merge law") {
+    def merge(df: DataFrame, keys: Seq[String], v: String) =
+      df.groupBy(keys.map(col): _*).agg(sum(col(v)).as(v))
+    assertEq(
+      merge(Cooccur.pairCounts(dfA).unionByName(Cooccur.pairCounts(dfB)),
+        Seq("tok_a", "tok_b"), "w"),
+      Cooccur.pairCounts(dfAB), "cooccur_edges")
+    assertEq(
+      merge(Cooccur.unigramCounts(dfA).unionByName(Cooccur.unigramCounts(dfB)),
+        Seq("tok"), "n"),
+      Cooccur.unigramCounts(dfAB), "token_unigrams")
+  }
+
+  test("events_by_day: daily partitioned append equals cold rebuild") {
+    import graft.sources.Ingest
+    val path = tmp("ebd") + "/events_by_day"
+    def ev(rows: Seq[(Long, String, String)]) = rows.toDF("event_id", "event_type", "d")
+      .select(col("event_id"), col("event_type"), to_date(col("d")).as("day"))
+    val dayA = Seq((1L, "click", "2024-01-01"), (2L, "purchase", "2024-01-01"))
+    val dayB = Seq((3L, "click", "2024-01-02"), (4L, "view", "2024-01-02"))
+    Ingest.overwriteSwapPartitioned(spark, ev(dayA), path, "day")
+    Ingest.appendPartitioned(ev(dayB), path, "day")
+    assertEq(spark.read.parquet(path).select("event_id", "event_type", "day"),
+      ev(dayA ++ dayB), "events_by_day")
+    // the layout really is day directories (one per day, prunable)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("day=")).sorted
+    assert(parts.toSeq == Seq("day=2024-01-01", "day=2024-01-02"))
+  }
+
+  test("pq_codes: per-vector encode under frozen codebooks obeys the append law") {
+    val dim = 4
+    def vecs(rows: Seq[(Long, Int, Seq[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+    val va = Seq(
+      (1L, 0, Seq(0.9f, 0.1f, 0.2f, 0.7f)), (2L, 1, Seq(0.1f, 0.8f, 0.5f, 0.3f)),
+      (3L, 0, Seq(0.4f, 0.4f, 0.1f, 0.9f)), (4L, 1, Seq(0.2f, 0.9f, 0.7f, 0.1f)),
+      (5L, 0, Seq(0.8f, 0.2f, 0.3f, 0.6f)), (6L, 1, Seq(0.3f, 0.7f, 0.6f, 0.2f)),
+      (7L, 0, Seq(0.6f, 0.1f, 0.1f, 0.8f)), (8L, 1, Seq(0.1f, 0.6f, 0.8f, 0.4f)))
+    val vb = Seq((10L, 1, Seq(0.7f, 0.3f, 0.9f, 0.1f)), (11L, 0, Seq(0.5f, 0.2f, 0.2f, 0.9f)))
+    val books = graft.vector.ProductQuant.trainCodebooks(vecs(va), dim, m = 2, ksub = 2)
+    assertEq(
+      graft.vector.ProductQuant.encode(vecs(va), dim, books)
+        .unionByName(graft.vector.ProductQuant.encode(vecs(vb), dim, books)),
+      graft.vector.ProductQuant.encode(vecs(va ++ vb), dim, books), "pq_codes")
+  }
+}
