@@ -320,6 +320,19 @@ object SparkEntry {
         graft.warehouse.Warehouse.nearDupClusters(s, d),
         graft.warehouse.Warehouse.docQuality(s, d),
         domainMixture(s, d).select(col("source"), col("mix_ppm")))),
+    // Release-to-release DIFF (continuous-curation observability): the
+    // canonical holdout batch (doc_id%10 = 7) plays the newly-arrived
+    // crawl; the diff reports per-source released-membership churn
+    // (adds AND the de-releases caused by threshold/keep-rate shifts)
+    // under frozen corpus state — see Release.releaseDiff.
+    "q147_release_diff" -> ((s, d) =>
+      graft.pipeline.Release.releaseDiff(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        graft.warehouse.Warehouse.gramOccurrences(s, d),
+        graft.warehouse.Warehouse.nearDupClusters(s, d),
+        graft.warehouse.Warehouse.docQuality(s, d),
+        domainMixture(s, d).select(col("source"), col("mix_ppm")),
+        isNew = pmod(col("doc_id"), lit(10)) === 7)),
     // Right-to-be-forgotten ACROSS THE INDEX ARTIFACTS — q79 deletes
     // warehouse rows; this erases a victim doc set from the DERIVED
     // state a pipeline actually serves from (postings, doc lengths,
@@ -3119,6 +3132,150 @@ object SparkEntry {
          |LEFT JOIN rates USING (source) LEFT JOIN rstats USING (source)
          |LEFT JOIN pstats USING (source)
          |ORDER BY source""".stripMargin,
+    // The diff replayed: one shared closure+scrub+quality derivation
+    // (q140's), then the gate/mixture/sample decision chain TWICE —
+    // once over the base membership (doc_id%10<>7), once over all —
+    // and the per-source churn via a full-outer join of the two
+    // released sets. Mixture targets (mx) are the frozen full-corpus
+    // policy on both sides, exactly as the operator documents.
+    "q147_release_diff" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |t AS (SELECT doc_id,
+         |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+         |  FROM t WHERE len(ws) >= 8),
+         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    CAST(('0x' || substr(md5(
+         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM g0),
+         |kd AS (SELECT h, min(doc_id) AS kd FROM g GROUP BY h),
+         |kp AS (SELECT g.h, k.kd, min(g.pos) AS kp
+         |  FROM g JOIN kd k ON g.h = k.h AND g.doc_id = k.kd GROUP BY g.h, k.kd),
+         |dp AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS ps
+         |  FROM g JOIN kp ON g.h = kp.h
+         |  WHERE NOT (g.doc_id = kp.kd AND g.pos = kp.kp)
+         |  GROUP BY g.doc_id),
+         |rr AS (SELECT t.doc_id, ws, coalesce(ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN dp USING (doc_id)),
+         |cv AS (SELECT doc_id, ws,
+         |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
+         |  FROM rr),
+         |scr AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(ws) - len(cov) AS BIGINT) AS kept_tokens
+         |  FROM cv),
+         |$docQualityCtes,
+         |surv AS (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
+         |    q.quality
+         |  FROM scr JOIN keep USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
+         |pd2 AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |ps2 AS (SELECT source, CAST(sum(quality) AS BIGINT) // count(*) AS avg_q
+         |  FROM pd2 GROUP BY source),
+         |gg2 AS (SELECT CAST(sum(quality) AS BIGINT) // count(*) AS gavg FROM pd2),
+         |b2 AS (SELECT ps2.source,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((gg2.gavg - ps2.avg_q) * 1000000) // gg2.gavg) AS deficit_ppm
+         |  FROM ps2 CROSS JOIN gg2),
+         |f2 AS (SELECT source,
+         |    1000000 + (200000 * deficit_ppm) // 1000000 AS factor FROM b2),
+         |it2 AS (SELECT source,
+         |    ((((((((((1000000 * factor) // 1000000) * factor) // 1000000)
+         |      * factor) // 1000000) * factor) // 1000000) * factor) // 1000000) AS w
+         |  FROM f2),
+         |tt2 AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it2),
+         |mx AS (SELECT source, (w * 1000000) // w_tot AS mix_ppm
+         |  FROM it2 CROSS JOIN tt2),
+         |survp AS (SELECT * FROM surv WHERE doc_id % 10 <> 7),
+         |snp AS (SELECT source, count(*) AS n_rows FROM survp GROUP BY source),
+         |sdp AS (SELECT source, quality, count(*) AS cq
+         |  FROM survp GROUP BY source, quality),
+         |scp AS (SELECT source, quality,
+         |    CAST(sum(cq) OVER (PARTITION BY source ORDER BY quality DESC)
+         |         AS BIGINT) AS cum
+         |  FROM sdp),
+         |thrp AS (SELECT s2.source, max(s2.quality) AS threshold
+         |  FROM scp s2 JOIN snp USING (source)
+         |  WHERE s2.cum >= greatest(1, snp.n_rows // 4)
+         |  GROUP BY s2.source),
+         |gatp AS (SELECT s3.* FROM survp s3
+         |  JOIN thrp t3 ON t3.source = s3.source AND s3.quality >= t3.threshold),
+         |masp AS (SELECT source, count(*) AS n_gated,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS gated_tokens
+         |  FROM gatp GROUP BY source),
+         |mtp AS (SELECT CAST(sum(gated_tokens) AS BIGINT) AS all_tokens FROM masp),
+         |ratp AS (SELECT masp.source,
+         |    least(1000000, (mx.mix_ppm * 1000000) // greatest(1,
+         |      (masp.gated_tokens * 1000000) // greatest(1, mtp.all_tokens))) AS keep_ppm
+         |  FROM masp CROSS JOIN mtp JOIN mx ON mx.source = masp.source),
+         |relp AS (SELECT g2.doc_id, g2.source, g2.kept_tokens FROM gatp g2
+         |  JOIN ratp r2 ON r2.source = g2.source
+         |  WHERE CAST(('0x' || substr(md5(CAST(g2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 1000000 < r2.keep_ppm),
+         |snc AS (SELECT source, count(*) AS n_rows FROM surv GROUP BY source),
+         |sdc AS (SELECT source, quality, count(*) AS cq
+         |  FROM surv GROUP BY source, quality),
+         |scc AS (SELECT source, quality,
+         |    CAST(sum(cq) OVER (PARTITION BY source ORDER BY quality DESC)
+         |         AS BIGINT) AS cum
+         |  FROM sdc),
+         |thrc AS (SELECT s2.source, max(s2.quality) AS threshold
+         |  FROM scc s2 JOIN snc USING (source)
+         |  WHERE s2.cum >= greatest(1, snc.n_rows // 4)
+         |  GROUP BY s2.source),
+         |gatc AS (SELECT s3.* FROM surv s3
+         |  JOIN thrc t3 ON t3.source = s3.source AND s3.quality >= t3.threshold),
+         |masc AS (SELECT source, count(*) AS n_gated,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS gated_tokens
+         |  FROM gatc GROUP BY source),
+         |mtc AS (SELECT CAST(sum(gated_tokens) AS BIGINT) AS all_tokens FROM masc),
+         |ratc AS (SELECT masc.source,
+         |    least(1000000, (mx.mix_ppm * 1000000) // greatest(1,
+         |      (masc.gated_tokens * 1000000) // greatest(1, mtc.all_tokens))) AS keep_ppm
+         |  FROM masc CROSS JOIN mtc JOIN mx ON mx.source = masc.source),
+         |relc AS (SELECT g2.doc_id, g2.source, g2.kept_tokens FROM gatc g2
+         |  JOIN ratc r2 ON r2.source = g2.source
+         |  WHERE CAST(('0x' || substr(md5(CAST(g2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 1000000 < r2.keep_ppm),
+         |churn AS (SELECT coalesce(relc.source, relp.source) AS source,
+         |    count(CASE WHEN relc.doc_id IS NOT NULL AND relp.doc_id IS NULL
+         |               THEN 1 END) AS n_added,
+         |    count(CASE WHEN relp.doc_id IS NOT NULL AND relc.doc_id IS NULL
+         |               THEN 1 END) AS n_removed
+         |  FROM relc FULL OUTER JOIN relp USING (doc_id) GROUP BY 1),
+         |rsp AS (SELECT source, count(*) AS n_released_prev,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS released_tokens_prev
+         |  FROM relp GROUP BY source),
+         |rsc AS (SELECT source, count(*) AS n_released_cur,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS released_tokens_cur
+         |  FROM relc GROUP BY source),
+         |dim AS (SELECT DISTINCT source FROM documents)
+         |SELECT dim.source,
+         |  coalesce(rsp.n_released_prev, 0) AS n_released_prev,
+         |  coalesce(rsc.n_released_cur, 0) AS n_released_cur,
+         |  coalesce(churn.n_added, 0) AS n_added,
+         |  coalesce(churn.n_removed, 0) AS n_removed,
+         |  coalesce(rsp.released_tokens_prev, 0) AS released_tokens_prev,
+         |  coalesce(rsc.released_tokens_cur, 0) AS released_tokens_cur,
+         |  coalesce(thrp.threshold, 0) AS threshold_prev,
+         |  coalesce(thrc.threshold, 0) AS threshold_cur,
+         |  coalesce(ratp.keep_ppm, 0) AS keep_ppm_prev,
+         |  coalesce(ratc.keep_ppm, 0) AS keep_ppm_cur
+         |FROM dim LEFT JOIN rsp USING (source) LEFT JOIN rsc USING (source)
+         |LEFT JOIN churn USING (source) LEFT JOIN thrp USING (source)
+         |LEFT JOIN thrc USING (source) LEFT JOIN ratp USING (source)
+         |LEFT JOIN ratc USING (source)
+         |ORDER BY dim.source""".stripMargin,
     // Gram replay (the q124/q129 derivation) + the q71 median/skew
     // arithmetic + the integer salt-bucket rule.
     "q139_gram_skew_audit" ->

@@ -112,6 +112,81 @@ object Release {
     PrefixSum.packByBudget(chunks, "k", "n_chunk_tokens", packBudget)
   }
 
+  /** RELEASE-TO-RELEASE DIFF — continuous-curation observability: what
+    * did the arrival of a batch change about release COMPOSITION? Two
+    * decision layers (gate → mixture → sample) run over the same
+    * scrubbed survivor corpus — `prev` restricted to `!isNew` docs,
+    * `cur` over everything — and the per-source diff reports released
+    * membership churn (docs ADDED, and docs the batch pushed OUT: a
+    * rising per-source threshold or a falling keep-rate de-releases
+    * previously-released docs) plus the threshold/keep-rate shifts
+    * that caused it.
+    *
+    * Semantics: a DECISION-layer diff under the CURRENT corpus state —
+    * clusters, scrub and quality are today's artifacts for both sides,
+    * so the diff isolates what the decision stages did, not what the
+    * artifacts were last week (the historical card itself is what
+    * [[graft.streaming.StreamRelease]] lands per batch; diffing two
+    * landed cards needs no operator). Scale: ONE scrub pass (the
+    * q140:scrub stage), then source-cardinality arithmetic and one
+    * id-keyed full-outer join of the two released sets. */
+  def releaseDiff(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
+                  quality: DataFrame, mixture: DataFrame,
+                  isNew: org.apache.spark.sql.Column,
+                  minTokens: Int = 8): DataFrame = {
+    val surv = survivors(docs, grams, clusters, quality, minTokens).leased
+    surv.count() // eager fill — both decision layers read it (q32 rule)
+    def decide(s: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val thr = gateThresholds(s)
+      val g = s.join(thr.select(col("source"), col("threshold")), Seq("source"))
+        .where(col("quality") >= col("threshold"))
+      val rates = mixtureRates(g, mixture)
+      (thr, rates, releasedDocs(g, rates)
+        .select(col("doc_id"), col("source"), col("kept_tokens")))
+    }
+    val (thrP, ratesP, relP) = decide(surv.where(!isNew))
+    val (thrC, ratesC, relC) = decide(surv)
+    val churn = relC.select(col("doc_id"), col("source"), lit(1L).as("in_cur"))
+      .join(relP.select(col("doc_id"), lit(1L).as("in_prev")), Seq("doc_id"), "full_outer")
+      // source rides the cur side; a prev-only doc re-reads it from surv
+      .join(surv.select(col("doc_id"), col("source").as("s2")), Seq("doc_id"))
+      .select(coalesce(col("source"), col("s2")).as("source"),
+        col("in_cur"), col("in_prev"))
+      .groupBy(col("source"))
+      .agg(count(when(col("in_cur").isNotNull && col("in_prev").isNull, 1)).as("n_added"),
+        count(when(col("in_prev").isNotNull && col("in_cur").isNull, 1)).as("n_removed"))
+    def relStats(rel: DataFrame, suffix: String): DataFrame =
+      rel.groupBy(col("source"))
+        .agg(count(lit(1)).as(s"n_released_$suffix"),
+          sum(col("kept_tokens")).as(s"released_tokens_$suffix"))
+    // LEFT joins from the full source dim (the card-completeness rule):
+    // a source absent from one release still appears, zeroed
+    docs.select(col("source")).distinct()
+      .join(relStats(relP, "prev"), Seq("source"), "left")
+      .join(relStats(relC, "cur"), Seq("source"), "left")
+      .join(churn, Seq("source"), "left")
+      .join(thrP.select(col("source"), col("threshold").as("threshold_prev")),
+        Seq("source"), "left")
+      .join(thrC.select(col("source"), col("threshold").as("threshold_cur")),
+        Seq("source"), "left")
+      .join(ratesP.select(col("source"), col("keep_ppm").as("keep_ppm_prev")),
+        Seq("source"), "left")
+      .join(ratesC.select(col("source"), col("keep_ppm").as("keep_ppm_cur")),
+        Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_released_prev"), lit(0L)).as("n_released_prev"),
+        coalesce(col("n_released_cur"), lit(0L)).as("n_released_cur"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("released_tokens_prev"), lit(0L)).as("released_tokens_prev"),
+        coalesce(col("released_tokens_cur"), lit(0L)).as("released_tokens_cur"),
+        coalesce(col("threshold_prev"), lit(0L)).as("threshold_prev"),
+        coalesce(col("threshold_cur"), lit(0L)).as("threshold_cur"),
+        coalesce(col("keep_ppm_prev"), lit(0L)).as("keep_ppm_prev"),
+        coalesce(col("keep_ppm_cur"), lit(0L)).as("keep_ppm_cur"))
+      .orderBy("source")
+  }
+
   /** The released-dataset card. Inputs are corpus state: `docs`
     * (doc_id, source, text), `grams` = the gram-occurrence artifact at
     * `minTokens` resolution, `clusters` = near-dup closure, `quality` =
@@ -134,7 +209,15 @@ object Release {
     * corpus incrementally and re-derives only these decisions per
     * batch. `surv` columns: doc_id, source, quality, n_tokens,
     * n_dup_tokens, kept_tokens, clean_text. `raw` = per-source
-    * (source, n_docs_raw) over the RAW corpus. */
+    * (source, n_docs_raw) over the RAW corpus.
+    *
+    * '''API note — this is an ACTION, not a lazy transformation''':
+    * the survivor cache is eager-filled (`surv.count()` below) before
+    * the four consuming subtrees run, because concurrent lazy fill of
+    * a shared cached plan measured 4–15× slower when the race bit
+    * (the q32 lesson). Callers composing the release chain lazily
+    * should use the stage builders ([[survivors]]/[[gated]]/
+    * [[mixtureRates]]/[[releasedDocs]]/[[chunkPack]]) directly. */
   def releaseCardFromSurvivors(survIn: DataFrame, raw: DataFrame,
                                mixture: DataFrame, window: Int = 64,
                                stride: Int = 48,

@@ -290,7 +290,11 @@ object TextDedup {
     ngramJaccardPairsFromHashsets(hashedSets(sh), threshold)
 
   /** [[ngramJaccardPairsFromShingles]] over the materialized hashed-set
-    * artifact ([[hashedShingleSets]] / warehouse `doc_hashsets`). */
+    * artifact ([[hashedShingleSets]] / warehouse `doc_hashsets`).
+    *
+    * '''API note — this is an ACTION, not a lazy transformation''': it
+    * eager-fills the hashset cache (`hs.count()` below) before the four
+    * consuming subtrees run; callers cannot compose it lazily. */
   def ngramJaccardPairsFromHashsets(hashsets: DataFrame,
                                     threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")

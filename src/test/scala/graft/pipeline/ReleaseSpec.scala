@@ -91,4 +91,35 @@ class ReleaseSpec extends SparkSpec {
         "released_tokens", "n_chunks", "n_packs_touched"))
       assert(c.getAs[Long](f) == 0L, s"$f should be zeroed for a mixture-absent source")
   }
+
+  test("releaseDiff: a high-quality batch RAISES the gate and de-releases an old doc") {
+    // the removal branch the sf corpora never exercise: quality is
+    // injected directly so the arithmetic is exact. Base source A docs
+    // 1-4 (quality 10..40): top-quartile threshold = 40 → doc 4
+    // released. Batch adds docs 11/12 (quality 50/60): cur threshold =
+    // 60 → only doc 12 survives the gate — doc 4 is DE-RELEASED.
+    val docs = Seq(
+      (1L, "A", "one two three four five six seven eight nine ten"),
+      (2L, "A", "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+      (3L, "A", "twenty one twenty two twenty three twenty four twenty five six"),
+      (4L, "A", "thirty one thirty two thirty three thirty four thirty five six"),
+      (11L, "A", "forty one forty two forty three forty four forty five forty"),
+      (12L, "A", "fifty one fifty two fifty three fifty four fifty five fifty")
+    ).toDF("doc_id", "source", "text")
+    val grams = graft.text.SegmentDedup.gramOccurrences(
+      docs.select($"doc_id", $"text"), minTokens = 8)
+    val clusters = docs.select($"doc_id", $"doc_id".as("cluster_id"))
+    val quality = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L),
+      (11L, 50L), (12L, 60L)).toDF("doc_id", "quality")
+    val mixture = Seq(("A", 1000000L)).toDF("source", "mix_ppm")
+    val row = Release.releaseDiff(docs, grams, clusters, quality, mixture,
+        isNew = $"doc_id" >= 10L)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("A")
+    assert(row.getAs[Long]("threshold_prev") == 40L)
+    assert(row.getAs[Long]("threshold_cur") == 60L)
+    assert(row.getAs[Long]("n_released_prev") == 1L) // doc 4
+    assert(row.getAs[Long]("n_released_cur") == 1L)  // doc 12
+    assert(row.getAs[Long]("n_added") == 1L)
+    assert(row.getAs[Long]("n_removed") == 1L, "the de-release branch never fired")
+  }
 }
