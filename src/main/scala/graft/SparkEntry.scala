@@ -1113,6 +1113,33 @@ object SparkEntry {
           col("running_total"), col("pack_id"))
         .orderBy("doc_id", "chunk_id")
     }),
+    // PACK-EFFICIENCY audit over q45's packed output — the padding-
+    // waste metric a training pipeline watches per release: per-pack
+    // token fill vs the 512 budget, rolled up by fill decile (a
+    // boundary-spanning chunk can overfill a pack past 1e6 ppm — those
+    // report in deciles ≥ 10, deliberately unclamped). Integer ppm
+    // arithmetic; source-cardinality-free (pack-count-sized rollup).
+    "q148_pack_efficiency" -> ((s, d) => {
+      val keepers = graft.warehouse.Warehouse.nearDupClusters(s, d)
+        .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+      val chunks = graft.text.Chunking.tokenWindows(docs(s, d).join(keepers, Seq("doc_id")))
+      graft.operators.PrefixSum
+        .packByBudget(chunkOrderKey(chunks), "k", "n_chunk_tokens", budget = 512L)
+        .groupBy(col("pack_id"))
+        .agg(sum(col("n_chunk_tokens")).as("pack_tokens"),
+          count(lit(1)).as("n_chunks"))
+        .select(col("pack_id"), col("pack_tokens"), col("n_chunks"),
+          expr("(pack_tokens * 1000000) div 512").as("fill_ppm"),
+          expr("greatest(512 - pack_tokens, 0L)").as("padding_tokens"))
+        .groupBy(expr("fill_ppm div 100000").as("decile"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          min(col("fill_ppm")).as("min_fill_ppm"),
+          max(col("fill_ppm")).as("max_fill_ppm"),
+          sum(col("pack_tokens")).as("sum_tokens"),
+          sum(col("padding_tokens")).as("sum_padding"))
+        .orderBy("decile")
+    }),
     // CURRICULUM packing: q45's chunk/pack with the global pack order
     // flipped to (quality DESC, doc, chunk) — easy-first curriculum
     // ordering, the training-prep variant where batch composition
@@ -3976,6 +4003,45 @@ object SparkEntry {
          |  CAST(running_total AS BIGINT) AS running_total,
          |  CAST((running_total - n_chunk_tokens) // 512 AS BIGINT) AS pack_id
          |FROM r ORDER BY doc_id, chunk_id""".stripMargin,
+    // q45's replay + the per-pack/per-decile rollup.
+    "q148_pack_efficiency" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents JOIN keep USING (doc_id)),
+         |c AS (SELECT doc_id, len(ws) AS n,
+         |  unnest(generate_series(CAST(0 AS BIGINT),
+         |    CAST((greatest(len(ws) - 64, 0) + 47) // 48 AS BIGINT))) AS chunk_id
+         |  FROM t),
+         |ch AS (SELECT doc_id, chunk_id,
+         |  greatest(least(n - chunk_id*48, 64), CAST(0 AS BIGINT)) AS n_chunk_tokens
+         |  FROM c),
+         |r AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+         |  sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING)
+         |    AS running_total
+         |  FROM ch),
+         |pp AS (SELECT (running_total - n_chunk_tokens) // 512 AS pack_id,
+         |    CAST(sum(n_chunk_tokens) AS BIGINT) AS pack_tokens,
+         |    count(*) AS n_chunks
+         |  FROM r GROUP BY 1),
+         |pf AS (SELECT pack_id, pack_tokens, n_chunks,
+         |    (pack_tokens * 1000000) // 512 AS fill_ppm,
+         |    greatest(512 - pack_tokens, 0) AS padding_tokens
+         |  FROM pp)
+         |SELECT fill_ppm // 100000 AS decile, count(*) AS n_packs,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  min(fill_ppm) AS min_fill_ppm, max(fill_ppm) AS max_fill_ppm,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(padding_tokens) AS BIGINT) AS sum_padding
+         |FROM pf GROUP BY decile ORDER BY decile""".stripMargin,
     // q45's replay with the pack order flipped to (quality DESC, doc,
     // chunk) — closure for keepers, quality chain, chunking, one
     // running-total window in curriculum order.
