@@ -919,6 +919,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"), col("n_tri"), col("cc_ppm"))
         .orderBy("doc_id")
     }),
+    // Chaining audit over the near-dup closure: connected components
+    // admit A~B~C without A~C ever being verified, so a "cluster" can
+    // be a drift CHAIN whose endpoints share almost nothing — the
+    // classic over-merge failure of transitive dedup (and the reason
+    // production pipelines audit cluster diameter before keeper
+    // election). Per multi-member cluster: verified-edge density vs
+    // the clique bound (integer ppm) and the weakest verified link;
+    // `chained` flags anything below clique density. Both inputs are
+    // materialized warehouse artifacts (pair graph + closure) — two
+    // id-keyed aggregates and one cluster-keyed join, never text.
+    "q149_cluster_chain_audit" -> ((s, d) => {
+      val cl = graft.warehouse.Warehouse.nearDupClusters(s, d)
+      val pe = graft.warehouse.Warehouse.nearDupPairs(s, d)
+        .join(cl.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_edges"),
+          min(expr("CAST(floor(jaccard * 1000000.0) AS BIGINT)")).as("min_jacc_ppm"))
+      cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .join(pe, Seq("cluster_id"))
+        .withColumn("density_ppm",
+          expr("(2 * n_edges * 1000000) div (n_members * (n_members - 1))"))
+        .select(col("cluster_id"), col("n_members"), col("n_edges"),
+          col("density_ppm"), col("min_jacc_ppm"),
+          expr("CAST(density_ppm < 1000000 AS INT)").as("chained"))
+        .orderBy("cluster_id")
+    }),
     // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
     // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
     // RRF, fused over the bounded lists only (never the corpus). The
@@ -4434,6 +4461,30 @@ object SparkEntry {
          |LEFT JOIN deg ON deg.id = doc_id
          |LEFT JOIN tn ON tn.id = doc_id
          |ORDER BY doc_id""".stripMargin,
+    // Replays the q14 pair graph + the q35 recursive min-label closure,
+    // then the per-cluster edge/density/weakest-link arithmetic.
+    "q149_cluster_chain_audit" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |pe AS (SELECT c.cluster_id, count(*) AS n_edges,
+         |    min(CAST(floor(p.jaccard * 1000000.0) AS BIGINT)) AS min_jacc_ppm
+         |  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a GROUP BY c.cluster_id),
+         |g AS (SELECT cluster_id, count(*) AS n_members FROM comp
+         |  GROUP BY cluster_id HAVING count(*) >= 2)
+         |SELECT g.cluster_id, g.n_members, pe.n_edges,
+         |  (2 * pe.n_edges * 1000000) // (g.n_members * (g.n_members - 1)) AS density_ppm,
+         |  pe.min_jacc_ppm,
+         |  CAST((2 * pe.n_edges * 1000000) // (g.n_members * (g.n_members - 1))
+         |       < 1000000 AS INT) AS chained
+         |FROM g JOIN pe USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin,
     // Replays the q14 pair graph, then 5 chained integer power
     // iterations (PageRank.Scale/DampNum/TeleportFix) — nonneg operands
     // so DuckDB // and Spark div agree; singletons via the final LEFT

@@ -162,6 +162,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("text"), s"q141 re-reads raw text:\n$p")
   }
 
+  test("q149: the chaining audit reads the pair/closure artifacts, never text") {
+    // density + weakest-link come from the materialized pair graph and
+    // closure; a `text` column in any scan schema means the LSH chain
+    // was silently re-run per audit
+    val p = plan("q149_cluster_chain_audit")
+    assert(!p.contains("text"), s"q149 re-reads raw text:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q149 gained a cross join:\n$p")
+  }
+
   test("q123: the sketch bloom fronts the gram-index probe, map-side, payload-free") {
     // the incremental scrub's batch grams must hit the codegen'd
     // bloom_contains FILTER before the index semi-join shuffle — and
