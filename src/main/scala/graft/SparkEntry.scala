@@ -946,6 +946,19 @@ object SparkEntry {
           expr("CAST(density_ppm < 1000000 AS INT)").as("chained"))
         .orderBy("cluster_id")
     }),
+    // The q149 remedy: re-run the min-label closure over STRONG edges
+    // only (jaccard ≥ 0.8 in fixed ppm) and report, per doc, the
+    // original cluster beside its refined cluster plus a cluster-level
+    // split flag — cutting the weak links a drift chain rode in on.
+    // Same bounded Components iteration as the warehouse closure, over
+    // a strictly smaller edge list; the pair table is the materialized
+    // artifact, so the refinement never re-shingles text.
+    "q150_chain_cut" -> ((s, d) =>
+      graft.operators.Components.chainCut(
+          docs(s, d).select(col("doc_id").as("id")),
+          graft.warehouse.Warehouse.nearDupClusters(s, d),
+          graft.warehouse.Warehouse.nearDupPairs(s, d))
+        .orderBy("doc_id")),
     // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
     // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
     // RRF, fused over the bounded lists only (never the corpus). The
@@ -4485,6 +4498,36 @@ object SparkEntry {
          |       < 1000000 AS INT) AS chained
          |FROM g JOIN pe USING (cluster_id)
          |ORDER BY cluster_id""".stripMargin,
+    // Replays the q14 pair graph, BOTH min-label closures (all edges
+    // vs strong-only), and the per-cluster split-flag arithmetic.
+    "q150_chain_cut" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |    WHERE CAST(floor(jaccard * 1000000.0) AS BIGINT) >= 800000
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |    WHERE CAST(floor(jaccard * 1000000.0) AS BIGINT) >= 800000),
+         |sreach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM sedges e JOIN sreach r ON r.id = e.src),
+         |scomp AS (SELECT id AS doc_id, min(peer) AS refined_cluster_id
+         |  FROM sreach GROUP BY id),
+         |j AS (SELECT c.doc_id, c.cluster_id, s.refined_cluster_id
+         |  FROM comp c JOIN scomp s USING (doc_id)),
+         |fl AS (SELECT cluster_id,
+         |    CAST(count(DISTINCT refined_cluster_id) > 1 AS INT) AS was_split
+         |  FROM j GROUP BY cluster_id HAVING count(*) >= 2)
+         |SELECT j.doc_id, j.cluster_id, j.refined_cluster_id, fl.was_split
+         |FROM j JOIN fl USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     // Replays the q14 pair graph, then 5 chained integer power
     // iterations (PageRank.Scale/DampNum/TeleportFix) — nonneg operands
     // so DuckDB // and Spark div agree; singletons via the final LEFT

@@ -86,6 +86,37 @@ object Components {
     labels.union(singletons)
   }
 
+  /** Chain-cut refinement: re-run the closure over STRONG edges only
+    * (similarity ≥ `thresholdPpm` in fixed ppm) and report, per member
+    * of a multi-member cluster, the original cluster beside its refined
+    * cluster plus a cluster-level `was_split` flag. This is the remedy
+    * for transitive over-merge: connected components admit A~B~C with
+    * A and C never pairwise verified, so a drift chain rides weak links
+    * into one blob; cutting below the strong threshold splits it.
+    *
+    * `clusters` = (doc_id, cluster_id) — the landed closure;
+    * `pairs` = (doc_a, doc_b, jaccard) — the verified edge list.
+    * Same bounded [[minLabel]] iteration over a strictly smaller edge
+    * list; no text is touched. Output ordered by caller. */
+  def chainCut(nodes: DataFrame, clusters: DataFrame, pairs: DataFrame,
+               thresholdPpm: Long = 800000L): DataFrame = {
+    val strong = pairs
+      .filter(expr(s"CAST(floor(jaccard * 1000000.0) AS BIGINT) >= $thresholdPpm"))
+    val refined = minLabel(nodes,
+        strong.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("refined_cluster_id"))
+    val j = clusters.join(refined, Seq("doc_id"))
+    val splitFlag = j.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("refined_cluster_id").as("n_refined"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"),
+        expr("CAST(n_refined > 1 AS INT)").as("was_split"))
+    j.join(splitFlag, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("refined_cluster_id"),
+        col("was_split"))
+  }
+
   /** Decimal sum of labels — decreasing-monotone fixpoint witness
     * (decimal so huge id spaces cannot overflow int64). */
   private def checksum(labels: DataFrame): java.math.BigDecimal =

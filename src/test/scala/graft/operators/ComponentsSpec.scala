@@ -31,6 +31,37 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(7L -> 7L, 8L -> 8L))
   }
 
+  test("chainCut splits a weak-link chain and leaves a strong clique whole") {
+    // cluster {1,2,3}: 1~2 strong (0.9), 2~3 WEAK (0.6) — a drift chain
+    //   whose endpoints 1,3 were never verified → cut splits {1,2} | {3}
+    // cluster {10,11}: one strong edge → survives intact, was_split=0
+    // singleton 20: multi-member filter drops it from the report
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.6), (10L, 11L, 0.85))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val clusters = Components.minLabel(nodes,
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val got = Components.chainCut(nodes, clusters, pairs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 1)), 2L -> ((1L, 1L, 1)), 3L -> ((1L, 3L, 1)),
+      10L -> ((10L, 10L, 0)), 11L -> ((10L, 10L, 0))))
+  }
+
+  test("chainCut at the exact ppm boundary keeps the threshold edge") {
+    // floor(0.8 * 1e6) = 800000 ≥ threshold — boundary edges are STRONG
+    val nodes = Seq(1L, 2L).toDF("id")
+    val pairs = Seq((1L, 2L, 0.8)).toDF("doc_a", "doc_b", "jaccard")
+    val clusters = Components.minLabel(nodes,
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val got = Components.chainCut(nodes, clusters, pairs)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(got == Map(1L -> 0, 2L -> 0))
+  }
+
   test("matches brute-force union-find on random graphs") {
     val gen = for {
       n <- Gen.choose(1, 12)
