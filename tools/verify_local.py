@@ -58,6 +58,11 @@ if "--skip-spark" not in sys.argv:
         if "[verify]" in line: print(line)
 
 con = duckdb.connect()
+# big-corpus oracles (sf1): cap memory and spill to disk instead of
+# getting OOM-killed; opt-in via env so the driver's gate is untouched
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    con.execute("SET temp_directory='/tmp/graft_duck_spill'")
 for p in glob.glob(f"{SFDIR}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
