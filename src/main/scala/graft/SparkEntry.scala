@@ -2407,8 +2407,14 @@ object SparkEntry {
 
   /** Shared oracle CTE chain: the q72 BPE-encode replay under the
     * warehouse merge table (doubled-separator greedy pass — RE2 has no
-    * lookahead, see the q72 comment). Ends in `pc(doc_id, pos,
-    * n_pieces)`, one row per word; compose under `WITH RECURSIVE`. */
+    * lookahead, see the q72 comment). BPE merges never cross word
+    * boundaries, so the recursion encodes DISTINCT words and joins the
+    * per-word piece count back to positions — the recursion's working
+    * set is the vocabulary, not every word occurrence in the corpus
+    * (at sf1 that's the difference between ~31 rows × rank iterations
+    * and ~2.75M × rank, which thrashed DuckDB's buffer pool). Ends in
+    * `pc(doc_id, pos, n_pieces)`, one row per word occurrence; compose
+    * under `WITH RECURSIVE`. */
   private def bpeEncodeCtes: String =
     s"""m AS (
        |  SELECT rank, "left" AS l, "right" AS r
@@ -2416,21 +2422,23 @@ object SparkEntry {
        |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
        |  FROM documents),
        |wp AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM t),
-       |w0 AS (SELECT doc_id, pos,
+       |dw AS (SELECT DISTINCT word FROM wp),
+       |w0 AS (SELECT word,
        |    '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS syms
-       |  FROM wp),
+       |  FROM dw),
        |enc AS (
-       |  SELECT doc_id, pos, syms, 0 AS rk FROM w0
+       |  SELECT word, syms, 0 AS rk FROM w0
        |  UNION ALL
-       |  SELECT e.doc_id, e.pos,
+       |  SELECT e.word,
        |    replace(e.syms, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' '),
        |    e.rk + 1
        |  FROM enc e JOIN m ON m.rank = e.rk + 1),
-       |fin AS (SELECT doc_id, pos, syms FROM enc
+       |fin AS (SELECT word, syms FROM enc
        |  WHERE rk = (SELECT coalesce(max(rank), 0) FROM m)),
-       |pc AS (SELECT doc_id, pos,
+       |pcw AS (SELECT word,
        |    len(list_filter(str_split(trim(syms), ' '), s -> s <> '')) AS n_pieces
-       |  FROM fin)""".stripMargin
+       |  FROM fin),
+       |pc AS (SELECT doc_id, pos, n_pieces FROM wp JOIN pcw USING (word))""".stripMargin
 
   /** q64 oracle: a FULLY INDEPENDENT DuckDB replay of BPE merge
     * training, unrolled for the fixed `nMerges` the warehouse trains
@@ -4608,20 +4616,28 @@ object SparkEntry {
     // the Spark side's prefix filter must reproduce this EXACTLY.
     // Brute force over the SAME 60-bit hashed shingle sets the engine
     // uses — the compare is exact, collisions and all.
+    // Intersection size = shared-hash count straight off the token
+    // self-join (hs is per-doc distinct, so count(*) per pair IS
+    // |A∩B|) — no per-pair list_intersect re-scan. Equivalent to the
+    // materialize-candidates-then-intersect form but hash-agg all the
+    // way down, so DuckDB parallelizes and spills it at sf1 instead of
+    // thrashing on hundreds of millions of list intersections.
     "q32_ngram_jaccard" ->
       s"""WITH $ShinglesCte,
          |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
          |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs
          |  FROM sh),
+         |sz AS (SELECT doc_id, len(hs) AS n FROM hsq),
          |tok AS (SELECT doc_id, unnest(hs) AS tok FROM hsq),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |ints AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
          |jac AS (SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
-         |  nullif(CAST(len(sa.hs) + len(sb.hs)
-         |       - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE),
+         |  CAST(n_shared AS DOUBLE) /
+         |  nullif(CAST(sa.n + sb.n - n_shared AS DOUBLE),
          |         CAST(0.0 AS DOUBLE)) AS jaccard
-         |  FROM cand JOIN hsq sa ON sa.doc_id = doc_a JOIN hsq sb ON sb.doc_id = doc_b)
+         |  FROM ints JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
     "q15_simhash_fingerprints" ->
