@@ -959,6 +959,33 @@ object SparkEntry {
           graft.warehouse.Warehouse.nearDupClusters(s, d),
           graft.warehouse.Warehouse.nearDupPairs(s, d))
         .orderBy("doc_id")),
+    // DSIR importance weights (Xie et al. 2023): target-vs-raw hashed
+    // bigram likelihood ratio per doc, integer-ppm fixed point — the
+    // data-selection scorer that upsamples target-domain-like documents
+    // without a trained model. See [[graft.text.Curation.dsirWeights]].
+    "q151_dsir_weights" -> ((s, d) =>
+      graft.text.Curation.dsirWeights(graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))))),
+    // Reliability table for the q106 learned filter against the q47
+    // heuristic gold: tie-stable score deciles × integer-ppm agreement.
+    // The audit a production filter ships with — see
+    // [[graft.text.HashedLinearModel.calibrationAudit]].
+    "q152_model_calibration" -> ((s, d) =>
+      graft.text.HashedLinearModel.calibrationAudit(docs(s, d))),
+    // Incremental DSIR: the arriving batch (doc_id % 10 = 7) scored
+    // against the MATERIALIZED base-corpus bucket counts — one map
+    // pass over the batch + a broadcast join with the ≤1024-row ratio
+    // table; the corpus is never re-read (the q137/q133 artifact
+    // shape). Out-of-vocabulary buckets take the smoothed uniform
+    // ratio instead of being dropped.
+    "q153_dsir_incremental" -> ((s, d) =>
+      graft.text.Curation.dsirScoreAgainstCounts(
+        graft.text.Curation.dsirFeatures(graft.Par.fanOut(
+          Tables.documents(s, d)
+            .where(pmod(col("doc_id"), lit(10)) ===
+              graft.warehouse.Warehouse.HoldoutMod)
+            .select(col("doc_id"), col("text")))),
+        graft.warehouse.Warehouse.dsirCounts(s, d))),
     // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
     // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
     // RRF, fused over the bounded lists only (never the corpus). The
@@ -4536,6 +4563,124 @@ object SparkEntry {
          |SELECT j.doc_id, j.cluster_id, j.refined_cluster_id, fl.was_split
          |FROM j JOIN fl USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // Independent DSIR replay: hashed-bigram distributions for the
+    // 'en' target and the raw corpus, add-one smoothed, ppb-fixed, ppm
+    // ratio mean per doc — the same integer pipeline end to end.
+    "q151_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, lang, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) AS pos FROM t),
+        |bi AS (SELECT a.doc_id, a.lang,
+        |    CAST(('0x' || substr(md5(a.w || ' ' || b.w), 1, 15)) AS BIGINT) % 1024 AS feat
+        |  FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cr AS (SELECT feat, count(*) AS cnt_r FROM bi GROUP BY feat),
+        |ct AS (SELECT feat, count(*) AS cnt_t FROM bi WHERE lang = 'en' GROUP BY feat),
+        |tr AS (SELECT count(*) AS tot_r FROM bi),
+        |tt AS (SELECT count(*) AS tot_t FROM bi WHERE lang = 'en'),
+        |ratio AS (SELECT feat,
+        |    ((coalesce(cnt_t, 0) + 1) * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // ((cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
+        |  FROM cr LEFT JOIN ct USING (feat) CROSS JOIN tr CROSS JOIN tt)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS score_ppm,
+        |  CAST(CAST(sum(ratio_ppm) // count(*) AS BIGINT) >= 1000000 AS INT)
+        |    AS keep_target_like
+        |FROM bi JOIN ratio USING (feat)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Incremental DSIR replay: base-corpus (doc_id % 10 <> 7) bucket
+    // counts, then the batch scored with the LEFT-join + smoothed-OOV
+    // fallback the incremental scorer uses — the artifact is re-derived
+    // from documents, so a stale/corrupt landed counts table fails here.
+    "q153_dsir_incremental" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, lang, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) AS pos FROM t),
+        |bi AS (SELECT a.doc_id, a.lang,
+        |    CAST(('0x' || substr(md5(a.w || ' ' || b.w), 1, 15)) AS BIGINT) % 1024 AS feat
+        |  FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cnts AS (SELECT feat, count(*) AS cnt_r,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+        |  FROM bi WHERE doc_id % 10 <> 7 GROUP BY feat),
+        |tots AS (SELECT coalesce(sum(cnt_r), 0) AS tot_r,
+        |    coalesce(sum(cnt_t), 0) AS tot_t FROM cnts),
+        |ratio AS (SELECT feat,
+        |    ((cnt_t + 1) * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // ((cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
+        |  FROM cnts CROSS JOIN tots),
+        |oov AS (SELECT (1 * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // (1 * 1000000000 // (tot_r + 1024)) AS oov_ppm FROM tots)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  CAST(sum(coalesce(ratio_ppm, oov_ppm)) // count(*) AS BIGINT) AS score_ppm,
+        |  CAST(CAST(sum(coalesce(ratio_ppm, oov_ppm)) // count(*) AS BIGINT)
+        |    >= 1000000 AS INT) AS keep_target_like
+        |FROM bi LEFT JOIN ratio USING (feat) CROSS JOIN oov
+        |WHERE doc_id % 10 = 7
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Full replay of scoring (q106's CTEs) + gold flags (q47's CTEs) +
+    // the tie-stable cumulative binning — distinct-logit cum window, so
+    // RANGE/ROWS peers coincide and both engines bin identically.
+    "q152_model_calibration" -> {
+      val h28 = (x: String) => s"CAST(('0x' || substr(md5($x), 1, 7)) AS BIGINT)"
+      val w = (x: String) =>
+        s"(${h28(s"'w:' || CAST(${h28(x)} % 4096 AS VARCHAR)")} % 2001 - 1000)"
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) >= 2 THEN
+         |      list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+         |    ELSE []::VARCHAR[] END AS bis
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(list_sum(list_transform(ws,  x -> ${w("x")})), 0)
+         |       + coalesce(list_sum(list_transform(bis, x -> ${w("x")})), 0) AS BIGINT)
+         |      AS logit_milli
+         |  FROM f),
+         |dist AS (SELECT logit_milli, count(*) AS c FROM s GROUP BY logit_milli),
+         |cum AS (SELECT logit_milli,
+         |    CAST(sum(c) OVER (ORDER BY logit_milli) - c AS BIGINT) AS below
+         |  FROM dist),
+         |tot AS (SELECT count(*) AS tot FROM s),
+         |binned AS (SELECT doc_id, logit_milli,
+         |    CAST(logit_milli >= 0 AS BIGINT) AS keep,
+         |    least(9, (below * 10) // tot) AS decile
+         |  FROM s JOIN cum USING (logit_milli) CROSS JOIN tot),
+         |tk AS (SELECT doc_id,
+         |    unnest(list_filter(str_split(trim(regexp_replace(regexp_replace(
+         |      lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '),
+         |      w2 -> w2 <> '')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+         |rep AS (SELECT doc_id, max(tf) AS max_tf, sum(tf) AS n_toks,
+         |    sum(length(tok) * tf) AS sum_len
+         |  FROM tf GROUP BY doc_id),
+         |base AS (SELECT doc_id,
+         |    length(coalesce(text, '')) AS n_chars,
+         |    length(coalesce(text, ''))
+         |      - length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9 ]', '', 'g')) AS n_plain
+         |  FROM documents),
+         |gold AS (SELECT b.doc_id,
+         |    CAST(NOT ((coalesce(max_tf, 0) * 5 >= coalesce(n_toks, 0)
+         |               AND coalesce(n_toks, 0) > 0)
+         |        OR (coalesce(sum_len, 0) < coalesce(n_toks, 0) * 3
+         |            OR coalesce(n_toks, 0) = 0)
+         |        OR coalesce(sum_len, 0) > coalesce(n_toks, 0) * 10
+         |        OR ((n_chars - n_plain) * 10 >= n_chars AND n_chars > 0))
+         |      AS BIGINT) AS gold_keep
+         |  FROM base b LEFT JOIN rep ON rep.doc_id = b.doc_id)
+         |SELECT decile, count(*) AS n_docs,
+         |  min(logit_milli) AS lo_milli, max(logit_milli) AS hi_milli,
+         |  CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS model_keep_ppm,
+         |  CAST(sum(gold_keep) * 1000000 // count(*) AS BIGINT) AS gold_keep_ppm
+         |FROM binned JOIN gold USING (doc_id)
+         |GROUP BY decile ORDER BY decile""".stripMargin
+    },
     // Replays the q14 pair graph, then 5 chained integer power
     // iterations (PageRank.Scale/DampNum/TeleportFix) — nonneg operands
     // so DuckDB // and Spark div agree; singletons via the final LEFT

@@ -149,4 +149,104 @@ object Curation {
       .agg(max(col(score)).as("threshold"))
       .select(col(group), col("n_rows"), col("threshold"))
   }
+
+  /** Data Selection with Importance Resampling weights (Xie et al. 2023,
+    * arXiv:2302.03169), fixed-point variant: score each document by how
+    * much more likely its hashed n-gram features are under a TARGET
+    * distribution than under the raw corpus. Features are adjacent-token
+    * bigrams hashed to `nBuckets` ids (the paper's hashed n-gram model);
+    * the target distribution is estimated from the docs matching
+    * `targetLang`, the raw distribution from the whole corpus, both with
+    * add-one smoothing over the bucket domain.
+    *
+    * Determinism: the paper's log-likelihood ratio sum is replaced by
+    * the per-occurrence likelihood-RATIO mean in integer ppm (the q65
+    * count-LM pattern) — bucket probabilities are first fixed to ppb by
+    * integer division, then ratioed to ppm, so any SQL engine replays
+    * the score bit-exactly; monotonicity in "more target-like" is
+    * preserved, which is all resampling consumes. Docs with fewer than
+    * two tokens have no features and are absent (same contract as q65).
+    *
+    * Output per doc: n_feats (bigram occurrences), score_ppm,
+    * keep_target_like = score_ppm ≥ 1e6 (more target- than raw-typical).
+    *
+    * Scale: two grouped counts over the bigram stream (map-side
+    * combine), two 1-row broadcast totals, and a broadcast-size ratio
+    * table (`nBuckets` rows) joined back map-side — per-doc cost is one
+    * pass over its tokens; nothing driver-side, nothing all-pairs. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  nBuckets: Int = 1024): DataFrame = {
+    val bi = dsirFeatures(docs, nBuckets).leased // distributions + scorer
+    dsirScoreAgainstCounts(bi, dsirCounts(bi, targetLang, nBuckets), nBuckets)
+  }
+
+  /** Hashed-bigram feature stream: one row per adjacent-token bigram
+    * occurrence, (doc_id, every other input column, feat ∈ [0,
+    * nBuckets)). The shared featurizer under [[dsirCounts]] and
+    * [[dsirScoreAgainstCounts]] — both sides of an incremental
+    * deployment MUST hash features identically or the ratio table is
+    * garbage, so there is exactly one implementation. */
+  def dsirFeatures(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .select(keep :+ expr("filter(split(text, ' '), w -> w != '')").as("ws"): _*)
+      .select(keep :+ explode(expr(
+        """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"): _*)
+      .select(keep :+ expr(s"md5_prefix(bg, 15) % ${nBuckets}L").as("feat"): _*)
+  }
+
+  /** The DSIR distribution state: per-bucket occurrence counts under
+    * the raw corpus (cnt_r) and the target slice (cnt_t, docs with
+    * lang = targetLang). ≤ nBuckets rows — broadcastable corpus state,
+    * and incrementally maintainable by a keyed sum-merge (counts add;
+    * WarehouseMaintenanceSpec pins the law). Input: a [[dsirFeatures]]
+    * stream carrying `lang`. */
+  def dsirCounts(feats: DataFrame, targetLang: String = "en",
+                 nBuckets: Int = 1024): DataFrame =
+    feats.groupBy("feat").agg(
+      count(lit(1)).as("cnt_r"),
+      sum((col("lang") === lit(targetLang)).cast("long")).as("cnt_t"))
+
+  /** Score a [[dsirFeatures]] stream against a landed counts table
+    * (the incremental-deployment half: distributions estimated once on
+    * the corpus, every arriving doc scored in one map pass + a
+    * broadcast join with the ≤nBuckets-row table — per-batch cost
+    * independent of corpus size). Buckets the corpus never saw take
+    * the add-one-smoothed 0/0 ratio, so out-of-vocabulary text scores
+    * against the uniform prior instead of being dropped.
+    *
+    * Determinism: bucket probabilities are fixed to ppb by integer
+    * division, then ratioed to ppm (numerators stay under 2^63 for any
+    * corpus below ~9e9 bigrams); the doc score is the per-occurrence
+    * ratio mean in ppm. Docs with no features are absent (q65
+    * contract). */
+  def dsirScoreAgainstCounts(feats: DataFrame, counts: DataFrame,
+                             nBuckets: Int = 1024): DataFrame = {
+    val tots = counts.agg(sum(col("cnt_r")).as("tot_r"),
+      sum(col("cnt_t")).as("tot_t"))
+    val ratios = counts.crossJoin(broadcast(tots))
+      .select(col("feat"), expr(
+        s"""((coalesce(cnt_t, 0L) + 1L) * 1000000000L div (coalesce(tot_t, 0L) + ${nBuckets}L))
+           | * 1000000L
+           | div ((coalesce(cnt_r, 0L) + 1L) * 1000000000L div (coalesce(tot_r, 0L) + ${nBuckets}L))"""
+          .stripMargin.replace("\n", "")).as("ratio_ppm"))
+    // OOV ratio = the same formula at cnt_t = cnt_r = 0, carried as a
+    // broadcast 1-row join so the plan stays pure dataframe (the
+    // oracle replays it as a scalar subquery).
+    val oov = tots.select(expr(
+      s"""((0L + 1L) * 1000000000L div (coalesce(tot_t, 0L) + ${nBuckets}L))
+         | * 1000000L
+         | div ((0L + 1L) * 1000000000L div (coalesce(tot_r, 0L) + ${nBuckets}L))"""
+        .stripMargin.replace("\n", "")).as("oov_ppm"))
+    feats.join(broadcast(ratios), Seq("feat"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("ratio_ppm", coalesce(col("ratio_ppm"), col("oov_ppm")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(ratio_ppm) div count(1)").as("score_ppm"))
+      .withColumn("keep_target_like", (col("score_ppm") >= lit(1000000L)).cast("int"))
+      .orderBy("doc_id")
+  }
 }

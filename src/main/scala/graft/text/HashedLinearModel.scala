@@ -72,4 +72,49 @@ object HashedLinearModel {
         col("logit_milli"),
         (col("logit_milli") >= 0).cast("int").as("keep"))
       .orderBy("doc_id")
+
+  /** Model-vs-heuristic calibration audit (reliability table): the
+    * [[score]] logits bucketed into 10 score deciles, each reporting how
+    * often the heuristic gold standard ([[TextAnalysis.qualityFlags]] —
+    * a doc is gold-keep iff NO flag fires) agrees, in integer ppm. A
+    * usable filter shows gold_keep_ppm rising with the decile; a flat
+    * table means the model separates nothing the heuristics see.
+    *
+    * Deciles are TIE-STABLE: docs are binned by the cumulative count of
+    * strictly-lower logits (`(cum_below·10) div total`, capped at 9), so
+    * equal logits always share a bin and no engine-specific tie order
+    * can move a doc across a boundary — the reason this is not ntile().
+    *
+    * Scale: the only window runs over the DISTINCT-logit table (value-
+    * compressed, like [[Curation.topFractionThresholds]]), never the
+    * corpus; doc→bin assignment is a broadcast-join map stage and the
+    * report is a 10-row aggregate. */
+  def calibrationAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.Graft.lease(
+      score(docs).select(col("doc_id"), col("logit_milli"), col("keep")))
+    val dist = scored.groupBy(col("logit_milli")).agg(count(lit(1)).as("c"))
+    val cum = dist.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(col("logit_milli"))))
+      .select(col("logit_milli"), (col("cum") - col("c")).as("below"))
+    val tot = scored.agg(count(lit(1)).as("tot"))
+    val binned = scored
+      .join(broadcast(cum), Seq("logit_milli"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("logit_milli"), col("keep"),
+        least(lit(9L), expr("(below * 10) div tot")).as("decile"))
+    val gold = TextAnalysis.qualityFlags(docs)
+      .select(col("doc_id"),
+        (greatest(col("flag_repetitive"), col("flag_short_words"),
+          col("flag_long_words"), col("flag_symbol_heavy")) === 0)
+          .cast("long").as("gold_keep"))
+    binned.join(gold, Seq("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("logit_milli")).as("lo_milli"),
+        max(col("logit_milli")).as("hi_milli"),
+        expr("(sum(keep) * 1000000) div count(1)").as("model_keep_ppm"),
+        expr("(sum(gold_keep) * 1000000) div count(1)").as("gold_keep_ppm"))
+      .orderBy("decile")
+  }
 }

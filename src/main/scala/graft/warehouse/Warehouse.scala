@@ -419,6 +419,24 @@ object Warehouse {
   def buildBm25DocLens(postings: DataFrame): DataFrame =
     postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
 
+  /** DSIR distribution state over the BASE corpus (doc_id % 10 !=
+    * [[HoldoutMod]]): per-bucket hashed-bigram counts under the raw
+    * corpus and the 'en' target slice
+    * ([[graft.text.Curation.dsirCounts]]). ≤ 1024 rows — the
+    * broadcast-size ratio table the incremental scorer (q153) probes,
+    * so scoring an arriving batch never re-reads the corpus. Counts
+    * sum-merge under appends (WarehouseMaintenanceSpec pins the law). */
+  def buildDsirCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("feat"),
+        col("id").as("cnt_r"), col("id").as("cnt_t")).repartition(1)
+    graft.text.Curation.dsirCounts(graft.text.Curation.dsirFeatures(
+      Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(10)) =!= HoldoutMod)
+        .select(col("doc_id"), col("text"), col("lang"))))
+  }
+
   /** Canonical hashed shingle sets (doc_id, hs ARRAY<BIGINT>) — the
     * shared exact-set-similarity artifact
     * ([[graft.text.TextDedup.hashedShingleSets]]): PPJoin (q32),
@@ -646,6 +664,7 @@ object Warehouse {
       "gram_bloom_base" -> (() => buildGramBloomBase(spark,
         spark.read.parquet(s"$dir/gram_index_base"))),
       "bm25_postings" -> (() => buildBm25Postings(spark, sfDir)),
+      "dsir_counts" -> (() => buildDsirCounts(spark, sfDir)),
       "token_positions" -> (() => buildTokenPositions(spark, sfDir)),
       "doc_hashsets" -> (() => buildDocHashsets(spark, sfDir)),
       "bm25_doclens" -> (() => buildBm25DocLens(
@@ -827,6 +846,10 @@ object Warehouse {
   /** Materialized BM25 doc lengths (see [[buildBm25DocLens]]). */
   def bm25DocLens(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "bm25_doclens")
+
+  /** Materialized DSIR bucket counts (see [[buildDsirCounts]]). */
+  def dsirCounts(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "dsir_counts")
 
   /** Materialized positional postings (see [[buildTokenPositions]]). */
   def tokenPositions(spark: SparkSession, sfDir: String): DataFrame =

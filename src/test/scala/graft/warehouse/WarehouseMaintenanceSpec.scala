@@ -44,6 +44,7 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     "token_positions" -> "per-doc append law",
     "cooccur_edges" -> "keyed sum-merge law",
     "token_unigrams" -> "keyed sum-merge law",
+    "dsir_counts" -> "keyed sum-merge law (two value columns)",
     "pq_codes" -> "per-vector encode under frozen codebooks",
     "events_by_day" -> "Ingest.appendPartitioned of each day batch")
 
@@ -193,6 +194,16 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       merge(Cooccur.unigramCounts(dfA).unionByName(Cooccur.unigramCounts(dfB)),
         Seq("tok"), "n"),
       Cooccur.unigramCounts(dfAB), "token_unigrams")
+    // dsir_counts sums BOTH value columns per feat bucket; give the
+    // fixtures a lang so the target column is non-degenerate
+    import graft.text.Curation
+    def langed(df: DataFrame) = df.withColumn("lang",
+      when(pmod(col("doc_id"), lit(2)) === 0, "en").otherwise("de"))
+    def cnts(df: DataFrame) = Curation.dsirCounts(Curation.dsirFeatures(langed(df)))
+    assertEq(
+      cnts(dfA).unionByName(cnts(dfB)).groupBy("feat")
+        .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t")),
+      cnts(dfAB), "dsir_counts")
   }
 
   test("events_by_day: daily partitioned append equals cold rebuild") {
