@@ -132,6 +132,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q153: incremental DSIR probes the landed counts artifact, broadcast-only joins") {
+    // the batch is the ONLY documents scan (the base corpus lives in
+    // the dsir_counts parquet); the ratio/OOV joins must broadcast the
+    // ≤1024-row side — a sort-merge join here means the broadcast hint
+    // was lost and the batch would shuffle on feat at scale
+    val qe = SparkEntry.queries("q153_dsir_incremental")(spark, sfDir).queryExecution
+    // plan-string locations truncate; read the scan roots off the
+    // optimized logical plan instead
+    val scans = qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.exists(_.contains("dsir_counts")),
+      s"q153 no longer reads the counts artifact; scans = $scans")
+    assert(scans.count(_.contains("documents.parquet")) == 1,
+      s"q153 must scan documents exactly once (the batch); scans = $scans")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"q153 regained a shuffle join:\n$p")
+    assert(!p.contains("Window"), s"q153 regained a window:\n$p")
+  }
+
   test("q128: the quantile window runs over the distinct-value table, not the corpus") {
     // group-then-window: the cumulative runs over the (source, quality)
     // aggregate. The threshold table feeds two consumers (the kept
