@@ -2288,7 +2288,7 @@ object SparkEntry {
   /** Shared oracle CTE: embeddings as double vectors with norms
     * (mirrors Similarity.prepared). */
   private val VecCte: String =
-    """en AS (
+    """en AS MATERIALIZED (
       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
 
@@ -2305,7 +2305,7 @@ object SparkEntry {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-      |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+      |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
       |$docQualityCtes,
       |j AS (SELECT c.cluster_id, c.doc_id, q.quality
       |  FROM comp c JOIN q USING (doc_id)),
@@ -2388,12 +2388,16 @@ object SparkEntry {
   /** Label-blocked exact-top-3 truth CTE (`exb`) — the q17 replay;
     * compose after `en`. */
   private def blockedExactCte: String =
+    // the inner scalar projection (qid, nid, score) is load-bearing:
+    // without it DuckDB carries the 64-double embedding arrays through
+    // the window sort — at sf1 that was a 60 GiB OOM, projected it is
+    // seconds (same expression, same tie-break, identical values)
     s"""exb AS (SELECT qid, nid FROM (
-       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-       |          b.vec_id) AS rank
-       |    FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, nid) AS rank
+       |    FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |            list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+       |          FROM en a JOIN en b ON a.label = b.label AND a.vec_id <> b.vec_id))
        |  WHERE rank <= 3)""".stripMargin
 
   /** Sampled-GLOBAL exact-top-3 truth CTEs (`sq`, `exg`) — the q120
@@ -2404,11 +2408,11 @@ object SparkEntry {
        |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |        % 50 = 0),
        |exg AS (SELECT qid, nid FROM (
-       |    SELECT s.vec_id AS qid, e.vec_id AS nid,
-       |      row_number() OVER (PARTITION BY s.vec_id
-       |        ORDER BY list_dot_product(s.v, e.v) / (s.nrm * e.nrm) DESC,
-       |          e.vec_id) AS rank
-       |    FROM sq s JOIN en e ON s.vec_id <> e.vec_id)
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, nid) AS rank
+       |    FROM (SELECT s.vec_id AS qid, e.vec_id AS nid,
+       |            list_dot_product(s.v, e.v) / (s.nrm * e.nrm) AS score
+       |          FROM sq s JOIN en e ON s.vec_id <> e.vec_id))
        |  WHERE rank <= 3)""".stripMargin
 
   /** Both truth tables stacked with a `truth` tag (`tr`) — the dual
@@ -2839,7 +2843,7 @@ object SparkEntry {
         |  FROM documents),
         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
         |  FROM t WHERE len(ws) >= 8),
-        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |g AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
         |    CAST(('0x' || substr(md5(
         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
         |  FROM g0),
@@ -2930,7 +2934,7 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |cs AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id),
          |w AS (SELECT c.doc_id, 1000000 // n_members AS weight_ppm
          |  FROM comp c JOIN cs USING (cluster_id)),
@@ -3117,14 +3121,16 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
-         |t AS (SELECT doc_id,
+         |-- (comp is MATERIALIZED: the closure rollup is re-read by several
+         |-- consumers; inlining re-ran the recursive reach per consumer)
+         |t AS MATERIALIZED (SELECT doc_id,
          |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
          |  FROM documents),
          |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
          |  FROM t WHERE len(ws) >= 8),
-         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |g AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |    CAST(('0x' || substr(md5(
          |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
          |  FROM g0),
@@ -3249,14 +3255,16 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
-         |t AS (SELECT doc_id,
+         |-- (comp is MATERIALIZED: the closure rollup is re-read by several
+         |-- consumers; inlining re-ran the recursive reach per consumer)
+         |t AS MATERIALIZED (SELECT doc_id,
          |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
          |  FROM documents),
          |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
          |  FROM t WHERE len(ws) >= 8),
-         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |g AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |    CAST(('0x' || substr(md5(
          |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
          |  FROM g0),
@@ -3272,11 +3280,11 @@ object SparkEntry {
          |cv AS (SELECT doc_id, ws,
          |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
          |  FROM rr),
-         |scr AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |scr AS MATERIALIZED (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
          |    CAST(len(ws) - len(cov) AS BIGINT) AS kept_tokens
          |  FROM cv),
          |$docQualityCtes,
-         |surv AS (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
+         |surv AS MATERIALIZED (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
          |    q.quality
          |  FROM scr JOIN keep USING (doc_id)
          |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
@@ -3298,7 +3306,7 @@ object SparkEntry {
          |tt2 AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it2),
          |mx AS (SELECT source, (w * 1000000) // w_tot AS mix_ppm
          |  FROM it2 CROSS JOIN tt2),
-         |survp AS (SELECT * FROM surv WHERE doc_id % 10 <> 7),
+         |survp AS MATERIALIZED (SELECT * FROM surv WHERE doc_id % 10 <> 7),
          |snp AS (SELECT source, count(*) AS n_rows FROM survp GROUP BY source),
          |sdp AS (SELECT source, quality, count(*) AS cq
          |  FROM survp GROUP BY source, quality),
@@ -3583,7 +3591,7 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |$docQualityCtes,
          |bs AS (SELECT source, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -3736,7 +3744,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 <> 7),
         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
         |  FROM t WHERE len(ws) >= 8),
-        |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |g AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
         |    CAST(('0x' || substr(md5(
         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
         |  FROM g0),
@@ -3812,7 +3820,7 @@ object SparkEntry {
     "q99_ann_recall" ->
       s"""WITH $VecCte,
          |$dualTruthCtes,
-         |bk AS (SELECT vec_id, v, nrm,
+         |bk AS MATERIALIZED (SELECT vec_id, v, nrm,
          |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
          |    CASE WHEN list_dot_product(
          |        list_transform(generate_series(1, 64), i ->
@@ -3822,11 +3830,11 @@ object SparkEntry {
          |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
          |  FROM en),
          |an AS (SELECT qid, nid FROM (
-         |    SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |      row_number() OVER (PARTITION BY a.vec_id
-         |        ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
-         |          b.vec_id) AS rank
-         |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, nid) AS rank
+         |    FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |            list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+         |          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id))
          |  WHERE rank <= 3),
          |h AS (SELECT e.truth, e.qid, count(an.nid) AS hits, count(*) AS n_exact
          |  FROM tr e LEFT JOIN an ON an.qid = e.qid AND an.nid = e.nid
@@ -4059,8 +4067,10 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |-- (comp is MATERIALIZED: the closure rollup is re-read by several
+         |-- consumers; inlining re-ran the recursive reach per consumer)
          |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
          |  FROM documents JOIN keep USING (doc_id)),
          |c AS (SELECT doc_id, len(ws) AS n,
@@ -4088,8 +4098,10 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |-- (comp is MATERIALIZED: the closure rollup is re-read by several
+         |-- consumers; inlining re-ran the recursive reach per consumer)
          |t AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
          |  FROM documents JOIN keep USING (doc_id)),
          |c AS (SELECT doc_id, len(ws) AS n,
@@ -4129,8 +4141,10 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |-- (comp is MATERIALIZED: the closure rollup is re-read by several
+         |-- consumers; inlining re-ran the recursive reach per consumer)
          |$docQualityCtes,
          |t2 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
          |  FROM documents JOIN keep USING (doc_id)),
@@ -4296,7 +4310,7 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |sizes AS (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id)
          |SELECT doc_id, cluster_id, n_members,
          |       CAST(doc_id = cluster_id AS INT) AS is_keeper
@@ -4520,7 +4534,7 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |pe AS (SELECT c.cluster_id, count(*) AS n_edges,
          |    min(CAST(floor(p.jaccard * 1000000.0) AS BIGINT)) AS min_jacc_ppm
          |  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a GROUP BY c.cluster_id),
@@ -4544,7 +4558,7 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |    WHERE CAST(floor(jaccard * 1000000.0) AS BIGINT) >= 800000
          |  UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -5536,7 +5550,7 @@ object SparkEntry {
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
-         |comp AS (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
          |s AS (SELECT doc_id, cluster_id,
          |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bc,
          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bd
