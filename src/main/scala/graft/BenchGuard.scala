@@ -65,6 +65,13 @@ object BenchGuard {
     "q133_bm25_postings" -> 1.2,
     "q139_gram_skew_audit" -> 1.5,
     "q140_release_card" -> 11.5,
+    // r11: the diff runs the decision layer TWICE over one leased
+    // scrub (median 13.6 after the decide-intermediates lease fix —
+    // a trip means a decide subtree is re-executing per consumer)
+    "q147_release_diff" -> 14.0,
+    "q152_model_calibration" -> 2.9,
+    "q151_dsir_weights" -> 1.8,
+    "q154_dsir_resample" -> 2.8,
     "q141_index_erasure" -> 5.0,
     "q142_curriculum_pack" -> 2.4,
     "q143_index_drift" -> 2.0,

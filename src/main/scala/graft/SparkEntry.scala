@@ -986,6 +986,21 @@ object SparkEntry {
               graft.warehouse.Warehouse.HoldoutMod)
             .select(col("doc_id"), col("text")))),
         graft.warehouse.Warehouse.dsirCounts(s, d))),
+    // DSIR resampling REALIZED: deterministic hash-threshold keep with
+    // probability ∝ importance weight, targeting 1/4 of the corpus —
+    // the weights→dataset step the paper's pipeline ends with. Keep
+    // probability is corpus-size-overflow-safe (see dsirResample).
+    "q154_dsir_resample" -> ((s, d) =>
+      graft.text.Curation.dsirResample(graft.Par.fanOut(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))))),
+    // Train/test split leakage: a 10% holdout split probed against the
+    // MATERIALIZED near-dup pair graph for pairs straddling the split —
+    // contaminated test docs measure memorization, not generalization.
+    // Per-source rates in integer ppm.
+    "q155_split_leakage" -> ((s, d) =>
+      graft.text.Curation.splitLeakage(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        graft.warehouse.Warehouse.nearDupPairs(s, d))),
     // Hybrid-retrieval ensemble: reciprocal-rank fusion of the LSH
     // (q18) and materialized-IVF (q29) top-3 lists — integer-micros
     // RRF, fused over the bounded lists only (never the corpus). The
@@ -4634,6 +4649,64 @@ object SparkEntry {
         |FROM bi LEFT JOIN ratio USING (feat) CROSS JOIN oov
         |WHERE doc_id % 10 = 7
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q151's replay + the resample arithmetic: totals, the overflow-safe
+    // keep probability, and the 'rs:'-hash keep decision.
+    "q154_dsir_resample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, lang, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) AS pos FROM t),
+        |bi AS (SELECT a.doc_id, a.lang,
+        |    CAST(('0x' || substr(md5(a.w || ' ' || b.w), 1, 15)) AS BIGINT) % 1024 AS feat
+        |  FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |cr AS (SELECT feat, count(*) AS cnt_r FROM bi GROUP BY feat),
+        |ct AS (SELECT feat, count(*) AS cnt_t FROM bi WHERE lang = 'en' GROUP BY feat),
+        |tr AS (SELECT count(*) AS tot_r FROM bi),
+        |tt AS (SELECT count(*) AS tot_t FROM bi WHERE lang = 'en'),
+        |ratio AS (SELECT feat,
+        |    ((coalesce(cnt_t, 0) + 1) * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // ((cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
+        |  FROM cr LEFT JOIN ct USING (feat) CROSS JOIN tr CROSS JOIN tt),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS score_ppm
+        |  FROM bi JOIN ratio USING (feat) GROUP BY doc_id),
+        |tot AS (SELECT CAST(sum(score_ppm) AS BIGINT) AS tot,
+        |    CAST(count(*) // 4 AS BIGINT) AS n_target FROM sc),
+        |pr AS (SELECT doc_id, score_ppm,
+        |    least(1000000, (score_ppm * 1000000)
+        |      // greatest(1, tot // greatest(1, n_target))) AS keep_prob_ppm
+        |  FROM sc CROSS JOIN tot)
+        |SELECT doc_id, score_ppm, keep_prob_ppm,
+        |  CAST(CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |       % 1000000 < keep_prob_ppm AS INT) AS kept
+        |FROM pr ORDER BY doc_id""".stripMargin,
+    // Replays the near-dup pair graph (the artifact's own derivation),
+    // the 'sp:'-hash split, and the straddling-pair contamination
+    // rollup — per-source integer-ppm leak rates.
+    "q155_split_leakage" ->
+      s"""WITH $ShinglesCte,
+         |$LshPairsCtes,
+         |d AS (SELECT doc_id, source,
+         |    CAST(CAST(('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |         % 100 < 10 AS INT) AS is_test
+         |  FROM documents),
+         |xdoc AS (SELECT DISTINCT
+         |    CASE WHEN da.is_test = 1 THEN p.doc_a ELSE p.doc_b END AS doc_id
+         |  FROM pairs p JOIN d da ON da.doc_id = p.doc_a
+         |  JOIN d db ON db.doc_id = p.doc_b
+         |  WHERE da.is_test <> db.is_test)
+         |SELECT d.source,
+         |  CAST(sum(1 - is_test) AS BIGINT) AS n_train,
+         |  CAST(sum(is_test) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN is_test ELSE 0 END) AS BIGINT)
+         |    AS n_test_contaminated,
+         |  CASE WHEN sum(is_test) > 0 THEN
+         |    (CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN is_test ELSE 0 END) AS BIGINT)
+         |     * 1000000) // CAST(sum(is_test) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS leak_ppm
+         |FROM d LEFT JOIN xdoc x USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // Full replay of scoring (q106's CTEs) + gold flags (q47's CTEs) +
     // the tie-stable cumulative binning — distinct-logit cum window, so
     // RANGE/ROWS peers coincide and both engines bin identically.

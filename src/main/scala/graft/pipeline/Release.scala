@@ -136,13 +136,19 @@ object Release {
                   minTokens: Int = 8): DataFrame = {
     val surv = survivors(docs, grams, clusters, quality, minTokens).leased
     surv.count() // eager fill — both decision layers read it (q32 rule)
+    // every decide() output is consumed TWICE downstream (churn + its
+    // stats/assembly join) and Spark recomputes each DataFrame
+    // reference — unleased, the whole threshold→gate→rate→sample tree
+    // re-executed per consumer (~12 s of re-run stages at sf0.1 for
+    // zero new information); leased, each fills once
     def decide(s: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val thr = gateThresholds(s)
-      val g = s.join(thr.select(col("source"), col("threshold")), Seq("source"))
-        .where(col("quality") >= col("threshold"))
-      val rates = mixtureRates(g, mixture)
-      (thr, rates, releasedDocs(g, rates)
-        .select(col("doc_id"), col("source"), col("kept_tokens")))
+      val thr = graft.Graft.lease(gateThresholds(s))
+      val g = graft.Graft.lease(
+        s.join(thr.select(col("source"), col("threshold")), Seq("source"))
+          .where(col("quality") >= col("threshold")))
+      val rates = graft.Graft.lease(mixtureRates(g, mixture))
+      (thr, rates, graft.Graft.lease(releasedDocs(g, rates)
+        .select(col("doc_id"), col("source"), col("kept_tokens"))))
     }
     val (thrP, ratesP, relP) = decide(surv.where(!isNew))
     val (thrC, ratesC, relC) = decide(surv)

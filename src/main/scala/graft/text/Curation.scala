@@ -249,4 +249,73 @@ object Curation {
       .withColumn("keep_target_like", (col("score_ppm") >= lit(1000000L)).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** Realize the DSIR RESAMPLING step over [[dsirWeights]] scores:
+    * keep each doc with probability proportional to its importance
+    * weight, targeting ~1/denomFrac of the scored corpus. The keep
+    * decision is a deterministic hash threshold (the q140 sampling
+    * pattern, 'rs:'-prefixed so it decorrelates from every other
+    * sampler in the pipeline), so the realized dataset is replayable
+    * bit-for-bit by any engine.
+    *
+    * Overflow discipline: p_i = min(1e6, (score_ppm_i · 1e6) div
+    * (tot div N)) — the numerator is bounded by max-score·1e6
+    * INDEPENDENT of corpus size (score_ppm_i · N · 1e6 div tot, the
+    * naive form, overflows 2^63 once N passes ~1e7 docs). E[kept] ≈ N
+    * up to the min-clamp on over-weighted docs.
+    *
+    * Scale: one pass over the scored table + two broadcast 1-row
+    * totals; no shuffle beyond [[dsirWeights]]'s own. */
+  def dsirResample(docs: DataFrame, targetLang: String = "en",
+                   denomFrac: Int = 4): DataFrame = {
+    val w = dsirWeights(docs, targetLang).leased
+    val tot = w.agg(sum(col("score_ppm")).as("tot"),
+      (count(lit(1)) / lit(denomFrac)).cast("long").as("n_target"))
+    w.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("score_ppm"),
+        least(lit(1000000L),
+          expr("(score_ppm * 1000000L) div greatest(1L, tot div greatest(1L, n_target))"))
+          .as("keep_prob_ppm"))
+      .withColumn("kept",
+        (expr("md5_prefix(concat('rs:', cast(doc_id as string)), 15) % 1000000L")
+          < col("keep_prob_ppm")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Train/test split LEAKAGE audit: a deterministic 10% holdout split
+    * ('sp:'-prefixed hash, decorrelated from every sampler), then the
+    * near-duplicate pair graph is probed for pairs that STRADDLE the
+    * split — a test doc with a train-side near-duplicate is a
+    * contaminated eval point (its score measures memorization, not
+    * generalization). Reports, per source: split sizes, the number of
+    * contaminated test docs, and the contamination rate in integer ppm.
+    *
+    * Scale: two id-keyed joins of the (corpus-state) pair table against
+    * the split flags, a distinct over the contaminated ids, and a
+    * per-source rollup — no pair generation here; the landed
+    * neardup_pairs artifact is the single source of truth for the
+    * duplicate graph (the q35/q105 argument). */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame,
+                   testPct: Int = 10): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      (expr("md5_prefix(concat('sp:', cast(doc_id as string)), 15) % 100")
+        < lit(testPct)).cast("int").as("is_test")).leased
+    val flags = d.select(col("doc_id"), col("is_test"))
+    val cross = pairs.select(col("doc_a"), col("doc_b"))
+      .join(flags.select(col("doc_id").as("doc_a"), col("is_test").as("ta")), Seq("doc_a"))
+      .join(flags.select(col("doc_id").as("doc_b"), col("is_test").as("tb")), Seq("doc_b"))
+      .where(col("ta") =!= col("tb"))
+      .select(when(col("ta") === 1, col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    d.join(cross.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        sum(lit(1) - col("is_test")).as("n_train"),
+        sum(col("is_test")).as("n_test"),
+        sum(coalesce(col("contaminated"), lit(0)) * col("is_test")).as("n_test_contaminated"))
+      .withColumn("leak_ppm",
+        when(col("n_test") > 0,
+          expr("(n_test_contaminated * 1000000) div n_test")).otherwise(lit(0L)))
+      .orderBy("source")
+  }
 }

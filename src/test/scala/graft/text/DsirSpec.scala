@@ -83,4 +83,27 @@ class DsirSpec extends SparkSpec {
       .select("doc_id", "score_ppm").as[(Long, Long)].collect().toMap
     assert(inc == full)
   }
+
+  test("resample: keep probability is the exact clamped share; kept follows the hash") {
+    val w = Curation.dsirWeights(docs)
+      .select("doc_id", "score_ppm").as[(Long, Long)].collect().toMap
+    val tot = w.values.sum
+    val nTarget = w.size.toLong / 4  // 4 scored docs → target 1
+    val out = Curation.dsirResample(docs)
+      .select("doc_id", "score_ppm", "keep_prob_ppm", "kept")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.map(_._1).toSet == w.keySet)
+    out.foreach { case (id, s, p, k) =>
+      assert(s == w(id))
+      val expectedP = math.min(1000000L,
+        s * 1000000L / math.max(1L, tot / math.max(1L, nTarget)))
+      assert(p == expectedP, s"doc $id")
+      // the keep bit replays from the 'rs:' hash — spark-side expr,
+      // compared via a one-row replay through the registered function
+      val hash = spark.sql(
+        s"SELECT md5_prefix(concat('rs:', cast(${id}L as string)), 15) % 1000000")
+        .head().getLong(0)
+      assert(k == (if (hash < p) 1 else 0), s"doc $id")
+    }
+  }
 }
