@@ -44,7 +44,7 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     "token_positions" -> "per-doc append law",
     "cooccur_edges" -> "keyed sum-merge law",
     "token_unigrams" -> "keyed sum-merge law",
-    "dsir_counts" -> "keyed sum-merge law (two value columns)",
+    "dsir_counts" -> "StreamDsir.mergeBatch (keyed sum-merge, two value columns)",
     "pq_codes" -> "per-vector encode under frozen codebooks",
     "events_by_day" -> "Ingest.appendPartitioned of each day batch")
 
