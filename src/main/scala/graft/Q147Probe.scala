@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Stage-attribution probe for the q147 release diff (the [[Q140Probe]]
-  * pattern): times the shared survivor scrub, one decision layer, both
-  * layers, and the full diff so a regression pins to a stage. Usage:
-  * `Q147Probe [sfDir]`. */
+  * pattern): times the shared survivor scrub, ONE decision layer (in
+  * releaseDiff's leased shape, so the number reconciles with the
+  * production path), and the full diff so a regression pins to a
+  * stage. Usage: `Q147Probe [sfDir]`. */
 object Q147Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -35,12 +36,16 @@ object Q147Probe {
 
     time("survivors (shared scrub)")(surv)
     time("one decision layer (thr+gate+rates+released)")({
+      // same lease shape as releaseDiff.decide — unleased, g's
+      // lineage would re-execute for rates AND released, timing a
+      // shape the production path no longer has
       val s = Graft.lease(surv); s.count()
-      val thr = graft.pipeline.Release.gateThresholds(s)
-      val g = s.join(thr.select(col("source"), col("threshold")), Seq("source"))
-        .where(col("quality") >= col("threshold"))
+      val thr = Graft.lease(graft.pipeline.Release.gateThresholds(s))
+      val g = Graft.lease(
+        s.join(thr.select(col("source"), col("threshold")), Seq("source"))
+          .where(col("quality") >= col("threshold")))
       graft.pipeline.Release.releasedDocs(
-        g, graft.pipeline.Release.mixtureRates(g, mixture))
+        g, Graft.lease(graft.pipeline.Release.mixtureRates(g, mixture)))
     })
     time("full releaseDiff")(graft.pipeline.Release.releaseDiff(
       docs, grams, clusters, quality, mixture,

@@ -4609,8 +4609,8 @@ object SparkEntry {
         |tr AS (SELECT count(*) AS tot_r FROM bi),
         |tt AS (SELECT count(*) AS tot_t FROM bi WHERE lang = 'en'),
         |ratio AS (SELECT feat,
-        |    ((coalesce(cnt_t, 0) + 1) * 1000000000 // (tot_t + 1024)) * 1000000
-        |      // ((cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
+        |    greatest(1, (coalesce(cnt_t, 0) + 1) * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // greatest(1, (cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
         |  FROM cr LEFT JOIN ct USING (feat) CROSS JOIN tr CROSS JOIN tt)
         |SELECT doc_id, count(*) AS n_feats,
         |  CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS score_ppm,
@@ -4637,11 +4637,11 @@ object SparkEntry {
         |tots AS (SELECT coalesce(sum(cnt_r), 0) AS tot_r,
         |    coalesce(sum(cnt_t), 0) AS tot_t FROM cnts),
         |ratio AS (SELECT feat,
-        |    ((cnt_t + 1) * 1000000000 // (tot_t + 1024)) * 1000000
-        |      // ((cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
+        |    greatest(1, (cnt_t + 1) * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // greatest(1, (cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
         |  FROM cnts CROSS JOIN tots),
-        |oov AS (SELECT (1 * 1000000000 // (tot_t + 1024)) * 1000000
-        |      // (1 * 1000000000 // (tot_r + 1024)) AS oov_ppm FROM tots)
+        |oov AS (SELECT greatest(1, 1 * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // greatest(1, 1 * 1000000000 // (tot_r + 1024)) AS oov_ppm FROM tots)
         |SELECT doc_id, count(*) AS n_feats,
         |  CAST(sum(coalesce(ratio_ppm, oov_ppm)) // count(*) AS BIGINT) AS score_ppm,
         |  CAST(CAST(sum(coalesce(ratio_ppm, oov_ppm)) // count(*) AS BIGINT)
@@ -4665,8 +4665,8 @@ object SparkEntry {
         |tr AS (SELECT count(*) AS tot_r FROM bi),
         |tt AS (SELECT count(*) AS tot_t FROM bi WHERE lang = 'en'),
         |ratio AS (SELECT feat,
-        |    ((coalesce(cnt_t, 0) + 1) * 1000000000 // (tot_t + 1024)) * 1000000
-        |      // ((cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
+        |    greatest(1, (coalesce(cnt_t, 0) + 1) * 1000000000 // (tot_t + 1024)) * 1000000
+        |      // greatest(1, (cnt_r + 1) * 1000000000 // (tot_r + 1024)) AS ratio_ppm
         |  FROM cr LEFT JOIN ct USING (feat) CROSS JOIN tr CROSS JOIN tt),
         |sc AS (SELECT doc_id,
         |    CAST(sum(ratio_ppm) // count(*) AS BIGINT) AS score_ppm

@@ -40,12 +40,24 @@ object StreamDsir {
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
     if (batchId > lastMerged) {
+      // bucket-space guard: attaching a 1024-bucket maintainer to a
+      // table built with a larger space would silently mix two
+      // incompatible feature hashes — the distribution fork the
+      // object doc warns about. max(feat) ≥ nBuckets is proof of
+      // mismatch; fail loudly instead of merging.
+      existing.foreach { df =>
+        val maxFeat = Option(df.agg(max(col("feat"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L)
+        require(maxFeat < nBuckets,
+          s"dsir_counts at $countsPath has feat=$maxFeat ≥ nBuckets=$nBuckets: " +
+            "the landed table was built with a different bucket space")
+      }
       val prior = existing.map(_.select(col("feat"), col("cnt_r"), col("cnt_t")))
         .getOrElse(spark.range(0).select(col("id").as("feat"),
           col("id").as("cnt_r"), col("id").as("cnt_t")))
       val merged = prior
         .unionByName(Curation.dsirCounts(
-          Curation.dsirFeatures(batch, nBuckets), targetLang, nBuckets))
+          Curation.dsirFeatures(batch, nBuckets), targetLang))
         .groupBy(col("feat"))
         .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t"))
       Ingest.overwriteSwap(spark,
@@ -54,13 +66,15 @@ object StreamDsir {
   }
 
   /** Attach the continuously-maintaining sink. `docs` is a streaming
-    * DataFrame carrying (doc_id, text, lang). */
+    * DataFrame carrying (doc_id, text, lang). `nBuckets` MUST match
+    * the space the landed table was built with (mergeBatch verifies). */
   def sink(spark: SparkSession, docs: DataFrame, countsPath: String,
-           checkpointDir: String, targetLang: String = "en"): StreamingQuery =
+           checkpointDir: String, targetLang: String = "en",
+           nBuckets: Int = 1024): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        mergeBatch(spark, batch.toDF(), batchId, countsPath, targetLang)
+        mergeBatch(spark, batch.toDF(), batchId, countsPath, targetLang, nBuckets)
       }
       .start()
 }

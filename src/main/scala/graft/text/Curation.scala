@@ -177,7 +177,7 @@ object Curation {
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
                   nBuckets: Int = 1024): DataFrame = {
     val bi = dsirFeatures(docs, nBuckets).leased // distributions + scorer
-    dsirScoreAgainstCounts(bi, dsirCounts(bi, targetLang, nBuckets), nBuckets)
+    dsirScoreAgainstCounts(bi, dsirCounts(bi, targetLang), nBuckets)
   }
 
   /** Hashed-bigram feature stream: one row per adjacent-token bigram
@@ -199,12 +199,15 @@ object Curation {
 
   /** The DSIR distribution state: per-bucket occurrence counts under
     * the raw corpus (cnt_r) and the target slice (cnt_t, docs with
-    * lang = targetLang). ≤ nBuckets rows — broadcastable corpus state,
-    * and incrementally maintainable by a keyed sum-merge (counts add;
+    * lang = targetLang). Row count bounded by the featurizer's bucket
+    * space — broadcastable corpus state, and incrementally
+    * maintainable by a keyed sum-merge (counts add;
     * WarehouseMaintenanceSpec pins the law). Input: a [[dsirFeatures]]
-    * stream carrying `lang`. */
-  def dsirCounts(feats: DataFrame, targetLang: String = "en",
-                 nBuckets: Int = 1024): DataFrame =
+    * stream carrying `lang`; the bucket space is FIXED at
+    * featurization time (this is a plain keyed count — it takes no
+    * nBuckets on purpose, so no caller can believe the counts layer
+    * re-buckets). */
+  def dsirCounts(feats: DataFrame, targetLang: String = "en"): DataFrame =
     feats.groupBy("feat").agg(
       count(lit(1)).as("cnt_r"),
       sum((col("lang") === lit(targetLang)).cast("long")).as("cnt_t"))
@@ -217,9 +220,16 @@ object Curation {
     * the add-one-smoothed 0/0 ratio, so out-of-vocabulary text scores
     * against the uniform prior instead of being dropped.
     *
-    * Determinism: bucket probabilities are fixed to ppb by integer
-    * division, then ratioed to ppm (numerators stay under 2^63 for any
-    * corpus below ~9e9 bigrams); the doc score is the per-occurrence
+    * Determinism and scale bounds: bucket probabilities are fixed to
+    * ppb by integer division, then ratioed to ppm. The ppb numerator
+    * stays under 2^63 for any corpus below ~9e9 bigrams; the ppb
+    * VALUE is clamped to ≥ 1 on BOTH sides — past ~1e9 bigrams a
+    * rare bucket's ppb probability underflows to 0, and an unclamped
+    * ratio would divide by zero (ANSI Spark throws, DuckDB NULLs —
+    * both wrong) exactly at the corpus sizes DSIR targets. The clamp
+    * is a 1e-9 probability-resolution floor: buckets rarer than
+    * one-in-1e9 saturate at the floor, preserving monotonicity, which
+    * is all resampling consumes. The doc score is the per-occurrence
     * ratio mean in ppm. Docs with no features are absent (q65
     * contract). */
   def dsirScoreAgainstCounts(feats: DataFrame, counts: DataFrame,
@@ -228,17 +238,17 @@ object Curation {
       sum(col("cnt_t")).as("tot_t"))
     val ratios = counts.crossJoin(broadcast(tots))
       .select(col("feat"), expr(
-        s"""((coalesce(cnt_t, 0L) + 1L) * 1000000000L div (coalesce(tot_t, 0L) + ${nBuckets}L))
+        s"""greatest(1L, (coalesce(cnt_t, 0L) + 1L) * 1000000000L div (coalesce(tot_t, 0L) + ${nBuckets}L))
            | * 1000000L
-           | div ((coalesce(cnt_r, 0L) + 1L) * 1000000000L div (coalesce(tot_r, 0L) + ${nBuckets}L))"""
+           | div greatest(1L, (coalesce(cnt_r, 0L) + 1L) * 1000000000L div (coalesce(tot_r, 0L) + ${nBuckets}L))"""
           .stripMargin.replace("\n", "")).as("ratio_ppm"))
     // OOV ratio = the same formula at cnt_t = cnt_r = 0, carried as a
     // broadcast 1-row join so the plan stays pure dataframe (the
     // oracle replays it as a scalar subquery).
     val oov = tots.select(expr(
-      s"""((0L + 1L) * 1000000000L div (coalesce(tot_t, 0L) + ${nBuckets}L))
+      s"""greatest(1L, (0L + 1L) * 1000000000L div (coalesce(tot_t, 0L) + ${nBuckets}L))
          | * 1000000L
-         | div ((0L + 1L) * 1000000000L div (coalesce(tot_r, 0L) + ${nBuckets}L))"""
+         | div greatest(1L, (0L + 1L) * 1000000000L div (coalesce(tot_r, 0L) + ${nBuckets}L))"""
         .stripMargin.replace("\n", "")).as("oov_ppm"))
     feats.join(broadcast(ratios), Seq("feat"), "left")
       .crossJoin(broadcast(oov))

@@ -87,8 +87,11 @@ object HashedLinearModel {
     *
     * Scale: the only window runs over the DISTINCT-logit table (value-
     * compressed, like [[Curation.topFractionThresholds]]), never the
-    * corpus; doc→bin assignment is a broadcast-join map stage and the
-    * report is a 10-row aggregate. */
+    * corpus; the report is a 10-row aggregate. The doc→bin join is
+    * left to the planner UNHINTED: the distinct-logit cardinality is
+    * bounded by the logit value RANGE, which grows with max
+    * features-per-doc (long-document corpora can reach millions of
+    * distinct values) — a forced broadcast there would be the OOM. */
   def calibrationAudit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = graft.Graft.lease(
@@ -99,7 +102,7 @@ object HashedLinearModel {
       .select(col("logit_milli"), (col("cum") - col("c")).as("below"))
     val tot = scored.agg(count(lit(1)).as("tot"))
     val binned = scored
-      .join(broadcast(cum), Seq("logit_milli"))
+      .join(cum, Seq("logit_milli"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("logit_milli"), col("keep"),
         least(lit(9L), expr("(below * 10) div tot")).as("decile"))

@@ -84,6 +84,20 @@ class DsirSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("ppb floor: a corpus past 1e9 bigrams cannot divide by zero") {
+    // synthetic counts with tot_r = 2e9: every ppb probability
+    // underflows to 0 and the UNclamped ratio would throw
+    // DIVIDE_BY_ZERO under ANSI Spark (NULL in DuckDB) — the clamp
+    // floors both sides at 1 ppb and scoring proceeds
+    val counts = Seq((0L, 2000000000L, 1000000000L))
+      .toDF("feat", "cnt_r", "cnt_t")
+    val probe = Seq((1L, "zeta eta theta")).toDF("doc_id", "text")
+    val out = Curation.dsirScoreAgainstCounts(
+        Curation.dsirFeatures(probe), counts)
+      .select("score_ppm").as[Long].collect()
+    assert(out.length == 1 && out.head >= 0L)
+  }
+
   test("resample: keep probability is the exact clamped share; kept follows the hash") {
     val w = Curation.dsirWeights(docs)
       .select("doc_id", "score_ppm").as[(Long, Long)].collect().toMap
