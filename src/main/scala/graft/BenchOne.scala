@@ -15,7 +15,9 @@ object BenchOne {
       val t = System.nanoTime()
       SparkEntry.queries(name)(spark, wd).write.mode("overwrite").format("noop").save()
       println(f"[benchone] $name warmup@$wd: ${(System.nanoTime() - t) / 1e9}%.2f s")
-      if (sys.env.contains("SPARK_GRAFT_CLEARCACHE")) Graft.releaseLeases(); spark.catalog.clearCache()
+      if (sys.env.contains("SPARK_GRAFT_CLEARCACHE")) {
+        Graft.releaseLeases(); spark.catalog.clearCache()
+      }
     }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")

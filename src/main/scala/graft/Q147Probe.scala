@@ -41,9 +41,7 @@ object Q147Probe {
       // shape the production path no longer has
       val s = Graft.lease(surv); s.count()
       val thr = Graft.lease(graft.pipeline.Release.gateThresholds(s))
-      val g = Graft.lease(
-        s.join(thr.select(col("source"), col("threshold")), Seq("source"))
-          .where(col("quality") >= col("threshold")))
+      val g = Graft.lease(graft.pipeline.Release.gatedBy(s, thr))
       graft.pipeline.Release.releasedDocs(
         g, Graft.lease(graft.pipeline.Release.mixtureRates(g, mixture)))
     })

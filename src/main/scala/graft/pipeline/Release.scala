@@ -65,12 +65,17 @@ object Release {
   }
 
   /** Stage 3 — source-relative top-quartile gate over the survivors. */
-  def gated(surv: DataFrame): DataFrame = {
-    val thr = gateThresholds(surv)
+  def gated(surv: DataFrame): DataFrame =
+    gatedBy(surv, gateThresholds(surv))
+
+  /** [[gated]] under an ALREADY-computed threshold table — the single
+    * definition of the gate predicate; releaseDiff's two decision
+    * layers go through here so a gate change cannot silently diverge
+    * between the card and the diff. */
+  def gatedBy(surv: DataFrame, thr: DataFrame): DataFrame =
     surv
       .join(thr.select(col("source"), col("threshold")), Seq("source"))
       .where(col("quality") >= col("threshold"))
-  }
 
   /** The gate's per-source thresholds (exposed for the card). */
   def gateThresholds(surv: DataFrame): DataFrame =
@@ -143,9 +148,7 @@ object Release {
     // zero new information); leased, each fills once
     def decide(s: DataFrame): (DataFrame, DataFrame, DataFrame) = {
       val thr = graft.Graft.lease(gateThresholds(s))
-      val g = graft.Graft.lease(
-        s.join(thr.select(col("source"), col("threshold")), Seq("source"))
-          .where(col("quality") >= col("threshold")))
+      val g = graft.Graft.lease(gatedBy(s, thr))
       val rates = graft.Graft.lease(mixtureRates(g, mixture))
       (thr, rates, graft.Graft.lease(releasedDocs(g, rates)
         .select(col("doc_id"), col("source"), col("kept_tokens"))))

@@ -30,6 +30,36 @@ object Ingest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** [[ready]] for single-writer MAINTAINERS reading their OWN
+    * [[overwriteSwap]]-managed state (the Stream* foreachBatch loops):
+    * first completes or rolls back an interrupted swap, so a crash in
+    * the between-renames window can never be mistaken for "nothing
+    * ingested yet" — that misread would rebuild corpus state from
+    * empty and the next swap would delete the parked old copy, silent
+    * total state loss. Recovery is unambiguous: target absent + a
+    * `.swap` WITH `_SUCCESS` means both renames were pending on a
+    * fully-written new version (roll forward); target absent + only a
+    * parked `.old` means the new version never finished (roll back).
+    * NOT for readers of someone else's state — recovery renames, and
+    * only the single writer may do that without racing it. */
+  def readyRecovering(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target)) {
+      val swap = new org.apache.hadoop.fs.Path(path + ".swap")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      if (fs.exists(new org.apache.hadoop.fs.Path(path + ".swap/_SUCCESS"))) {
+        fs.rename(swap, target)
+        if (fs.exists(old)) fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.rename(old, target)
+        if (fs.exists(swap)) fs.delete(swap, true)
+      }
+    }
+    fs.exists(target)
+  }
+
   /** S4: idempotent persisted-table DDL — create the parquet location
     * with `schema` if it does not exist yet (CREATE TABLE IF NOT EXISTS,
     * process_orders_sqls.py:3-11). */

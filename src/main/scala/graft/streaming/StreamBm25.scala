@@ -38,7 +38,7 @@ object StreamBm25 {
   def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  postingsPath: String, doclensPath: String): Unit = {
     val existing =
-      if (Ingest.ready(spark, postingsPath)) Some(spark.read.parquet(postingsPath))
+      if (Ingest.readyRecovering(spark, postingsPath)) Some(spark.read.parquet(postingsPath))
       else None
     val lastMerged = existing
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))

@@ -34,7 +34,7 @@ object StreamDsir {
                  countsPath: String, targetLang: String = "en",
                  nBuckets: Int = 1024): Unit = {
     val existing =
-      if (Ingest.ready(spark, countsPath)) Some(spark.read.parquet(countsPath))
+      if (Ingest.readyRecovering(spark, countsPath)) Some(spark.read.parquet(countsPath))
       else None
     val lastMerged = existing
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))

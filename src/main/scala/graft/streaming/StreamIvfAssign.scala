@@ -33,7 +33,7 @@ object StreamIvfAssign {
   def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  codebook: DataFrame, assignPath: String): Unit = {
     val existing =
-      if (Ingest.ready(spark, assignPath)) Some(spark.read.parquet(assignPath))
+      if (Ingest.readyRecovering(spark, assignPath)) Some(spark.read.parquet(assignPath))
       else None
     val lastMerged = existing
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))

@@ -99,7 +99,7 @@ object StreamRelease {
                  packBudget: Long = 512L): Unit = {
     val indexPath = s"$statePath/gram_index"
     val existingIndex =
-      if (Ingest.ready(spark, indexPath)) Some(spark.read.parquet(indexPath))
+      if (Ingest.readyRecovering(spark, indexPath)) Some(spark.read.parquet(indexPath))
       else None
     val lastMerged = existingIndex
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))
@@ -117,11 +117,11 @@ object StreamRelease {
       val shinglesPath = s"$statePath/shingles"
       val clustersPath = s"$statePath/clusters"
       val oldClusters =
-        if (Ingest.ready(spark, clustersPath))
+        if (Ingest.readyRecovering(spark, clustersPath))
           spark.read.parquet(clustersPath).select(col("doc_id"), col("cluster_id"))
         else spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
       val crossRep =
-        if (Ingest.ready(spark, shinglesPath)) {
+        if (Ingest.readyRecovering(spark, shinglesPath)) {
           val shOld = spark.read.parquet(shinglesPath)
             .select(col("doc_id"), col("shingles"))
           // edges go to the corpus doc's CLUSTER REP (its component
@@ -197,7 +197,7 @@ object StreamRelease {
                   window: Int = 64, stride: Int = 48,
                   packBudget: Long = 512L): Unit = {
     val clustersPath = s"$statePath/clusters"
-    if (!Ingest.ready(spark, clustersPath)) return // nothing ingested yet
+    if (!Ingest.readyRecovering(spark, clustersPath)) return // nothing ingested yet
     graft.Graft.leaseScope {
       val keepers = spark.read.parquet(clustersPath)
         .where(col("doc_id") === col("cluster_id")).select(col("doc_id"))

@@ -30,7 +30,7 @@ object StreamRollup {
   def mergeBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  statePath: String, key: String, hashCol: String, k: Int): Unit = {
     val existing =
-      if (Ingest.ready(spark, statePath)) Some(spark.read.parquet(statePath))
+      if (Ingest.readyRecovering(spark, statePath)) Some(spark.read.parquet(statePath))
       else None
     val lastMerged = existing
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))

@@ -37,7 +37,7 @@ object StreamScd2 {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val dim =
-          if (Ingest.ready(spark, dimPath)) spark.read.parquet(dimPath)
+          if (Ingest.readyRecovering(spark, dimPath)) spark.read.parquet(dimPath)
           else Warehouse.emptyDim(spark, Warehouse.ordersDimSchema)
         val merged = graft.operators.Scd2.eventsMerge(dim, batch.toDF(), batchTs(batchId))
         Ingest.overwriteSwap(spark, merged, dimPath)

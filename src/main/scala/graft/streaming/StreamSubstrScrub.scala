@@ -50,7 +50,7 @@ object StreamSubstrScrub {
                  indexPath: String, outPath: String, minTokens: Int = 8): Unit = {
     val bloomPath = s"${indexPath}_bloom"
     val existing =
-      if (Ingest.ready(spark, indexPath)) Some(spark.read.parquet(indexPath))
+      if (Ingest.readyRecovering(spark, indexPath)) Some(spark.read.parquet(indexPath))
       else None
     val lastMerged = existing
       .flatMap(df => Option(df.agg(max(col("last_batch"))).head.get(0)))
@@ -59,7 +59,7 @@ object StreamSubstrScrub {
       val index = existing.map(_.select(col("h")))
         .getOrElse(spark.range(0).select(col("id").as("h")))
       val bloom =
-        if (existing.isDefined && Ingest.ready(spark, bloomPath))
+        if (existing.isDefined && Ingest.readyRecovering(spark, bloomPath))
           Some(spark.read.parquet(bloomPath).select(col("bf")).head.getAs[Array[Byte]](0))
         else if (existing.isDefined)
           // Bootstrap: attaching to a pre-existing index with no
@@ -74,12 +74,13 @@ object StreamSubstrScrub {
         else None
       val scrubbed = SegmentDedup
         .scrubExactSubstrAgainstIndex(batch, index, minTokens, bloom)
-        .withColumn("batch_id", lit(batchId))
       // output first: if we crash between the writes, the ledger still
-      // points at the PREVIOUS batch, so redelivery rewrites this
-      // batch's output (overwrite of its own partition would also work)
-      // and then lands bloom + index — never an index without its output
-      scrubbed.write.mode("append").parquet(outPath)
+      // points at the PREVIOUS batch, so redelivery re-runs this batch —
+      // and the write must actually REWRITE the batch's output, not
+      // append a second copy. Overwriting the batch's own hive
+      // partition (the StreamMarginMine shape) makes replay idempotent;
+      // bloom + index land after — never an index without its output.
+      scrubbed.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       // bloom BEFORE index: the ledger lives in the index, so a crash
       // between the two leaves a bloom with EXTRA bits for a batch the
       // ledger will replay — extra bits are false positives (harmless,

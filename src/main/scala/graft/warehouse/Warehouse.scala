@@ -701,7 +701,14 @@ object Warehouse {
             graft.Graft.leaseScope {
               partitionedArtifacts.get(name) match {
                 case Some(pc) =>
-                  Ingest.overwriteSwapPartitioned(spark, build(), s"$dir/$name", pc)
+                  val df = build()
+                  // a ZERO-row partitioned write emits no data files
+                  // (only _SUCCESS) — an unreadable dir the _SUCCESS
+                  // memoization would then pin forever; land empties
+                  // flat (schema-bearing parquet, the same shape every
+                  // non-partitioned fallback uses)
+                  if (df.isEmpty) Ingest.overwriteSwap(spark, df, s"$dir/$name")
+                  else Ingest.overwriteSwapPartitioned(spark, df, s"$dir/$name", pc)
                 case None => Ingest.overwriteSwap(spark, build(), s"$dir/$name")
               }
             }

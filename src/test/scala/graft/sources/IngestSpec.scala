@@ -164,4 +164,45 @@ class IngestSpec extends SparkSpec {
     assert(readSet(w4) == Set(1, 2, 3))
     assertConverges(w4)
   }
+
+  test("readyRecovering completes or rolls back an interrupted swap (maintainer reads)") {
+    import spark.implicits._
+    def fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val v1 = Seq(1, 2, 3).toDF("x")
+    val v2 = Seq(10, 20).toDF("x")
+    def readSet(dir: String) =
+      spark.read.parquet(dir).as[Int].collect().toSet
+
+    // between-renames crash, COMPLETE .swap parked: plain ready() says
+    // false — the misread that made a maintainer rebuild corpus state
+    // from empty; readyRecovering rolls FORWARD to the new version
+    val f = java.nio.file.Files.createTempDirectory("recf").toString + "/t"
+    Ingest.overwriteSwap(spark, v1, f)
+    v2.write.parquet(f + ".swap")
+    fs.rename(p(f), p(f + ".old")) // crash after rename #1
+    assert(!Ingest.ready(spark, f))
+    assert(Ingest.readyRecovering(spark, f), "forward recovery must land")
+    assert(readSet(f) == Set(10, 20), "recovered table must be the NEW version")
+    assert(!fs.exists(p(f + ".old")) && !fs.exists(p(f + ".swap")))
+
+    // same window but the .swap never finished (no _SUCCESS): roll BACK
+    // to the parked old version
+    val b = java.nio.file.Files.createTempDirectory("recb").toString + "/t"
+    Ingest.overwriteSwap(spark, v1, b)
+    fs.rename(p(b), p(b + ".old"))
+    fs.mkdirs(p(b + ".swap"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(b + ".swap/part-00000.parquet"), "garbage")
+    assert(Ingest.readyRecovering(spark, b), "rollback recovery must land")
+    assert(readSet(b) == Set(1, 2, 3), "recovered table must be the OLD version")
+    assert(!fs.exists(p(b + ".old")) && !fs.exists(p(b + ".swap")))
+
+    // nothing to recover: behaves exactly like ready()
+    val n = java.nio.file.Files.createTempDirectory("recn").toString + "/t"
+    assert(!Ingest.readyRecovering(spark, n))
+    Ingest.overwriteSwap(spark, v1, n)
+    assert(Ingest.readyRecovering(spark, n) && readSet(n) == Set(1, 2, 3))
+  }
 }
