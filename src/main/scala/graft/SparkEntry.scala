@@ -555,6 +555,53 @@ object SparkEntry {
             "(batch_n * 1000000) div greatest(1L, bt))").as("drift_ppm"))
         .orderBy("cell")
     }),
+    // EMBEDDING-DISTRIBUTION drift — the semantic companion to q143's
+    // cell-occupancy view: per-label fixed-point centroid of the landed
+    // corpus vs the arriving batch, centroid-pair cosine in micros +
+    // label-share shift in ppm. A label can hold its cell histogram
+    // while its meaning moves WITHIN cells; this is the monitor that
+    // sees it (see [[graft.vector.Similarity.centroidDrift]]).
+    "q156_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.centroidDrift(
+        e.where(pmod(col("vec_id"), lit(10)) =!= 7),
+        e.where(pmod(col("vec_id"), lit(10)) === 7))
+    }),
+    // Quality-DISTRIBUTION drift — the PSI-style curation-gate monitor
+    // beside q143 (index) and q144 (tokenizer): corpus-decile bins of
+    // the materialized doc_quality score, batch occupancy vs corpus in
+    // integer ppm. Tie-stable binning (q152 rule), map-only bin
+    // assignment against ONE broadcast edge array.
+    "q157_quality_drift" -> ((s, d) =>
+      graft.text.Curation.qualityDrift(
+        graft.warehouse.Warehouse.docQuality(s, d),
+        pmod(col("doc_id"), lit(10)) === graft.warehouse.Warehouse.HoldoutMod)),
+    // Batch GRAM-NOVELTY monitor — "does this crawl bring anything
+    // new?": the arriving batch's gram occurrences vs the maintained
+    // corpus index, per source, novelty in ppm + distinct-novel count.
+    // Bloom-fronted the q123 way (one-sided: bloom-negative grams are
+    // novel map-side; only the maybe-known mass probes the index).
+    "q158_batch_novelty" -> ((s, d) => {
+      val wh = graft.warehouse.Warehouse
+      graft.text.SegmentDedup.batchNovelty(
+        wh.gramOccurrences(s, d)
+          .where(pmod(col("doc_id"), lit(10)) === wh.HoldoutMod),
+        Tables.documents(s, d)
+          .where(pmod(col("doc_id"), lit(10)) === wh.HoldoutMod)
+          .select(col("doc_id"), col("source")),
+        wh.gramIndexBase(s, d),
+        Some(wh.gramBloomBase(s, d)))
+    }),
+    // Deterministic EPOCH SHUFFLE — the dataloader order: seeded
+    // global permutation (md5-hash rank, two-level prefix-sum shape,
+    // never a global window) + round-robin worker assignment. A
+    // resumed trainer re-derives byte-identical batches from nothing
+    // but (epoch, doc_id).
+    "q159_epoch_shuffle" -> ((s, d) =>
+      graft.text.Sampling.epochShuffle(
+          Tables.documents(s, d).select(col("doc_id")))
+        .select(col("doc_id"), col("pos"), col("worker"))
+        .orderBy("pos")),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -3467,6 +3514,115 @@ object SparkEntry {
          |  abs((corpus_n * 1000000) // greatest(1, ct)
          |    - (batch_n * 1000000) // greatest(1, bt)) AS drift_ppm
          |FROM j CROSS JOIN t ORDER BY cell""".stripMargin,
+    // Centroid-drift replay: the q85 fixed-point centroid CTE twice
+    // (corpus/batch split on vec_id), full-outer label join, floor'd
+    // centroid cosine — the −2e6 sentinel mirrors the engine's
+    // "one side empty" rule.
+    "q156_embedding_drift" ->
+      s"""WITH $VecCte,
+         |fx AS (SELECT CAST(vec_id % 10 = 7 AS INT) AS is_b, label, i,
+         |    CAST(sum(CAST(floor((v[i] + 1) * 1048576) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM en, generate_series(1, 64) t(i) GROUP BY is_b, label, i),
+         |cent AS (SELECT is_b, label,
+         |    list(CAST(s // n AS DOUBLE) / 1048576.0 - 1 ORDER BY i) AS cv,
+         |    max(n) AS n
+         |  FROM fx GROUP BY is_b, label),
+         |j AS (SELECT coalesce(c.label, b.label) AS label, c.cv AS cv_c, b.cv AS cv_b,
+         |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_corpus,
+         |    CAST(coalesce(b.n, 0) AS BIGINT) AS n_batch
+         |  FROM (SELECT * FROM cent WHERE is_b = 0) c
+         |  FULL OUTER JOIN (SELECT * FROM cent WHERE is_b = 1) b ON c.label = b.label),
+         |tot AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS ct,
+         |               CAST(sum(n_batch) AS BIGINT) AS bt FROM j)
+         |SELECT label, n_corpus, n_batch,
+         |  (n_corpus * 1000000) // greatest(1, ct) AS corpus_share_ppm,
+         |  (n_batch * 1000000) // greatest(1, bt) AS batch_share_ppm,
+         |  abs((n_corpus * 1000000) // greatest(1, ct)
+         |    - (n_batch * 1000000) // greatest(1, bt)) AS share_drift_ppm,
+         |  CASE WHEN cv_c IS NULL OR cv_b IS NULL THEN CAST(-2000000 AS BIGINT)
+         |    ELSE CAST(floor(list_dot_product(cv_c, cv_b)
+         |      / (sqrt(list_dot_product(cv_c, cv_c)) * sqrt(list_dot_product(cv_b, cv_b)))
+         |      * 1000000.0) AS BIGINT) END AS centroid_cos_micro
+         |FROM j CROSS JOIN tot ORDER BY label""".stripMargin,
+    // Quality-drift replay: q47/q113's quality CTE, tie-stable decile
+    // binning over the corpus side's distinct values, the same
+    // edges-array clamp rule (a batch value below every corpus value
+    // lands in bin 0).
+    "q157_quality_drift" ->
+      s"""WITH $docQualityCtes,
+         |qq AS (SELECT doc_id, quality, CAST(doc_id % 10 = 7 AS INT) AS is_b FROM q),
+         |dist AS (SELECT quality, count(*) AS c FROM qq WHERE is_b = 0 GROUP BY quality),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM dist),
+         |cb AS (SELECT quality,
+         |    least(9, (CAST(sum(c) OVER (ORDER BY quality) - c AS BIGINT) * 10) // tot)
+         |      AS bin
+         |  FROM dist CROSS JOIN tot),
+         |bm AS (SELECT bin, min(quality) AS bin_min FROM cb GROUP BY bin),
+         |asg AS (SELECT qq.doc_id, qq.is_b,
+         |    coalesce((SELECT max(bin) FROM bm WHERE bm.bin_min <= qq.quality), 0)
+         |      AS bin
+         |  FROM qq),
+         |cnt AS (SELECT bin, CAST(sum(1 - is_b) AS BIGINT) AS corpus_n,
+         |    CAST(sum(is_b) AS BIGINT) AS batch_n FROM asg GROUP BY bin),
+         |bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         |j AS (SELECT b.bin,
+         |    CAST(coalesce(bm.bin_min, -1) AS BIGINT) AS bin_min_quality,
+         |    coalesce(c.corpus_n, 0) AS corpus_n, coalesce(c.batch_n, 0) AS batch_n
+         |  FROM bins b LEFT JOIN cnt c ON c.bin = b.bin LEFT JOIN bm ON bm.bin = b.bin),
+         |t2 AS (SELECT CAST(sum(corpus_n) AS BIGINT) AS ct,
+         |               CAST(sum(batch_n) AS BIGINT) AS bt FROM j)
+         |SELECT bin, bin_min_quality, corpus_n, batch_n,
+         |  (corpus_n * 1000000) // greatest(1, ct) AS corpus_ppm,
+         |  (batch_n * 1000000) // greatest(1, bt) AS batch_ppm,
+         |  abs((corpus_n * 1000000) // greatest(1, ct)
+         |    - (batch_n * 1000000) // greatest(1, bt)) AS drift_ppm
+         |FROM j CROSS JOIN t2 ORDER BY bin""".stripMargin,
+    // Novelty replay: the q129 gram CTE split corpus/batch on doc_id,
+    // distinct corpus index, left join, per-source rollup driven from
+    // the batch's source dim (a gram-less source still reports zeros).
+    "q158_batch_novelty" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+        |  FROM t WHERE len(ws) >= 8),
+        |go AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(
+        |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g0),
+        |idx AS (SELECT DISTINCT h FROM go WHERE doc_id % 10 <> 7),
+        |bg AS (SELECT doc_id, h FROM go WHERE doc_id % 10 = 7),
+        |m AS (SELECT bg.doc_id, bg.h,
+        |    CAST(idx.h IS NOT NULL AS INT) AS known
+        |  FROM bg LEFT JOIN idx ON idx.h = bg.h),
+        |per AS (SELECT d.source,
+        |    count(*) AS n_grams,
+        |    CAST(sum(1 - known) AS BIGINT) AS n_novel,
+        |    count(DISTINCT CASE WHEN known = 0 THEN m.h END) AS n_distinct_novel
+        |  FROM m JOIN documents d USING (doc_id) GROUP BY d.source),
+        |srcs AS (SELECT DISTINCT source FROM documents WHERE doc_id % 10 = 7)
+        |SELECT s.source,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  (coalesce(n_novel, 0) * 1000000) // greatest(1, coalesce(n_grams, 0))
+        |    AS novelty_ppm,
+        |  CAST(coalesce(n_distinct_novel, 0) AS BIGINT) AS n_distinct_novel
+        |FROM srcs s LEFT JOIN per ON per.source = s.source
+        |ORDER BY s.source""".stripMargin,
+    // Epoch-shuffle replay: the oracle IS the naive global window the
+    // engine never runs (the q38 compare discipline) — hash-matching
+    // proves the bucket decomposition exact at every boundary.
+    "q159_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('ep:1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM k)
+        |SELECT doc_id, pos, CAST(pos % 8 AS BIGINT) AS worker
+        |FROM r ORDER BY pos""".stripMargin,
     // Bipartite margin replay: assignment from the codebook parquet,
     // batch/corpus split on vec_id, mutual best — denominators replay
     // the margin_denoms ARTIFACT semantics: the FULL-corpus

@@ -328,4 +328,74 @@ object Curation {
           expr("(n_test_contaminated * 1000000) div n_test")).otherwise(lit(0L)))
       .orderBy("source")
   }
+
+  /** Quality-DISTRIBUTION drift — the PSI-style monitor for the
+    * curation gate, beside the index (q143) and tokenizer (q144)
+    * monitors: corpus-defined decile bins of the composite quality
+    * score, with the arriving batch's occupancy reported against the
+    * corpus's in integer ppm. The corpus side is ~100,000 ppm per bin
+    * by construction (deciles of itself), so `drift_ppm` reads
+    * directly as "how far this batch's quality mix is from the
+    * distribution the gate thresholds were tuned on" — a rising
+    * low-bin share is the early-warning that a crawl source degraded
+    * BEFORE the gate starts silently dropping most of it.
+    *
+    * Binning is tie-stable (the q152 rule): cumulative strictly-below
+    * counts over the DISTINCT-value table of the CORPUS side — never
+    * ntile, never a corpus-wide window; engine tie order cannot move a
+    * doc across bins. Bin edges (each bin's min value) collapse to ONE
+    * broadcast array row, so assigning EITHER side is a map-only
+    * 10-element array scan — a batch doc below every corpus value
+    * clamps to bin 0. Integer end to end.
+    *
+    * Scale: one distinct-value aggregate of the corpus quality table
+    * (bounded by the score's value range, ≪ corpus — the q152
+    * argument), a window over THAT table only, one 1-row broadcast of
+    * the edges, one map-side-combined (side, bin) count. The quality
+    * table itself is the materialized doc_quality artifact. */
+  def qualityDrift(quality: DataFrame, isBatch: org.apache.spark.sql.Column,
+                   nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quality.select(col("doc_id"), col("quality"),
+      isBatch.cast("int").as("is_b"))
+    val dist = q.where(col("is_b") === 0)
+      .groupBy(col("quality")).agg(count(lit(1)).as("c"))
+    val tot = dist.agg(sum(col("c")).as("tot"))
+    // distinct values only → RANGE ≡ ROWS peers; the window runs over
+    // the value table, never the corpus
+    val binned = dist.crossJoin(broadcast(tot))
+      .withColumn("below",
+        sum(col("c")).over(Window.orderBy("quality")) - col("c"))
+      .withColumn("bin",
+        least(lit(nBins - 1), expr(s"(below * $nBins) div tot")))
+    val edges = binned.groupBy(col("bin")).agg(min(col("quality")).as("bin_min"))
+    // occupied bins can be SPARSE (fewer distinct values than bins), so
+    // assignment takes the LARGEST occupied bin whose edge ≤ v — never
+    // the edge's ordinal (ordinal ≠ bin id once a bin is empty)
+    val edgeRow = edges
+      .agg(expr("array_sort(collect_list(struct(bin_min, bin)))").as("bin_edges"))
+    val assigned = q.crossJoin(broadcast(edgeRow))
+      .withColumn("bin", coalesce(
+        expr("try_element_at(filter(bin_edges, e -> e.bin_min <= quality), -1).bin"),
+        lit(0L)))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1L) - col("is_b")).as("corpus_n"),
+        sum(col("is_b").cast("long")).as("batch_n"))
+    val allBins = quality.sparkSession.range(nBins).select(col("id").as("bin"))
+    val j = allBins
+      .join(assigned, Seq("bin"), "left")
+      .join(edges, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("bin_min"), lit(-1L)).as("bin_min_quality"),
+        coalesce(col("corpus_n"), lit(0L)).as("corpus_n"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"))
+    val t2 = j.agg(sum(col("corpus_n")).as("ct"), sum(col("batch_n")).as("bt"))
+    j.crossJoin(broadcast(t2))
+      .select(col("bin"), col("bin_min_quality"), col("corpus_n"), col("batch_n"),
+        expr("(corpus_n * 1000000) div greatest(1L, ct)").as("corpus_ppm"),
+        expr("(batch_n * 1000000) div greatest(1L, bt)").as("batch_ppm"),
+        expr("abs((corpus_n * 1000000) div greatest(1L, ct) - " +
+          "(batch_n * 1000000) div greatest(1L, bt))").as("drift_ppm"))
+      .orderBy("bin")
+  }
 }

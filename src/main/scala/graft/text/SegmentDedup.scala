@@ -218,6 +218,55 @@ object SegmentDedup {
     assemble(toks, dupPos, L)
   }
 
+  /** Batch GRAM-NOVELTY monitor — "how much new information does this
+    * crawl actually bring?": per source, the arriving batch's ≥L-token
+    * gram occurrences split into already-in-corpus vs novel, with the
+    * novelty rate in integer ppm and the distinct-novel count (a batch
+    * can be 90% novel by occurrence yet hammer one new template —
+    * distinct-novel is what grows the index). The ingestion-side
+    * counterpart of q82's corpus-level dup coverage: a collapsing
+    * novelty rate across batches means the crawl re-reads what the
+    * corpus already holds and the marginal data buys nothing.
+    *
+    * `bloom` (the gram_bloom artifact fronting the index) is used the
+    * q123 way — one-sided, map-side: a bloom-NEGATIVE gram is novel
+    * without touching the shuffle, a bloom-positive resolves against
+    * the index left-join. No false negatives, so counts are exact with
+    * or without it; it pays off exactly when novelty is high (the
+    * probe shuffle carries only the maybe-known mass).
+    *
+    * Scale: batch-proportional — the corpus appears only as its
+    * distinct-hash index (the maintained artifact); one fixed-width
+    * hash join + one per-source aggregate with map-side combine. */
+  def batchNovelty(batchGrams: DataFrame, docSources: DataFrame,
+                   index: DataFrame,
+                   bloom: Option[Array[Byte]] = None): DataFrame = {
+    val g = batchGrams.select(col("doc_id"), col("h"))
+    val flagged = bloom.fold(g.withColumn("bf", lit(true)))(b =>
+      g.withColumn("bf",
+        graft.operators.BloomPrune.mightContainLong(b, col("h"))))
+    val probed = flagged.where(col("bf"))
+      .join(index.select(col("h")).withColumn("known", lit(1)), Seq("h"), "left")
+      .select(col("doc_id"), col("h"), coalesce(col("known"), lit(0)).as("known"))
+    val merged = probed.unionByName(
+      flagged.where(!col("bf"))
+        .select(col("doc_id"), col("h"), lit(0).as("known")))
+    val per = merged.join(docSources, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(lit(1L) - col("known")).as("n_novel"),
+        countDistinct(when(col("known") === 0, col("h"))).as("n_distinct_novel"))
+    docSources.select(col("source")).distinct()
+      .join(per, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(coalesce(n_novel, 0L) * 1000000) div greatest(1L, coalesce(n_grams, 0L))")
+          .as("novelty_ppm"),
+        coalesce(col("n_distinct_novel"), lit(0L)).as("n_distinct_novel"))
+      .orderBy("source")
+  }
+
   /** Source-level exact-substring overlap matrix — which sources share
     * verbatim ≥L-token spans (template/boilerplate flow between
     * sources; the exact-substring companion to the near-dup matrix

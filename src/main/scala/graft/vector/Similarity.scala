@@ -536,6 +536,59 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** Per-label EMBEDDING-DISTRIBUTION drift — the semantic companion
+    * to the cell-occupancy monitor (q143): a source can keep its IVF
+    * cell histogram while its meaning MOVES WITHIN cells, and this is
+    * the monitor that sees it. For each label, the landed corpus's
+    * centroid vs the arriving batch's, reported as the centroid-pair
+    * cosine in integer micros plus the label-share shift in ppm; a
+    * falling cos_micro on a stable share is within-cell semantic
+    * drift, a share shift with stable cosine is mixture drift.
+    *
+    * Centroids use the [[labelOutliers]] fixed-point rule
+    * (floor((x+1)·2²⁰) summed as BIGINT, one floor-division by n) so
+    * each centroid is bit-identical on any engine and any summation
+    * order; the cosine of two exactly-agreed double arrays is the
+    * sequential [[graft.functions.VecDot]] fold both engines share,
+    * floored to micros. Labels enumerate from BOTH sides so a label
+    * present in only one reports — cos_micro is then the −2,000,000
+    * sentinel (below the [−10⁶, 10⁶] cosine range: "no measurement",
+    * never "orthogonal").
+    *
+    * Scale: two (label, pos) map-side-combined aggregates (state =
+    * labels × dim cells), one label-keyed join of label-cardinality
+    * tables, two 1-row broadcast totals. The corpus side reads the
+    * corpus once; nothing pairs. */
+  def centroidDrift(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    def cents(e: DataFrame): DataFrame =
+      prepared(e).select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor((col("x") + 1) * lit(1048576L)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("c", expr("s div n").cast("double") / lit(1048576.0) - 1)
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").as("cv"),
+          max(col("n")).as("n")) // n is the label's vector count at every pos
+    val cc = cents(corpus).select(col("label"), col("cv").as("cv_c"), col("n").as("nc"))
+    val cb = cents(batch).select(col("label"), col("cv").as("cv_b"), col("n").as("nb"))
+    val joined = cc.join(cb, Seq("label"), "full_outer")
+      .select(col("label"), col("cv_c"), col("cv_b"),
+        coalesce(col("nc"), lit(0L)).as("n_corpus"),
+        coalesce(col("nb"), lit(0L)).as("n_batch"))
+    val tot = joined.agg(sum(col("n_corpus")).as("ct"), sum(col("n_batch")).as("bt"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_corpus"), col("n_batch"),
+        expr("(n_corpus * 1000000) div greatest(1L, ct)").as("corpus_share_ppm"),
+        expr("(n_batch * 1000000) div greatest(1L, bt)").as("batch_share_ppm"),
+        expr("abs((n_corpus * 1000000) div greatest(1L, ct) - " +
+          "(n_batch * 1000000) div greatest(1L, bt))").as("share_drift_ppm"),
+        when(col("cv_c").isNull || col("cv_b").isNull, lit(-2000000L))
+          .otherwise(expr("CAST(floor(vec_dot(cv_c, cv_b) / " +
+            "(sqrt(vec_dot(cv_c, cv_c)) * sqrt(vec_dot(cv_b, cv_b))) * 1000000.0) " +
+            "AS BIGINT)")).as("centroid_cos_micro"))
+      .orderBy("label")
+  }
+
   /** ANN top-k via hyperplane-LSH bucketing: exact cosine only within a
     * bucket. Vectors in sparse buckets may return fewer than k
     * neighbors — the accepted ANN trade-off (recall measured in tests). */

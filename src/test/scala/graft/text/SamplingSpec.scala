@@ -30,4 +30,39 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).sorted.toSeq
     assert(run() == run())
   }
+
+  // ---- epochShuffle (q159) ----
+
+  private val ids = (0L until 100L).toDF("doc_id")
+
+  test("epochShuffle is a permutation: pos covers 0..n-1 exactly once") {
+    val out = Sampling.epochShuffle(ids)
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(out == (0L until 100L))
+  }
+
+  test("epochShuffle equals the naive global hash-rank (bucket decomposition exact)") {
+    val naive = (0L until 100L)
+      .sortBy(id => (PortableHash.h60jvm(s"ep:1:$id"), id))
+      .zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
+    val got = Sampling.epochShuffle(ids)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    // worker is pos mod 8
+    val w = Sampling.epochShuffle(ids)
+      .select("pos", "worker").as[(Long, Long)].collect()
+    assert(w.forall { case (p, wk) => wk == p % 8 })
+  }
+
+  test("bucketBits does not change the permutation; epochs are independent orders") {
+    val a = Sampling.epochShuffle(ids, bucketBits = 2)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val b = Sampling.epochShuffle(ids, bucketBits = 14)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    val e2 = Sampling.epochShuffle(ids, epoch = 2)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e2 != a) // two epochs agreeing on all 100 positions ≈ impossible
+    assert(e2.values.toSeq.sorted == (0L until 100L)) // still a permutation
+  }
 }
