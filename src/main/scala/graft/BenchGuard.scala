@@ -64,11 +64,12 @@ object BenchGuard {
     "q80_bm25_search" -> 1.1,
     "q133_bm25_postings" -> 1.2,
     "q139_gram_skew_audit" -> 1.5,
-    "q140_release_card" -> 11.5,
-    // r11: the diff runs the decision layer TWICE over one leased
-    // scrub (median 13.6 after the decide-intermediates lease fix —
-    // a trip means a decide subtree is re-executing per consumer)
-    "q147_release_diff" -> 14.0,
+    // r11 (cont.): both release analytics read the materialized
+    // release_survivors artifact — the scrub's gram shuffle moved to
+    // warehouse build. A trip here means a release query re-grew a
+    // corpus scrub (q140 BenchRepeat median 7.1, q147 ~4.9)
+    "q140_release_card" -> 7.5,
+    "q147_release_diff" -> 5.5,
     "q152_model_calibration" -> 2.9,
     "q151_dsir_weights" -> 1.8,
     "q154_dsir_resample" -> 2.8,

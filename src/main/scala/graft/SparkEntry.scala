@@ -311,14 +311,16 @@ object SparkEntry {
     // The release capstone: scrub → near-dup keepers → per-source
     // quality gate → mixture realization → chunk/pack, emitting the
     // per-source data card OF THE RELEASED DATASET (q134 describes the
-    // raw corpus). Every stage is the already-gated operator; the
-    // oracle replays the whole chain end-to-end.
+    // raw corpus). The scrubbed survivor pool is the materialized
+    // release_survivors artifact (corpus state — the scrub's gram
+    // shuffle is paid once per corpus build, not per release
+    // analytic); the decision stages run here. The oracle still
+    // replays the whole chain end-to-end from documents.
     "q140_release_card" -> ((s, d) =>
-      graft.pipeline.Release.releaseCard(
-        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
-        graft.warehouse.Warehouse.gramOccurrences(s, d),
-        graft.warehouse.Warehouse.nearDupClusters(s, d),
-        graft.warehouse.Warehouse.docQuality(s, d),
+      graft.pipeline.Release.releaseCardFromSurvivors(
+        graft.warehouse.Warehouse.releaseSurvivors(s, d),
+        Tables.documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_raw")),
         domainMixture(s, d).select(col("source"), col("mix_ppm")))),
     // Release-to-release DIFF (continuous-curation observability): the
     // canonical holdout batch (doc_id%10 = 7) plays the newly-arrived
@@ -326,11 +328,9 @@ object SparkEntry {
     // (adds AND the de-releases caused by threshold/keep-rate shifts)
     // under frozen corpus state — see Release.releaseDiff.
     "q147_release_diff" -> ((s, d) =>
-      graft.pipeline.Release.releaseDiff(
-        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
-        graft.warehouse.Warehouse.gramOccurrences(s, d),
-        graft.warehouse.Warehouse.nearDupClusters(s, d),
-        graft.warehouse.Warehouse.docQuality(s, d),
+      graft.pipeline.Release.releaseDiffFromSurvivors(
+        graft.warehouse.Warehouse.releaseSurvivors(s, d),
+        Tables.documents(s, d).select(col("source")).distinct(),
         domainMixture(s, d).select(col("source"), col("mix_ppm")),
         isNew = pmod(col("doc_id"), lit(10)) === 7)),
     // Right-to-be-forgotten ACROSS THE INDEX ARTIFACTS — q79 deletes

@@ -138,8 +138,21 @@ object Release {
   def releaseDiff(docs: DataFrame, grams: DataFrame, clusters: DataFrame,
                   quality: DataFrame, mixture: DataFrame,
                   isNew: org.apache.spark.sql.Column,
-                  minTokens: Int = 8): DataFrame = {
-    val surv = survivors(docs, grams, clusters, quality, minTokens).leased
+                  minTokens: Int = 8): DataFrame =
+    releaseDiffFromSurvivors(survivors(docs, grams, clusters, quality, minTokens),
+      docs.select(col("source")).distinct(), mixture, isNew)
+
+  /** [[releaseDiff]] over an ALREADY-SCRUBBED survivor table — the
+    * materialized-artifact path (warehouse `release_survivors`): the
+    * diff is then pure decision-layer arithmetic, no corpus scan.
+    * `sourceDim` = the distinct source dim of the RAW corpus (the
+    * card-completeness rule: a source whose docs all fell to the
+    * keeper filter still appears, zeroed). Same eager-fill API note as
+    * [[releaseCardFromSurvivors]]. */
+  def releaseDiffFromSurvivors(survIn: DataFrame, sourceDim: DataFrame,
+                               mixture: DataFrame,
+                               isNew: org.apache.spark.sql.Column): DataFrame = {
+    val surv = survIn.leased
     surv.count() // eager fill — both decision layers read it (q32 rule)
     // every decide() output is consumed TWICE downstream (churn + its
     // stats/assembly join) and Spark recomputes each DataFrame
@@ -170,7 +183,7 @@ object Release {
           sum(col("kept_tokens")).as(s"released_tokens_$suffix"))
     // LEFT joins from the full source dim (the card-completeness rule):
     // a source absent from one release still appears, zeroed
-    docs.select(col("source")).distinct()
+    sourceDim
       .join(relStats(relP, "prev"), Seq("source"), "left")
       .join(relStats(relC, "cur"), Seq("source"), "left")
       .join(churn, Seq("source"), "left")

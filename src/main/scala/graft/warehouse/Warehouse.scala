@@ -479,6 +479,36 @@ object Warehouse {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
   }
 
+  /** Scrubbed RELEASE-SURVIVOR pool (doc_id, source, quality,
+    * n_tokens, n_dup_tokens, kept_tokens, clean_text) — stages 1+2 of
+    * the release chain ([[graft.pipeline.Release.survivors]]: exact-
+    * substring scrub of the near-dup keepers against the full-corpus
+    * gram table, quality and source attached) as corpus state. The
+    * scrub is a pure function of artifacts that already live here
+    * (gram_occurrences × neardup_clusters × doc_quality × documents),
+    * so re-running it inside every release analytic (q140's card,
+    * q147's diff) re-paid the corpus's dominant gram shuffle per
+    * query; landed once, the release queries become decision-layer
+    * arithmetic over this table — the same argument that moved the
+    * near-dup closure (r5) and the ANN index state (r7) into the
+    * warehouse. The streaming twin maintains the equivalent pool
+    * incrementally (scrub-at-arrival,
+    * [[graft.streaming.StreamRelease]], stream≡batch spec-gated). */
+  def buildReleaseSurvivors(spark: SparkSession, sfDir: String,
+                            grams: DataFrame, clusters: DataFrame,
+                            quality: DataFrame): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("source"), col("id").as("quality"),
+        col("id").as("n_tokens"), col("id").as("n_dup_tokens"),
+        col("id").as("kept_tokens"), lit("").as("clean_text")).repartition(1)
+    graft.pipeline.Release.survivors(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")),
+      grams, clusters, quality)
+  }
+
   /** Unigram counts (tok, n) under the same tokenization — the PMI
     * denominator table beside [[buildCooccurEdges]]. */
   def buildTokenUnigrams(spark: SparkSession, sfDir: String): DataFrame = {
@@ -672,6 +702,13 @@ object Warehouse {
       "cooccur_edges" -> (() => buildCooccurEdges(spark, sfDir)),
       "token_unigrams" -> (() => buildTokenUnigrams(spark, sfDir)),
       "doc_quality" -> (() => buildDocQuality(spark, sfDir)),
+      // the scrubbed survivor pool reads three artifacts LANDED above
+      // (gram_occurrences → dup marking, neardup_clusters → keepers,
+      // doc_quality → gate input) — the ivf_assign dependency pattern
+      "release_survivors" -> (() => buildReleaseSurvivors(spark, sfDir,
+        spark.read.parquet(s"$dir/gram_occurrences"),
+        spark.read.parquet(s"$dir/neardup_clusters"),
+        spark.read.parquet(s"$dir/doc_quality"))),
       "events_by_day" -> (() => buildEventsByDay(spark, sfDir)))
   }
 
@@ -789,6 +826,11 @@ object Warehouse {
   /** Composite doc quality, materialized-once (see [[buildDocQuality]]). */
   def docQuality(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "doc_quality")
+
+  /** Scrubbed release-survivor pool, materialized-once (see
+    * [[buildReleaseSurvivors]]). */
+  def releaseSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "release_survivors")
 
   /** Day-partitioned events, materialized-once (see
     * [[buildEventsByDay]]). */

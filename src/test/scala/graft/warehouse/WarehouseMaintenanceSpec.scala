@@ -52,7 +52,9 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     "dim_orders" -> "StreamScd2Spec (snapshot merge twin)",
     "dim_products" -> "StreamScd2Spec (snapshot merge twin)",
     "dim_orders_2b" -> "StreamScd2Spec (events merge twin)",
-    "fact_orders" -> "StreamIngestSpec / StreamMetricsSpec")
+    "fact_orders" -> "StreamIngestSpec / StreamMetricsSpec",
+    "release_survivors" -> ("StreamReleaseSpec (scrub-at-arrival survivor pool; " +
+      "stream card ≡ batch card over the maintained pool)"))
 
   private val refreshOnBuild = Map(
     "ivf_codebook" -> "trained quantizer; q143 index-drift monitor triggers retrain",
