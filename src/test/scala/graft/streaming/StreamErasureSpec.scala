@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{BloomPrune, Erasure}
+import graft.sources.Ingest
+import graft.text.{SegmentDedup, TextAnalysis}
+
+/** [[StreamErasure]] — continuous RTBF over the index artifacts. Pins:
+  * streamed victim batches ≡ one-shot erasure ≡ (for the rebuildable
+  * artifacts) a cold rebuild over the surviving corpus; bloom rebuild
+  * byte-equality; replay/crash idempotence; the ledger as cumulative
+  * compliance record. */
+class StreamErasureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"serase_$tag").toString
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "pack my box with five dozen liquor jugs again now"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight"),
+    (4L, "sphinx of black quartz judge my vow now then maybe"),
+    (5L, "the quick brown fox jumps over the lazy dog forever"))
+  private def docs = corpus.toDF("doc_id", "text")
+  private def docsWithout(victims: Set[Long]) =
+    corpus.filterNot(r => victims(r._1)).toDF("doc_id", "text")
+
+  /** Land the maintained artifacts for `d` under a fresh root. */
+  private def landArtifacts(d: DataFrame): String = {
+    val root = tmp("root")
+    val postings = TextAnalysis.bm25Postings(d)
+    Ingest.overwriteSwap(spark, postings, s"$root/${StreamErasure.Postings}")
+    Ingest.overwriteSwap(spark,
+      graft.warehouse.Warehouse.buildBm25DocLens(postings),
+      s"$root/${StreamErasure.DocLens}")
+    val grams = SegmentDedup.gramOccurrences(d)
+    Ingest.overwriteSwap(spark, grams, s"$root/${StreamErasure.GramOccurrences}")
+    val idx = grams.select(col("h")).distinct()
+    Ingest.overwriteSwap(spark, idx, s"$root/${StreamErasure.GramIndex}")
+    val n = idx.count()
+    Ingest.overwriteSwap(spark,
+      Seq((BloomPrune.sketchBloomBytes(idx, "h", math.max(n, 1L), 0.01), n, 10000L))
+        .toDF("bf", "n_items", "fpp_micro").repartition(1),
+      s"$root/${StreamErasure.GramBloom}")
+    // near-dup graph: 1~3~5 (the fox template), singletons 2, 4
+    Ingest.overwriteSwap(spark,
+      Seq((1L, 3L, 0.9), (3L, 5L, 0.85)).toDF("doc_a", "doc_b", "jaccard"),
+      s"$root/${StreamErasure.Pairs}")
+    Ingest.overwriteSwap(spark,
+      Seq((1L, 1L), (3L, 1L), (5L, 1L), (2L, 2L), (4L, 4L))
+        .toDF("doc_id", "cluster_id"),
+      s"$root/${StreamErasure.Clusters}")
+    root
+  }
+
+  private def table(root: String, name: String): DataFrame =
+    spark.read.parquet(s"$root/$name")
+
+  test("streamed victim batches equal a cold rebuild over the surviving corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = landArtifacts(docs)
+    val in = MemoryStream[Long]
+    val q = StreamErasure.sink(spark, in.toDF.toDF("key"), root, tmp("ck"))
+    try {
+      in.addData(1L); q.processAllAvailable()    // batch 0: victim 1
+      in.addData(4L, 99L); q.processAllAvailable() // batch 1: victim 4 (+unknown id)
+    } finally q.stop()
+    val surviving = docsWithout(Set(1L, 4L))
+    // rebuildable artifacts: maintained state ≡ cold build over survivors
+    assert(rowsOf(table(root, StreamErasure.Postings)) ==
+      rowsOf(TextAnalysis.bm25Postings(surviving)), "postings")
+    assert(rowsOf(table(root, StreamErasure.DocLens)) ==
+      rowsOf(graft.warehouse.Warehouse.buildBm25DocLens(
+        TextAnalysis.bm25Postings(surviving))), "doclens")
+    assert(rowsOf(table(root, StreamErasure.GramOccurrences)) ==
+      rowsOf(SegmentDedup.gramOccurrences(surviving)), "grams")
+    assert(rowsOf(table(root, StreamErasure.GramIndex)) ==
+      rowsOf(SegmentDedup.gramOccurrences(surviving).select(col("h")).distinct()),
+      "gram index repair ≠ surviving-corpus index")
+    // bloom: byte-identical to a cold build over the repaired index
+    // (same set, same geometry — order-independent bitmap)
+    val idx = table(root, StreamErasure.GramIndex)
+    val coldBloom = BloomPrune.sketchBloomBytes(idx, "h", math.max(idx.count(), 1L), 0.01)
+    val landedBloom = table(root, StreamErasure.GramBloom)
+      .select("bf").head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(landedBloom, coldBloom), "bloom bytes")
+    // pair/cluster artifacts follow the q141 semantics
+    assert(rowsOf(table(root, StreamErasure.Pairs)) ==
+      Seq(Seq("3", "5", "0.85")), "pairs any-endpoint rule")
+    assert(rowsOf(table(root, StreamErasure.Clusters)).toSet ==
+      Set(Seq("3", "3"), Seq("5", "3"), Seq("2", "2")),
+      "clusters relabeled to min surviving member")
+    // ledger: cumulative compliance record
+    assert(table(root, StreamErasure.Ledger)
+      .select("key", "batch_id").as[(Long, Long)].collect().toSet ==
+      Set((1L, 0L), (4L, 1L), (99L, 1L)))
+  }
+
+  test("N batches ≡ one batch; redelivery is a no-op") {
+    val rootN = landArtifacts(docs)
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, rootN)
+    StreamErasure.mergeBatch(spark, Seq(4L).toDF("key"), 1L, rootN)
+    val root1 = landArtifacts(docs)
+    StreamErasure.mergeBatch(spark, Seq(1L, 4L).toDF("key"), 0L, root1)
+    for (t <- Seq(StreamErasure.Postings, StreamErasure.DocLens,
+        StreamErasure.GramOccurrences, StreamErasure.GramIndex,
+        StreamErasure.Pairs, StreamErasure.Clusters))
+      assert(rowsOf(table(rootN, t)) == rowsOf(table(root1, t)), t)
+    // replay the last batch: nothing moves
+    val before = Seq(StreamErasure.Postings, StreamErasure.Clusters,
+      StreamErasure.Ledger).map(t => rowsOf(table(rootN, t)))
+    StreamErasure.mergeBatch(spark, Seq(4L).toDF("key"), 1L, rootN)
+    val after = Seq(StreamErasure.Postings, StreamErasure.Clusters,
+      StreamErasure.Ledger).map(t => rowsOf(table(rootN, t)))
+    assert(before == after)
+  }
+
+  test("crash between table swaps and ledger commit: the retry converges") {
+    val root = landArtifacts(docs)
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, root)
+    // simulate the crash: batch 1's table work ran but the ledger
+    // write never happened — apply the erasure steps by hand
+    val v = Seq(4L).toDF("key")
+    Ingest.overwriteSwap(spark,
+      Erasure.erase(table(root, StreamErasure.Postings), "doc_id", v),
+      s"$root/${StreamErasure.Postings}")
+    Ingest.overwriteSwap(spark,
+      Erasure.relabelClusters(table(root, StreamErasure.Clusters), v),
+      s"$root/${StreamErasure.Clusters}")
+    // redelivery of batch 1 (ledger still at 0) re-applies everything
+    StreamErasure.mergeBatch(spark, v, 1L, root)
+    val surviving = docsWithout(Set(1L, 4L))
+    assert(rowsOf(table(root, StreamErasure.Postings)) ==
+      rowsOf(TextAnalysis.bm25Postings(surviving)))
+    assert(rowsOf(table(root, StreamErasure.GramIndex)) ==
+      rowsOf(SegmentDedup.gramOccurrences(surviving).select(col("h")).distinct()))
+    assert(table(root, StreamErasure.Ledger)
+      .agg(max(col("batch_id"))).head.getLong(0) == 1L)
+  }
+}
