@@ -10,6 +10,20 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// PersistBalanceSpec asserts GLOBAL SparkContext cache state (zero
+// cached blocks after clearCache/releaseLeases) — under sbt's default
+// parallel suite execution any concurrently-running suite's persists
+// race those assertions (observed as a run-order-dependent failure
+// once the suite count grew). Give it its own forked JVM; everything
+// else keeps sharing one JVM/session as before.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (iso, rest) = tests.partition(_.name == "graft.PersistBalanceSpec")
+  Seq(
+    Tests.Group("persist-balance-isolated", iso, Tests.SubProcess(opts)),
+    Tests.Group("shared-session", rest, Tests.SubProcess(opts)))
+}
 run / fork := true
 // Forked `run` output must reach stdout RAW (no sbt `[info]` prefix) —
 // the driver parses graft.Bench's JSON line from stdout.

@@ -602,6 +602,38 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id")))
         .select(col("doc_id"), col("pos"), col("worker"))
         .orderBy("pos")),
+    // Training-batch PROVENANCE — worker-mixture uniformity: each
+    // epoch-shuffle shard (q159's round-robin workers) sees its own
+    // source mixture, and a worker whose mixture drifts from the
+    // corpus's biases its gradient contribution (the data-parallel
+    // version of q83's mixing concern). Per (worker, source): doc/token
+    // mass, the worker-local share vs the corpus share, drift in ppm —
+    // hash sharding should hold drift near zero, and this is the audit
+    // that proves it (or catches a skewed shard assignment).
+    "q160_worker_mixture" -> ((s, d) => {
+      // leased: toks feeds the shard rollup AND both corpus totals,
+      // per feeds the worker totals AND the final join — unleased,
+      // the tokenize scan ran 3× and the shuffle+rank subtree 2×
+      // (PlanShapeSpec pins the window count that caught it)
+      val toks = graft.Graft.lease(graft.Par.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)")
+            .as("n_tokens")))
+      val per = graft.Graft.lease(graft.text.Sampling.epochShuffle(toks)
+        .groupBy(col("worker"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok")))
+      val wt = per.groupBy(col("worker")).agg(sum(col("tok")).as("wt"))
+      val cs = toks.groupBy(col("source")).agg(sum(col("n_tokens")).as("stok"))
+      val ct = toks.agg(sum(col("n_tokens")).as("ctot"))
+      per.join(wt, Seq("worker"))
+        .join(broadcast(cs.crossJoin(broadcast(ct))), Seq("source"))
+        .select(col("worker"), col("source"), col("n_docs"), col("tok"),
+          expr("(tok * 1000000) div greatest(1L, wt)").as("share_ppm"),
+          expr("(stok * 1000000) div greatest(1L, ctot)").as("corpus_share_ppm"),
+          expr("abs((tok * 1000000) div greatest(1L, wt) - " +
+            "(stok * 1000000) div greatest(1L, ctot))").as("drift_ppm"))
+        .orderBy("worker", "source")
+    }),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -3623,6 +3655,34 @@ object SparkEntry {
         |  FROM k)
         |SELECT doc_id, pos, CAST(pos % 8 AS BIGINT) AS worker
         |FROM r ORDER BY pos""".stripMargin,
+    // Worker-mixture replay: the q159 rank as a global window, token
+    // counts under the shared tokenization, per-(worker, source)
+    // rollup against worker-local and corpus totals.
+    "q160_worker_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(str_split(text, ' '), w -> w <> '')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('ep:1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) % 8 AS worker
+        |  FROM k),
+        |per AS (SELECT worker, source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tok
+        |  FROM t JOIN r USING (doc_id) GROUP BY worker, source),
+        |wt AS (SELECT worker, CAST(sum(tok) AS BIGINT) AS wt FROM per GROUP BY worker),
+        |cs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok FROM t GROUP BY source),
+        |ct AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ctot FROM t)
+        |SELECT p.worker, p.source, p.n_docs, p.tok,
+        |  (p.tok * 1000000) // greatest(1, wt.wt) AS share_ppm,
+        |  (cs.stok * 1000000) // greatest(1, ct.ctot) AS corpus_share_ppm,
+        |  abs((p.tok * 1000000) // greatest(1, wt.wt)
+        |    - (cs.stok * 1000000) // greatest(1, ct.ctot)) AS drift_ppm
+        |FROM per p JOIN wt USING (worker) JOIN cs USING (source) CROSS JOIN ct
+        |ORDER BY worker, source""".stripMargin,
     // Bipartite margin replay: assignment from the codebook parquet,
     // batch/corpus split on vec_id, mutual best — denominators replay
     // the margin_denoms ARTIFACT semantics: the FULL-corpus

@@ -77,7 +77,15 @@ object StreamErasure {
       applyTo(GramOccurrences)(Erasure.erase(_, "doc_id", v))
       // derived state reads the base JUST erased (artifact-dependency
       // order, the warehouse registry's own rule); repair before the
-      // bloom so the sketch re-derives from the repaired index
+      // bloom so the sketch re-derives from the repaired index. An
+      // index WITHOUT its occurrence base cannot be repaired (victim-
+      // only hashes are indistinguishable from shared ones) — that
+      // deployment shape would silently under-delete, so refuse it.
+      require(!Ingest.readyRecovering(spark, s"$root/$GramIndex") ||
+        Ingest.readyRecovering(spark, s"$root/$GramOccurrences"),
+        s"$root has $GramIndex but no $GramOccurrences: the distinct index " +
+          "cannot be repaired without its occurrence base — land the base " +
+          "or drop the index from this deployment")
       readIf(spark, s"$root/$GramOccurrences").foreach { erasedGrams =>
         applyTo(GramIndex)(Erasure.repairDistinctIndex(_, "h", erasedGrams))
         readIf(spark, s"$root/$GramIndex").foreach { idx =>

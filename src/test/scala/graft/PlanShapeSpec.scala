@@ -217,6 +217,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q134 gained a cross join:\n$p")
   }
 
+  test("q158: the novelty probe is bloom-fronted and batch-proportional") {
+    // bloom-negative grams classify map-side (the codegen'd
+    // bloom_contains filter), only maybe-known mass reaches the index
+    // join; the sketch must travel summarized, not as a hex literal.
+    // (The index join itself MAY be a hash-keyed shuffle join — the
+    // index side is corpus-sized at scale; that is the correct shape,
+    // not a regression.)
+    val p = plan("q158_batch_novelty")
+    assert(p.contains("bloom_contains"), s"q158 lost the bloom front:\n$p")
+    assert(p.contains("<bloom:"), s"q158 bloom prints unsummarized:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q158 gained a cross join:\n$p")
+  }
+
+  test("q157: the binning window runs over the distinct-value table, never the corpus") {
+    // every window is the cumulative over DISTINCT quality values
+    // (bounded by the score's value range); the unpersisted value-table
+    // subtree duplicates per consumer (the q128 note: edges feed the
+    // edge-array AND the output join), so accept 1..3 copies of the
+    // SAME bounded window — reject 0 (logic vanished) or >3 (a
+    // data-sized window slipped in)
+    val p = plan("q157_quality_drift")
+    assert(countWindows(p) >= 1 && countWindows(p) <= 3,
+      s"q157 window count drifted (want 1..3, got ${countWindows(p)}):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q157 regained a shuffle join:\n$p")
+  }
+
+  test("q159/q160: the epoch rank is two-level — no corpus-sized global window") {
+    // the permutation's only unpartitioned window is the exclusive
+    // scan over the ≤2^bucketBits-row bucket table; the data-sized
+    // rank window stays partitioned by bucket. q159 is the bare
+    // permutation: exactly two windows. q160 consumes the LEASED
+    // shard rollup twice — the plan string reprints the cached
+    // 2-window subtree per InMemoryTableScan, so pin the lease (the
+    // subtree executes once) and cap the printed copies.
+    val p159 = plan("q159_epoch_shuffle")
+    assert(countWindows(p159) == 2,
+      s"q159 window count drifted (want 2: bucket scan + in-bucket rank, " +
+        s"got ${countWindows(p159)}):\n$p159")
+    assert(!p159.contains("SortMergeJoin"),
+      s"q159 offset join stopped broadcasting:\n$p159")
+    val p160 = plan("q160_worker_mixture")
+    assert(p160.contains("InMemoryTableScan"),
+      s"q160 lost the shard-rollup lease (the epoch subtree would run twice):\n$p160")
+    assert(countWindows(p160) <= 4,
+      s"q160 gained a window beyond the cached epoch subtree's reprints " +
+        s"(got ${countWindows(p160)}):\n$p160")
+    assert(!p160.contains("SortMergeJoin"), s"q160 regained a shuffle join:\n$p160")
+  }
+
   test("q145/q146: date-ranged reads PRUNE the day-partitioned events artifact") {
     // the warehouse lands events_by_day hive-partitioned on `day`; the
     // range predicate must reach the scan as a PartitionFilter (read
