@@ -634,6 +634,33 @@ object SparkEntry {
             "(stok * 1000000) div greatest(1L, ctot))").as("drift_ppm"))
         .orderBy("worker", "source")
     }),
+    // RELEASE MANIFEST — the reproducibility receipt a dataset release
+    // ships with: per source, the released membership count, token
+    // mass, and an ORDER-INDEPENDENT 60-bit content fingerprint
+    // (bit_xor of h60(doc_id ':' md5(clean_text))) over the released
+    // docs. Two builds agree on every manifest row iff they released
+    // the same docs with the same scrubbed bytes — the check a
+    // downstream trainer runs before trusting a re-delivered dataset
+    // (xor is a receipt against drift/corruption, not an adversarial
+    // MAC). Decision layer over the materialized survivor pool; the
+    // fingerprint aggregate is map-side combinable.
+    "q161_release_manifest" -> ((s, d) => {
+      val rel = graft.pipeline.Release
+      val surv = graft.Graft.lease(graft.warehouse.Warehouse.releaseSurvivors(s, d))
+      val g = graft.Graft.lease(rel.gatedBy(surv, rel.gateThresholds(surv)))
+      val released = rel.releasedDocs(g,
+        rel.mixtureRates(g, domainMixture(s, d).select(col("source"), col("mix_ppm"))))
+      released
+        .select(col("source"), col("kept_tokens"),
+          graft.functions.PortableHash.h60(
+            concat(col("doc_id").cast("string"), lit(":"),
+              md5(coalesce(col("clean_text"), lit(""))))).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_released"),
+          sum(col("kept_tokens")).as("released_tokens"),
+          expr("bit_xor(fp)").as("content_fp60"))
+        .orderBy("source")
+    }),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -3206,6 +3233,103 @@ object SparkEntry {
     // survivors, the q127 mixture chain, q132 hash sampling on released
     // token mass, q45 chunk/pack over the released clean text — one
     // card per source.
+    // Manifest replay: the q140 chain verbatim up to the released set,
+    // then the order-independent xor fingerprint (bit_xor of
+    // h60(doc_id ':' md5(clean_text))) per source.
+    "q161_release_manifest" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |$LshPairsCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, peer) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
+         |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+         |t AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(str_split(text, ' '), w -> w <> '') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS pos, ws
+         |  FROM t WHERE len(ws) >= 8),
+         |g AS MATERIALIZED (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    CAST(('0x' || substr(md5(
+         |      array_to_string(list_slice(ws, pos, pos + 7), ' ')), 1, 15)) AS BIGINT) AS h
+         |  FROM g0),
+         |kd AS (SELECT h, min(doc_id) AS kd FROM g GROUP BY h),
+         |kp AS (SELECT g.h, k.kd, min(g.pos) AS kp
+         |  FROM g JOIN kd k ON g.h = k.h AND g.doc_id = k.kd GROUP BY g.h, k.kd),
+         |dp AS (SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS ps
+         |  FROM g JOIN kp ON g.h = kp.h
+         |  WHERE NOT (g.doc_id = kp.kd AND g.pos = kp.kp)
+         |  GROUP BY g.doc_id),
+         |rr AS (SELECT t.doc_id, ws, coalesce(ps, CAST([] AS BIGINT[])) AS ps
+         |  FROM t LEFT JOIN dp USING (doc_id)),
+         |cv AS (SELECT doc_id, ws,
+         |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
+         |  FROM rr),
+         |scr AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(ws) - len(cov) AS BIGINT) AS kept_tokens,
+         |    list_transform(list_filter(generate_series(1, len(ws)),
+         |      i -> NOT list_contains(cov, i)), i -> ws[i]) AS cws
+         |  FROM cv),
+         |$docQualityCtes,
+         |surv AS (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
+         |    scr.cws, q.quality
+         |  FROM scr JOIN keep USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
+         |sn AS (SELECT source, count(*) AS n_rows FROM surv GROUP BY source),
+         |sdist AS (SELECT source, quality, count(*) AS cq
+         |  FROM surv GROUP BY source, quality),
+         |scum AS (SELECT source, quality,
+         |    CAST(sum(cq) OVER (PARTITION BY source ORDER BY quality DESC)
+         |         AS BIGINT) AS cum
+         |  FROM sdist),
+         |thr AS (SELECT s2.source, max(s2.quality) AS threshold
+         |  FROM scum s2 JOIN sn USING (source)
+         |  WHERE s2.cum >= greatest(1, sn.n_rows // 4)
+         |  GROUP BY s2.source),
+         |gated AS (SELECT s3.* FROM surv s3
+         |  JOIN thr t3 ON t3.source = s3.source AND s3.quality >= t3.threshold),
+         |pd2 AS (SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN q USING (doc_id)),
+         |ps2 AS (SELECT source, CAST(sum(quality) AS BIGINT) // count(*) AS avg_q
+         |  FROM pd2 GROUP BY source),
+         |gg2 AS (SELECT CAST(sum(quality) AS BIGINT) // count(*) AS gavg FROM pd2),
+         |b2 AS (SELECT ps2.source,
+         |    greatest(CAST(0 AS BIGINT),
+         |      ((gg2.gavg - ps2.avg_q) * 1000000) // gg2.gavg) AS deficit_ppm
+         |  FROM ps2 CROSS JOIN gg2),
+         |f2 AS (SELECT source,
+         |    1000000 + (200000 * deficit_ppm) // 1000000 AS factor FROM b2),
+         |it2 AS (SELECT source,
+         |    ((((((((((1000000 * factor) // 1000000) * factor) // 1000000)
+         |      * factor) // 1000000) * factor) // 1000000) * factor) // 1000000) AS w
+         |  FROM f2),
+         |tt2 AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM it2),
+         |mx AS (SELECT source, (w * 1000000) // w_tot AS mix_ppm
+         |  FROM it2 CROSS JOIN tt2),
+         |mass AS (SELECT source, count(*) AS n_gated,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS gated_tokens
+         |  FROM gated GROUP BY source),
+         |mtot AS (SELECT CAST(sum(gated_tokens) AS BIGINT) AS all_tokens FROM mass),
+         |rates AS (SELECT mass.source, mass.n_gated,
+         |    (mass.gated_tokens * 1000000) // greatest(1, mtot.all_tokens) AS share_ppm,
+         |    mx.mix_ppm,
+         |    least(1000000, (mx.mix_ppm * 1000000) // greatest(1,
+         |      (mass.gated_tokens * 1000000) // greatest(1, mtot.all_tokens))) AS keep_ppm
+         |  FROM mass CROSS JOIN mtot JOIN mx ON mx.source = mass.source),
+         |rel AS (SELECT g2.*, r2.keep_ppm FROM gated g2
+         |  JOIN rates r2 ON r2.source = g2.source
+         |  WHERE CAST(('0x' || substr(md5(CAST(g2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        % 1000000 < r2.keep_ppm)
+         |SELECT source, count(*) AS n_released,
+         |  CAST(sum(kept_tokens) AS BIGINT) AS released_tokens,
+         |  bit_xor(CAST(('0x' || substr(md5(
+         |      CAST(doc_id AS VARCHAR) || ':' ||
+         |      md5(coalesce(array_to_string(cws, ' '), ''))), 1, 15)) AS BIGINT))
+         |    AS content_fp60
+         |FROM rel GROUP BY source ORDER BY source""".stripMargin,
     "q140_release_card" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
