@@ -45,9 +45,16 @@ object Q147Probe {
       graft.pipeline.Release.releasedDocs(
         g, Graft.lease(graft.pipeline.Release.mixtureRates(g, mixture)))
     })
-    time("full releaseDiff")(graft.pipeline.Release.releaseDiff(
+    time("full releaseDiff (from-scratch scrub)")(graft.pipeline.Release.releaseDiff(
       docs, grams, clusters, quality, mixture,
       isNew = pmod(col("doc_id"), lit(10)) === 7))
+    // the registered q147 path: decision layers over the landed
+    // release_survivors artifact (the scrub paid at warehouse build)
+    time("releaseDiffFromSurvivors (artifact path — the q147 plan)")(
+      graft.pipeline.Release.releaseDiffFromSurvivors(
+        graft.warehouse.Warehouse.releaseSurvivors(spark, sfDir),
+        docs.select(col("source")).distinct(), mixture,
+        isNew = pmod(col("doc_id"), lit(10)) === 7))
     spark.stop()
   }
 }

@@ -57,7 +57,13 @@ object ScaleStress {
       println(f"[scale] $label: cold ${times.head}%.2f s steady-median $steady%.2f s")
     }
 
-    val docs = Tables.documents(spark, sfDir)
+    // fanOut mirrors every registered query's read path: these corpora
+    // are single parquet files (one scan partition at any size), and
+    // without redistribution the compute-heavy map stages (md5 grams,
+    // minhash signatures, bigram hashing) serialize onto one core —
+    // the first sf10 run measured dsir_counts 27× sf1 for 10× data
+    // from exactly this harness bug (operators were fine)
+    val docs = graft.Par.fanOut(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("source"), col("text"))
     val nDocs = docs.count()
     println(s"[scale] corpus $sfDir: $nDocs docs")
@@ -82,7 +88,7 @@ object ScaleStress {
       graft.pipeline.Release.survivors(docs, grams, clusters, quality))
     val counts = land("dsir_counts")(
       graft.text.Curation.dsirCounts(graft.text.Curation.dsirFeatures(
-        Tables.documents(spark, sfDir)
+        graft.Par.fanOut(Tables.documents(spark, sfDir))
           .where(pmod(col("doc_id"), lit(10)) =!= 7)
           .select(col("doc_id"), col("text"), col("lang")))))
 
@@ -97,7 +103,7 @@ object ScaleStress {
       graft.text.SegmentDedup.scrubExactSubstrFromGrams(
         docs.select(col("doc_id"), col("text")), grams))
     time("dsir_weights(corpus)")(
-      graft.text.Curation.dsirWeights(Tables.documents(spark, sfDir)
+      graft.text.Curation.dsirWeights(graft.Par.fanOut(Tables.documents(spark, sfDir))
         .select(col("doc_id"), col("text"), col("lang"))))
     time("epoch_shuffle(corpus)")(
       graft.text.Sampling.epochShuffle(docs.select(col("doc_id"))))

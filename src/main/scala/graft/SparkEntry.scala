@@ -661,6 +661,15 @@ object SparkEntry {
           expr("bit_xor(fp)").as("content_fp60"))
         .orderBy("source")
     }),
+    // LSH band-bucket occupancy audit — the degeneracy monitor the
+    // sf10 stress motivated (pair build 29.5× for 10× docs: bucket
+    // occupancy up 10× ⇒ in-bucket candidates up ~100×): per band,
+    // bucket count, hottest bucket, EXACT candidate-pair mass the
+    // self-join would generate, hot bucket's share in ppm. Audit
+    // first, pair second.
+    "q162_lsh_bucket_audit" -> ((s, d) =>
+      graft.text.TextDedup.bandOccupancyAudit(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -3233,6 +3242,31 @@ object SparkEntry {
     // survivors, the q127 mixture chain, q132 hash sampling on released
     // token mass, q45 chunk/pack over the released clean text — one
     // card per source.
+    // Band-occupancy replay: the LSH signature/band CTEs (the q14
+    // chain up to `bands`), per-bucket counts, per-band rollup.
+    "q162_lsh_bucket_audit" ->
+      s"""WITH $ShinglesCte,
+         |hs AS (SELECT doc_id, shingles,
+         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(generate_series(0, 15), j ->
+         |    coalesce(list_min(list_transform(h28s,
+         |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
+         |  FROM hs),
+         |bands AS (SELECT doc_id,
+         |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+         |  FROM sig, generate_series(0, 7) t(b)),
+         |occ AS (SELECT b AS band, band_key, CAST(count(*) AS BIGINT) AS n
+         |  FROM bands GROUP BY b, band_key)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  count(*) AS n_buckets,
+         |  CAST(max(n) AS BIGINT) AS max_bucket,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(max(n * (n - 1) // 2) AS BIGINT) AS max_bucket_pairs,
+         |  (CAST(max(n * (n - 1) // 2) AS BIGINT) * 1000000)
+         |    // greatest(1, CAST(sum(n * (n - 1) // 2) AS BIGINT)) AS hot_share_ppm
+         |FROM occ GROUP BY band ORDER BY band""".stripMargin,
     // Manifest replay: the q140 chain verbatim up to the released set,
     // then the order-independent xor fingerprint (bit_xor of
     // h60(doc_id ':' md5(clean_text))) per source.

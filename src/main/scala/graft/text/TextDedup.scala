@@ -119,6 +119,40 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     minhashLshPairsFromShingles(shingled(docs).leased, threshold)
 
+  /** LSH band-bucket OCCUPANCY audit — the "is my LSH degenerating"
+    * monitor: per band, the bucket count, the hottest bucket, the
+    * EXACT candidate-pair mass Σ n_b·(n_b−1)/2 the self-join will
+    * generate, and the single hottest bucket's share of it in ppm.
+    *
+    * Why it exists (measured, not hypothetical): the sf1→sf10 stress
+    * found the pair build scaling 29.5× for 10× docs — band-bucket
+    * occupancy grows with corpus density, so in-bucket candidates grow
+    * quadratically. That is LSH's genuine degeneracy mode on
+    * boilerplate-dense corpora (byte-identical template docs all share
+    * every band). A rising max_bucket / hot_share_ppm across builds is
+    * the signal to (a) run exact dedup BEFORE near-dup — byte-identical
+    * docs collapse to one band representative (q12 precedes q14 in the
+    * curation chain for exactly this reason), (b) enrich the shingle
+    * space, or (c) cap audited-hot buckets the SkewJoin way.
+    *
+    * Cost: the band table's one aggregate — runs BEFORE the self-join
+    * whose cost it predicts (the point: you audit, then decide to
+    * pair). */
+  def bandOccupancyAudit(docs: DataFrame): DataFrame = {
+    val occ = bandedSignatures(shingled(docs))
+      .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
+    occ.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"),
+        max(expr("n * (n - 1) div 2")).as("max_bucket_pairs"))
+      .select(col("band").cast("long").as("band"), col("n_buckets"),
+        col("max_bucket"), col("cand_pairs"), col("max_bucket_pairs"),
+        expr("(max_bucket_pairs * 1000000) div greatest(1L, cand_pairs)")
+          .as("hot_share_ppm"))
+      .orderBy("band")
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-jaccard verification:
     * candidates share ≥1 of 8 two-row bands; survivors have word-3-gram
     * jaccard ≥ `threshold`. Output: doc_a < doc_b, jaccard.
