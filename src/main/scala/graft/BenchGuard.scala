@@ -80,7 +80,16 @@ object BenchGuard {
     "q84_phrase_search" -> 1.2,
     "q28_curation_pipeline" -> 4.5,
     "q39_keywords" -> 3.3,
-    "q98_cas_chunks" -> 2.8)
+    "q98_cas_chunks" -> 2.8,
+    // r11 (cont.): drift/dataloader family + release receipt — pinned
+    // from the 163-query fresh-bench steadies (172.2 s total)
+    "q156_embedding_drift" -> 2.0,
+    "q157_quality_drift" -> 1.1,
+    "q158_batch_novelty" -> 1.7,
+    "q159_epoch_shuffle" -> 0.8,
+    "q160_worker_mixture" -> 2.1,
+    "q161_release_manifest" -> 2.0,
+    "q162_lsh_bucket_audit" -> 1.0)
 
   val Headroom = 1.5
 
