@@ -124,6 +124,31 @@ object ScaleStress {
         graft.text.Curation.dsirFeatures(batch.select(col("doc_id"), col("text"))),
         counts))
 
+    // ---- vector family: does the literal-centroid assignment survive
+    // a corpus-scaled codebook? The ~512-vector cell-width target makes
+    // ncells grow with the corpus (sf10: ~390 cells), and the map-only
+    // assignment embeds ncells × dim centroid literals into ONE
+    // projection — the stage that would hit codegen method limits
+    // first. Measured here so the cliff (or its absence) is a number.
+    val embPath = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    if (embPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(embPath)) {
+      val emb = graft.Par.fanOut(Tables.embeddings(spark, sfDir))
+      println(s"[scale] vectors: ${emb.count()}")
+      val cb = land("ivf_codebook")(
+        graft.warehouse.Warehouse.buildIvfCodebook(spark, sfDir))
+      println(s"[scale] ncells: ${cb.count()}")
+      time("ivf_assign(corpus)")(
+        graft.vector.Similarity.cellAssignments(emb, cb))
+      val batchV = emb.where(col("vec_id") < 5000)
+      val corpusV = emb.where(col("vec_id") >= 5000)
+      // corpus side re-assigns per call here (ScaleStress has no
+      // warehouse); the FLAT component is the in-cell candidate work,
+      // bounded by the ~512 cell width at every corpus size — the q125
+      // fixed-ncells lesson, re-measured at each scale
+      time("ann_incremental(fixed 5k vecs vs corpus)")(
+        graft.vector.Similarity.annIvfNewAgainstCorpus(batchV, corpusV, cb))
+    }
+
     spark.stop()
   }
 }

@@ -215,7 +215,11 @@ object ProductQuant {
             lit(cid).as("cid"))
         }
         val eA = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
-        (eA.select(col("vec_id"), explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
+        // explode_OUTER: the plain generator's inferred size() filter
+        // re-evaluates the ncells-literal sort per row (see the
+        // Similarity.cellAssignments note); slice of a statically
+        // non-empty array with nprobe ≥ 1 is non-empty, outer ≡ inner
+        (eA.select(col("vec_id"), explode_outer(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
            .select(col("vec_id"), col("__pc.cid").as("cell")),
          eA.select(col("vec_id"), expr("__cells[0].cid").as("cell")))
     }

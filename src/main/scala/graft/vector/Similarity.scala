@@ -196,9 +196,18 @@ object Similarity {
       struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
         lit(cid).as("cid"))
     }
+    // posexplode_OUTER, deliberately: the plain generator makes the
+    // optimizer infer `size(__cells) > 0`, and predicate pushdown drags
+    // that filter — carrying the ENTIRE ncells-literal scoring
+    // expression — below the fanOut exchange into the file-scan stage,
+    // where it re-runs at scan parallelism (measured: 20 s for 20k×39
+    // at sf1, ~0.3 s once removed; invisible at sf0.1, ruinous at
+    // sf10). The array is statically non-empty (ncells ≥ 1 — the empty
+    // codebook returns above), so outer ≡ inner here and no filter is
+    // inferred.
     prepared(embeddings)
       .withColumn("__cells", sort_array(array(scored.toSeq: _*)))
-      .select(col("vec_id"), posexplode(col("__cells")).as(Seq("r0", "c")))
+      .select(col("vec_id"), posexplode_outer(col("__cells")).as(Seq("r0", "c")))
       .select(col("vec_id"), col("c.cid").as("cell"),
         (col("r0") + 1).cast("int").as("rn"))
   }
@@ -351,9 +360,15 @@ object Similarity {
       struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
         lit(cid).as("cid"))
     }
+    require(nprobe >= 1, "nprobe must be positive")
     def withCells(e: DataFrame) = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+    // explode_OUTER: the plain generator's inferred `size(slice(...)) > 0`
+    // filter re-evaluates the whole ncells-literal sort per row (2× the
+    // assignment work even when pushdown stops at a cached input — the
+    // cellAssignments finding). slice(non-empty, 1, ≥1) is statically
+    // non-empty, so outer ≡ inner.
     val q = withCells(eQ).select(col("vec_id").as("qid"), col("v").as("va"),
-        col("nrm").as("na"), explode(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
+        col("nrm").as("na"), explode_outer(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
       .select(col("qid"), col("va"), col("na"), col("__pc.cid").as("cell"))
     val n = withCells(eN).select(col("vec_id").as("nid"), col("v").as("vb"),
       col("nrm").as("nb"), expr("__cells[0].cid").as("cell"))
