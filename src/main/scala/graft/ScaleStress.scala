@@ -35,6 +35,7 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/repo/target/sf10"
     val runs = if (args.length > 1) args(1).toInt else 3
+    val vectorOnly = args.length > 2 && args(2) == "vector-only"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +70,7 @@ object ScaleStress {
     println(s"[scale] corpus $sfDir: $nDocs docs")
 
     // ---- corpus state, built once (the warehouse-build analog) ----
+    if (!vectorOnly) {
     val grams = land("grams")(
       graft.text.SegmentDedup.gramOccurrences(docs.select(col("doc_id"), col("text"))))
     val index = land("gram_index")(
@@ -123,6 +125,7 @@ object ScaleStress {
       graft.text.Curation.dsirScoreAgainstCounts(
         graft.text.Curation.dsirFeatures(batch.select(col("doc_id"), col("text"))),
         counts))
+    }
 
     // ---- vector family: does the literal-centroid assignment survive
     // a corpus-scaled codebook? The ~512-vector cell-width target makes
