@@ -351,6 +351,10 @@ object SparkEntry {
           ("bm25_postings", wh.bm25Postings(s, d), "doc_id"),
           ("doc_hashsets", wh.docHashsets(s, d), "doc_id"),
           ("gram_occurrences", wh.gramOccurrences(s, d), "doc_id"),
+          // the survivor pool carries the victims' SCRUBBED TEXT — the
+          // artifact where a missed delete is retained personal data,
+          // not just index drift (the StreamErasure finding)
+          ("release_survivors", wh.releaseSurvivors(s, d), "doc_id"),
           ("token_positions", wh.tokenPositions(s, d), "doc_id")), victims)
         .withColumn("n_repaired", lit(0L))
       val pairsRow = graft.operators.Erasure.auditAny("neardup_pairs",
@@ -3160,6 +3164,7 @@ object SparkEntry {
          |cl AS (SELECT * FROM '$oracleWhDir/neardup_clusters/*.parquet'),
          |hsd AS (SELECT * FROM '$oracleWhDir/doc_hashsets/*.parquet'),
          |tp AS (SELECT * FROM '$oracleWhDir/token_positions/*.parquet'),
+         |rs AS (SELECT * FROM '$oracleWhDir/release_survivors/*.parquet'),
          |goe AS (SELECT * FROM go2 WHERE doc_id NOT IN (SELECT key FROM v)),
          |perh AS (SELECT h, count(*) AS n_total,
          |    count(CASE WHEN doc_id IN (SELECT key FROM v) THEN 1 END) AS n_victim
@@ -3216,6 +3221,14 @@ object SparkEntry {
          |  (SELECT count(*) FROM tp WHERE doc_id IN (SELECT key FROM v)),
          |  (SELECT count(*) FROM tp WHERE doc_id NOT IN (SELECT key FROM v)),
          |  (SELECT count(*) FROM tp WHERE doc_id NOT IN (SELECT key FROM v)
+         |     AND doc_id IN (SELECT key FROM v)),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'release_survivors',
+         |  (SELECT count(*) FROM rs),
+         |  (SELECT count(*) FROM rs WHERE doc_id IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM rs WHERE doc_id NOT IN (SELECT key FROM v)),
+         |  (SELECT count(*) FROM rs WHERE doc_id NOT IN (SELECT key FROM v)
          |     AND doc_id IN (SELECT key FROM v)),
          |  CAST(0 AS BIGINT)
          |UNION ALL

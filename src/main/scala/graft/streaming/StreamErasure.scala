@@ -53,64 +53,86 @@ object StreamErasure {
   val GramBloom = "gram_bloom_base"
   val Pairs = "neardup_pairs"
   val Clusters = "neardup_clusters"
+  val ReleaseSurvivors = "release_survivors"
   val Ledger = "erasure_ledger"
 
   private def readIf(spark: SparkSession, path: String): Option[DataFrame] =
     if (Ingest.readyRecovering(spark, path)) Some(spark.read.parquet(path)) else None
 
   /** Apply one batch of victims (single column `key`) across every
-    * artifact present under `root` — exactly once per batchId. */
+    * artifact present under `root`.
+    *
+    * Skip rule is KEY-BASED, not batch-id-based: foreachBatch batchIds
+    * are monotonic only within one checkpointLocation, but the ledger
+    * outlives checkpoints — a sink re-attached with a fresh checkpoint
+    * restarts at batchId 0 carrying NEW victims, and a batch-id
+    * watermark would silently drop them (deletion requests have legal
+    * deadlines; silent is the one thing this must never be). Instead
+    * the batch applies iff it carries at least one key the ledger has
+    * not recorded; an exact redelivery (all keys recorded) is a no-op
+    * regardless of which checkpoint delivered it. Applying an already-
+    * recorded key again is harmless anyway — every step is a fixpoint. */
   def mergeBatch(spark: SparkSession, victims: DataFrame, batchId: Long,
                  root: String): Unit = {
     val ledgerPath = s"$root/$Ledger"
+    val v = victims.select(col("key")).dropDuplicates("key")
     val ledger = readIf(spark, ledgerPath)
-    val lastMerged = ledger
-      .flatMap(df => Option(df.agg(max(col("batch_id"))).head.get(0)))
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    if (batchId > lastMerged) {
-      val v = victims.select(col("key")).dropDuplicates("key")
+    val newKeys = ledger.fold(v)(l =>
+      v.join(l.select(col("key")), Seq("key"), "left_anti"))
+    if (!newKeys.isEmpty) {
+      // fail-fast BEFORE any mutation: an index without its occurrence
+      // base cannot be repaired (victim-only hashes are
+      // indistinguishable from shared ones — silent under-deletion);
+      // checking late would leave a misconfigured root mid-rewrite on
+      // every retry
+      require(!Ingest.readyRecovering(spark, s"$root/$GramIndex") ||
+        Ingest.readyRecovering(spark, s"$root/$GramOccurrences"),
+        s"$root has $GramIndex but no $GramOccurrences: the distinct index " +
+          "cannot be repaired without its occurrence base — land the base " +
+          "or drop the index from this deployment")
       def applyTo(name: String)(f: DataFrame => DataFrame): Unit =
         readIf(spark, s"$root/$name").foreach(df =>
           Ingest.overwriteSwap(spark, f(df), s"$root/$name"))
       applyTo(Postings)(Erasure.erase(_, "doc_id", v))
       applyTo(DocLens)(Erasure.erase(_, "doc_id", v))
       applyTo(GramOccurrences)(Erasure.erase(_, "doc_id", v))
+      // the survivor pool stores the victim's SCRUBBED TEXT keyed by
+      // doc_id — the one artifact where a missed delete is personal
+      // data retained, not just index drift
+      applyTo(ReleaseSurvivors)(Erasure.erase(_, "doc_id", v))
       // derived state reads the base JUST erased (artifact-dependency
       // order, the warehouse registry's own rule); repair before the
-      // bloom so the sketch re-derives from the repaired index. An
-      // index WITHOUT its occurrence base cannot be repaired (victim-
-      // only hashes are indistinguishable from shared ones) — that
-      // deployment shape would silently under-delete, so refuse it.
-      require(!Ingest.readyRecovering(spark, s"$root/$GramIndex") ||
-        Ingest.readyRecovering(spark, s"$root/$GramOccurrences"),
-        s"$root has $GramIndex but no $GramOccurrences: the distinct index " +
-          "cannot be repaired without its occurrence base — land the base " +
-          "or drop the index from this deployment")
+      // bloom so the sketch re-derives from the repaired index. The
+      // repair probe filters the erased base to the SAME slice the
+      // index was built from (buildGramIndexBase's %10 ≠ HoldoutMod) —
+      // probing the full base would keep a hash whose only surviving
+      // carrier is a holdout doc, silently forking the maintained
+      // index from a cold rebuild.
       readIf(spark, s"$root/$GramOccurrences").foreach { erasedGrams =>
-        applyTo(GramIndex)(Erasure.repairDistinctIndex(_, "h", erasedGrams))
+        val baseSlice = erasedGrams.where(
+          pmod(col("doc_id"), lit(10)) =!= graft.warehouse.Warehouse.HoldoutMod)
+        applyTo(GramIndex)(Erasure.repairDistinctIndex(_, "h", baseSlice))
         readIf(spark, s"$root/$GramIndex").foreach { idx =>
-          if (Ingest.readyRecovering(spark, s"$root/$GramBloom")) {
-            import spark.implicits._
-            val n = idx.count()
-            val bytes = graft.operators.BloomPrune.sketchBloomBytes(
-              idx, "h", math.max(n, 1L), 0.01)
+          if (Ingest.readyRecovering(spark, s"$root/$GramBloom"))
+            // the warehouse's own builder — one source of truth for the
+            // sketch geometry, so streamed and batch-built blooms stay
+            // byte-identical by construction
             Ingest.overwriteSwap(spark,
-              Seq((bytes, n, 10000L)).toDF("bf", "n_items", "fpp_micro")
-                .repartition(1),
+              graft.warehouse.Warehouse.buildGramBloomBase(spark, idx),
               s"$root/$GramBloom")
-          }
         }
       }
       applyTo(Pairs)(Erasure.eraseAny(_, Seq("doc_a", "doc_b"), v))
       applyTo(Clusters)(Erasure.relabelClusters(_, v))
-      // ledger LAST: a crash anywhere above leaves the batch
-      // unrecorded and replay re-applies — every step is a fixpoint,
-      // so the retry converges to the same bytes
-      val prior = ledger.map(_.select(col("key"), col("batch_id")))
-        .getOrElse(spark.range(0)
-          .select(col("id").as("key"), col("id").as("batch_id")))
-      Ingest.overwriteSwap(spark,
-        prior.unionByName(v.withColumn("batch_id", lit(batchId))), ledgerPath)
+      // ledger LAST, append-only: a crash anywhere above leaves keys
+      // unrecorded and replay re-applies (fixpoints converge); a crash
+      // mid-append re-appends only the still-missing keys next time.
+      // Append keeps ledger maintenance O(batch) — a cumulative
+      // rewrite-per-batch would make the multi-year RTBF stream
+      // quadratic in its own history.
+      val rows = newKeys.withColumn("batch_id", lit(batchId)).repartition(1)
+      if (Ingest.readyRecovering(spark, ledgerPath)) Ingest.append(rows, ledgerPath)
+      else Ingest.overwriteSwap(spark, rows, ledgerPath)
     }
   }
 

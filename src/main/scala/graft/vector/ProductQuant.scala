@@ -183,6 +183,8 @@ object ProductQuant {
                codesOpt: Option[DataFrame] = None,
                assignOpt: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k)
+    require(nprobe >= 1, "nprobe must be positive") // the outer-explode
+    // equivalence below assumes a non-empty probe slice
     if (books.isEmpty) // no corpus → no codebooks → empty result, same schema
       return embeddings.sparkSession.range(0)
         .select(col("id").as("qid"), col("id").as("rank"),

@@ -40,7 +40,9 @@ class StreamErasureSpec extends SparkSpec {
       s"$root/${StreamErasure.DocLens}")
     val grams = SegmentDedup.gramOccurrences(d)
     Ingest.overwriteSwap(spark, grams, s"$root/${StreamErasure.GramOccurrences}")
-    val idx = grams.select(col("h")).distinct()
+    // the warehouse definition: distinct hashes of the BASE slice
+    val idx = grams.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("h")).distinct()
     Ingest.overwriteSwap(spark, idx, s"$root/${StreamErasure.GramIndex}")
     val n = idx.count()
     Ingest.overwriteSwap(spark,
@@ -55,6 +57,11 @@ class StreamErasureSpec extends SparkSpec {
       Seq((1L, 1L), (3L, 1L), (5L, 1L), (2L, 2L), (4L, 4L))
         .toDF("doc_id", "cluster_id"),
       s"$root/${StreamErasure.Clusters}")
+    // the survivor pool carries the victims' scrubbed TEXT — the
+    // compliance-critical artifact
+    Ingest.overwriteSwap(spark,
+      d.select(col("doc_id"), col("text").as("clean_text")),
+      s"$root/${StreamErasure.ReleaseSurvivors}")
     root
   }
 
@@ -80,8 +87,14 @@ class StreamErasureSpec extends SparkSpec {
     assert(rowsOf(table(root, StreamErasure.GramOccurrences)) ==
       rowsOf(SegmentDedup.gramOccurrences(surviving)), "grams")
     assert(rowsOf(table(root, StreamErasure.GramIndex)) ==
-      rowsOf(SegmentDedup.gramOccurrences(surviving).select(col("h")).distinct()),
-      "gram index repair ≠ surviving-corpus index")
+      rowsOf(SegmentDedup.gramOccurrences(surviving)
+        .where(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("h")).distinct()),
+      "gram index repair ≠ surviving-base-corpus index")
+    // the survivor pool no longer holds the victims' text
+    assert(table(root, StreamErasure.ReleaseSurvivors)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 5L),
+      "release_survivors retained an erased doc's text")
     // bloom: byte-identical to a cold build over the repaired index
     // (same set, same geometry — order-independent bitmap)
     val idx = table(root, StreamErasure.GramIndex)
@@ -109,7 +122,8 @@ class StreamErasureSpec extends SparkSpec {
     StreamErasure.mergeBatch(spark, Seq(1L, 4L).toDF("key"), 0L, root1)
     for (t <- Seq(StreamErasure.Postings, StreamErasure.DocLens,
         StreamErasure.GramOccurrences, StreamErasure.GramIndex,
-        StreamErasure.Pairs, StreamErasure.Clusters))
+        StreamErasure.Pairs, StreamErasure.Clusters,
+        StreamErasure.ReleaseSurvivors))
       assert(rowsOf(table(rootN, t)) == rowsOf(table(root1, t)), t)
     // replay the last batch: nothing moves
     val before = Seq(StreamErasure.Postings, StreamErasure.Clusters,
@@ -132,14 +146,48 @@ class StreamErasureSpec extends SparkSpec {
     Ingest.overwriteSwap(spark,
       Erasure.relabelClusters(table(root, StreamErasure.Clusters), v),
       s"$root/${StreamErasure.Clusters}")
-    // redelivery of batch 1 (ledger still at 0) re-applies everything
+    // redelivery of batch 1 (victim 4 not yet in the ledger)
+    // re-applies everything
     StreamErasure.mergeBatch(spark, v, 1L, root)
     val surviving = docsWithout(Set(1L, 4L))
     assert(rowsOf(table(root, StreamErasure.Postings)) ==
       rowsOf(TextAnalysis.bm25Postings(surviving)))
     assert(rowsOf(table(root, StreamErasure.GramIndex)) ==
-      rowsOf(SegmentDedup.gramOccurrences(surviving).select(col("h")).distinct()))
+      rowsOf(SegmentDedup.gramOccurrences(surviving)
+        .where(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("h")).distinct()))
     assert(table(root, StreamErasure.Ledger)
       .agg(max(col("batch_id"))).head.getLong(0) == 1L)
+  }
+
+  test("fresh-checkpoint restart: new victims at a reset batchId still apply") {
+    // batchIds are checkpoint-scoped; the ledger outlives checkpoints.
+    // A batch-id watermark would silently drop these — the guard must
+    // be key-based (a deletion request is never silently skipped).
+    val root = landArtifacts(docs)
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 5L, root)
+    StreamErasure.mergeBatch(spark, Seq(4L).toDF("key"), 0L, root) // new checkpoint
+    val surviving = docsWithout(Set(1L, 4L))
+    assert(rowsOf(table(root, StreamErasure.Postings)) ==
+      rowsOf(TextAnalysis.bm25Postings(surviving)))
+    assert(table(root, StreamErasure.Ledger)
+      .select("key").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("index repair follows the base-corpus slice: a holdout-only carrier cannot keep a hash") {
+    // doc 7 (holdout: 7 % 10 == 7) duplicates doc 1's text. Doc 1's
+    // third gram has NO other base-corpus carrier, so after erasing
+    // doc 1 the maintained index must drop it (the warehouse
+    // definition is distinct-h over the BASE slice) — probing the
+    // full corpus would keep it via doc 7 and fork the maintained
+    // index from a cold rebuild.
+    val withHoldout = (corpus :+ ((7L, corpus.head._2))).toDF("doc_id", "text")
+    val root = landArtifacts(withHoldout)
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, root)
+    val survivingBase = corpus.filterNot(_._1 == 1L).toDF("doc_id", "text")
+    assert(rowsOf(table(root, StreamErasure.GramIndex)) ==
+      rowsOf(SegmentDedup.gramOccurrences(survivingBase)
+        .select(col("h")).distinct()),
+      "a holdout-only carrier kept a hash in the base index")
   }
 }
