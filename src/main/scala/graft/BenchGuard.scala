@@ -64,6 +64,12 @@ object BenchGuard {
     "q80_bm25_search" -> 1.1,
     "q133_bm25_postings" -> 1.2,
     "q139_gram_skew_audit" -> 1.5,
+    // r12: the LSH pair build now enforces the LshMaxBucket occupancy
+    // cap (one extra narrow-row window over the band table — measured
+    // 1.66 s steady vs 1.50 uncapped at sf0.1; 47 s vs 499 s at sf10
+    // where the cap actually fires). A trip here means the band table
+    // stopped being narrow or the capped window grew a corpus sort.
+    "q14_dedup_minhash_lsh" -> 2.0,
     // r11 (cont.): both release analytics read the materialized
     // release_survivors artifact — the scrub's gram shuffle moved to
     // warehouse build. A trip here means a release query re-grew a

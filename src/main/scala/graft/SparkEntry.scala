@@ -2381,7 +2381,12 @@ object SparkEntry {
   private val LshPairsCtes: String = lshPairsCtes("0.5")
 
   /** [[LshPairsCtes]] with a caller-chosen jaccard threshold (q109's
-    * calibration wants ALL candidates, threshold 0). */
+    * calibration wants ALL candidates, threshold 0). `bands` mirrors
+    * the engine's enforced [[graft.text.TextDedup.LshMaxBucket]]
+    * occupancy cap: per (band, band_key) bucket, only the 256 smallest
+    * doc_ids participate in candidate generation (row_number rule —
+    * identical on both engines; never fires on the hash-uniform
+    * corpora through sf1 where max bucket is 97). */
   private def lshPairsCtes(threshold: String): String =
     s"""hs AS (SELECT doc_id, shingles,
       |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
@@ -2391,9 +2396,12 @@ object SparkEntry {
       |    coalesce(list_min(list_transform(h28s,
       |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
       |  FROM hs),
-      |bands AS (SELECT doc_id,
-      |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-      |  FROM sig, generate_series(0, 7) t(b)),
+      |bands AS (SELECT doc_id, b, band_key FROM (
+      |  SELECT doc_id, b, band_key,
+      |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
+      |  FROM (SELECT doc_id,
+      |    b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+      |    FROM sig, generate_series(0, 7) t(b))) WHERE bkrn <= 256),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
       |    AND a.doc_id < b.doc_id),
@@ -2835,9 +2843,12 @@ object SparkEntry {
          |    coalesce(list_min(list_transform(h28s,
          |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
          |  FROM hs),
-         |bands AS (SELECT doc_id,
-         |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-         |  FROM sig, generate_series(0, 7) t(b)),
+         |bands AS (SELECT doc_id, b, band_key FROM (
+         |  SELECT doc_id, b, band_key,
+         |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
+         |  FROM (SELECT doc_id,
+         |    b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+         |    FROM sig, generate_series(0, 7) t(b))) WHERE bkrn <= 256),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
          |    AND a.doc_id < b.doc_id),
@@ -3278,7 +3289,13 @@ object SparkEntry {
          |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
          |  CAST(max(n * (n - 1) // 2) AS BIGINT) AS max_bucket_pairs,
          |  (CAST(max(n * (n - 1) // 2) AS BIGINT) * 1000000)
-         |    // greatest(1, CAST(sum(n * (n - 1) // 2) AS BIGINT)) AS hot_share_ppm
+         |    // greatest(1, CAST(sum(n * (n - 1) // 2) AS BIGINT)) AS hot_share_ppm,
+         |  CAST(sum(least(n, 256) * (least(n, 256) - 1) // 2) AS BIGINT) AS capped_pairs,
+         |  CAST(sum(n * (n - 1) // 2) - sum(least(n, 256) * (least(n, 256) - 1) // 2)
+         |    AS BIGINT) AS dropped_pairs,
+         |  (CAST(sum(n * (n - 1) // 2) - sum(least(n, 256) * (least(n, 256) - 1) // 2)
+         |     AS BIGINT) * 1000000)
+         |    // greatest(1, CAST(sum(n * (n - 1) // 2) AS BIGINT)) AS dropped_ppm
          |FROM occ GROUP BY band ORDER BY band""".stripMargin,
     // Manifest replay: the q140 chain verbatim up to the released set,
     // then the order-independent xor fingerprint (bit_xor of
@@ -5719,12 +5736,19 @@ object SparkEntry {
          |    coalesce(list_min(list_transform(h28s,
          |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
          |  FROM hs),
-         |bands AS (SELECT doc_id,
+         |bands0 AS (SELECT doc_id,
          |  b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
          |  FROM sig, generate_series(0, 7) t(b)),
+         |bandsn AS (SELECT doc_id, b, band_key FROM (
+         |  SELECT doc_id, b, band_key,
+         |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
+         |  FROM bands0 WHERE doc_id % 10 = 7) WHERE bkrn <= 256),
+         |bandso AS (SELECT doc_id, b, band_key FROM (
+         |  SELECT doc_id, b, band_key,
+         |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
+         |  FROM bands0 WHERE doc_id % 10 <> 7) WHERE bkrn <= 256),
          |candx AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
-         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |  FROM bandsn a JOIN bandso b ON a.b = b.b AND a.band_key = b.band_key),
          |px AS (SELECT new_id, old_id,
          |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
          |  nullif(CAST(len(sa.shingles) + len(sb.shingles)

@@ -32,6 +32,34 @@ object TextDedup {
   val MinhashK = 16
   val LshBands = 8 // × 2 rows per band = 16 perms
 
+  /** ENFORCED band-bucket occupancy cap for LSH candidate generation.
+    *
+    * Why it exists (measured, not hypothetical): the sf1→sf10 stress
+    * measured the uncapped pair build at 29.5× cost for 10× docs —
+    * band-bucket occupancy grows with corpus duplication density, so
+    * in-bucket candidate pairs grow QUADRATICALLY (boilerplate-dense
+    * corpora put thousands of byte-identical docs in one bucket of
+    * every band). [[bandOccupancyAudit]] measures the degeneracy; this
+    * cap BOUNDS it by construction: within each (band, band_key)
+    * bucket, only the `cap` smallest doc_ids participate in candidate
+    * generation (deterministic — the DuckDB oracle mirrors the same
+    * row_number rule), so per-bucket candidate mass is ≤ cap·(cap−1)/2
+    * regardless of corpus density.
+    *
+    * 256 is chosen from the measured occupancy ladder: the hottest
+    * bucket is 17 at sf0.1 and 97 at sf1 (cap never fires on a
+    * hash-uniform corpus — results are bit-identical to uncapped),
+    * while sf10 has 361 buckets above 256 (max 1234) and the planted
+    * boilerplate corpus has 2 600-doc buckets — exactly the regime the
+    * cap exists to bound. Recall loss when it fires is REPORTED, not
+    * silent: [[bandOccupancyAudit]]'s capped_pairs/dropped_pairs/
+    * dropped_ppm columns quantify the dropped candidate mass per band
+    * before the join runs. The loss is concentrated on byte-identical
+    * template docs — the documented mitigation stands: run exact dedup
+    * FIRST (q12 precedes q14 in the curation chain) so identical docs
+    * collapse to one band representative and the cap never fires. */
+  val LshMaxBucket = 256
+
   /** Distinct word 3-gram shingles of a text column (`c` must be a
     * column NAME, resolvable in scope). Native codegen'd expression
     * ([[graft.functions.WordShingles]]) — the SQL `transform(...,
@@ -99,9 +127,17 @@ object TextDedup {
     * parquet. Persisted because the candidate self-join probes it twice
     * (without it Spark re-evaluates the whole shingle+md5+minhash
     * subtree per join side — the round-1 snapshotMerge lesson).
-    * Footprint is O(docs × 8) short rows. */
-  private def bandedSignatures(sh: DataFrame): DataFrame =
-    sh
+    * Footprint is O(docs × 8) short rows.
+    *
+    * `maxBucket` < Int.MaxValue applies the [[LshMaxBucket]] occupancy
+    * cap: a row_number window over (band, band_key) ordered by doc_id
+    * keeps the cap smallest ids per bucket. One extra shuffle of the
+    * narrow band rows, sort confined to each bucket — O(n_b log n_b)
+    * where the join it guards is O(n_b²). The persisted table is the
+    * CAPPED one (smaller, and it is what both join probes read). */
+  private def bandedSignatures(sh: DataFrame,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
+    val raw = sh
       .withColumn("sig", minhashExpr("shingles"))
       .select(col("doc_id"),
         explode(expr(
@@ -109,15 +145,25 @@ object TextDedup {
              |  concat_ws('_', element_at(sig, 2*b + 1), element_at(sig, 2*b + 2)) AS band_key))"""
             .stripMargin)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
-      .leased
+    val capped =
+      if (maxBucket == Int.MaxValue) raw
+      else raw
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+        .where(col("rn") <= maxBucket)
+        .drop("rn")
+    capped.leased
+  }
 
   /** MinHash+LSH near-duplicate pairs over a fresh shingle projection —
     * see [[minhashLshPairsFromShingles]]. The projection (and the band
     * table inside) stay persisted until the caller clears them
     * (clearCache / unpersist) — see [[graft.text.Curation.curate]]'s
     * lifecycle note. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame =
-    minhashLshPairsFromShingles(shingled(docs).leased, threshold)
+  def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+                      maxBucket: Int = LshMaxBucket): DataFrame =
+    minhashLshPairsFromShingles(shingled(docs).leased, threshold, maxBucket)
 
   /** LSH band-bucket OCCUPANCY audit — the "is my LSH degenerating"
     * monitor: per band, the bucket count, the hottest bucket, the
@@ -138,18 +184,30 @@ object TextDedup {
     * Cost: the band table's one aggregate — runs BEFORE the self-join
     * whose cost it predicts (the point: you audit, then decide to
     * pair). */
-  def bandOccupancyAudit(docs: DataFrame): DataFrame = {
+  def bandOccupancyAudit(docs: DataFrame,
+                         maxBucket: Int = LshMaxBucket): DataFrame = {
     val occ = bandedSignatures(shingled(docs))
       .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
     occ.groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"),
         max(col("n")).as("max_bucket"),
         sum(expr("n * (n - 1) div 2")).as("cand_pairs"),
-        max(expr("n * (n - 1) div 2")).as("max_bucket_pairs"))
+        max(expr("n * (n - 1) div 2")).as("max_bucket_pairs"),
+        // analytic replay of the [[LshMaxBucket]] cap: capped mass is
+        // Σ min(n, cap)·(min(n, cap)−1)/2 — computed from the SAME
+        // occupancy aggregate, no second window/join. dropped_pairs is
+        // the exact candidate mass the capped build will NOT generate
+        // (the quantified recall loss the cap trades for boundedness).
+        sum(expr(s"least(n, $maxBucket) * (least(n, $maxBucket) - 1) div 2"))
+          .as("capped_pairs"))
       .select(col("band").cast("long").as("band"), col("n_buckets"),
         col("max_bucket"), col("cand_pairs"), col("max_bucket_pairs"),
         expr("(max_bucket_pairs * 1000000) div greatest(1L, cand_pairs)")
-          .as("hot_share_ppm"))
+          .as("hot_share_ppm"),
+        col("capped_pairs"),
+        (col("cand_pairs") - col("capped_pairs")).as("dropped_pairs"),
+        expr("((cand_pairs - capped_pairs) * 1000000) div greatest(1L, cand_pairs)")
+          .as("dropped_ppm"))
       .orderBy("band")
   }
 
@@ -163,9 +221,13 @@ object TextDedup {
     * band table (shuffle carries only (doc_id, band, band_key) — never
     * shingle arrays); pairs are deduped while still narrow, and the
     * shingle sets are attached only to surviving candidates for the
-    * exact-jaccard check. */
-  def minhashLshPairsFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sigs = bandedSignatures(sh)
+    * exact-jaccard check. Bucket occupancy is CAPPED at `maxBucket`
+    * ([[LshMaxBucket]] — never fires on the hash-uniform corpora
+    * through sf1; bounds the quadratic on boilerplate-dense ones;
+    * dropped candidate mass quantified by [[bandOccupancyAudit]]). */
+  def minhashLshPairsFromShingles(sh: DataFrame, threshold: Double = 0.5,
+                                  maxBucket: Int = LshMaxBucket): DataFrame = {
+    val sigs = bandedSignatures(sh, maxBucket)
     val cand = sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band", "band_key"))
@@ -197,21 +259,30 @@ object TextDedup {
     * [[minhashLshPairsFromShingles]] over the batch alone.
     * Output: (new_id, old_id, jaccard ≥ threshold). */
   def minhashLshPairsBetween(newDocs: DataFrame, corpus: DataFrame,
-                             threshold: Double = 0.5): DataFrame =
+                             threshold: Double = 0.5,
+                             maxBucket: Int = LshMaxBucket): DataFrame =
     minhashLshPairsBetweenFromShingles(
-      shingled(newDocs).leased, shingled(corpus).leased, threshold)
+      shingled(newDocs).leased, shingled(corpus).leased, threshold, maxBucket)
 
   /** [[minhashLshPairsBetween]] with both shingle projections supplied —
     * the maintained-artifact path ([[graft.streaming.StreamRelease]]
     * keeps the corpus (doc_id, shingles) table on parquet and passes it
     * here per batch instead of re-shingling history from text). Persist
     * (or materialize) both inputs: each feeds its signature stage AND
-    * the exact-jaccard attach. */
+    * the exact-jaccard attach.
+    *
+    * The [[LshMaxBucket]] cap applies PER SIDE: each side's bucket
+    * keeps its own cap smallest ids (so a bipartite bucket generates
+    * at most cap² candidates). Per-side — not over the union — because
+    * the two band tables are separate artifacts in production (the
+    * corpus side is maintained parquet; the batch side is built per
+    * micro-batch and must not depend on corpus ids for its own cap). */
   def minhashLshPairsBetweenFromShingles(shNew: DataFrame, shOld: DataFrame,
-                                         threshold: Double = 0.5): DataFrame = {
-    val cand = bandedSignatures(shNew)
+                                         threshold: Double = 0.5,
+                                         maxBucket: Int = LshMaxBucket): DataFrame = {
+    val cand = bandedSignatures(shNew, maxBucket)
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-      .join(bandedSignatures(shOld)
+      .join(bandedSignatures(shOld, maxBucket)
         .select(col("band"), col("band_key"), col("doc_id").as("old_id")),
         Seq("band", "band_key"))
       .select(col("new_id"), col("old_id"))

@@ -161,4 +161,54 @@ class TextDedupSpec extends SparkSpec {
     assert(out.forall { case (d, n, e) => d >= 0 && d <= 10 && n > 0 && e >= 0 && e <= 1000000 })
     assert(out.map(_._1) == out.map(_._1).sorted)
   }
+
+  test("band-bucket cap keeps only the cap smallest ids per bucket") {
+    // five byte-identical docs share EVERY band bucket (the boilerplate
+    // degeneracy); cap=2 keeps ids {1, 2} in each bucket, so the only
+    // candidate — and the only pair — is (1, 2)
+    val docs = Seq(1L, 2L, 3L, 5L, 9L)
+      .map(id => (id, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val capped = TextDedup.minhashLshPairs(docs, threshold = 0.5, maxBucket = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)))
+    // the default cap (256) never fires here: all 10 pairs emerge
+    val full = TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full.size == 10)
+  }
+
+  test("default cap never fires on the sf0.001 corpus (capped == uncapped)") {
+    val docs = corpusDocs
+    val capped = TextDedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = TextDedup.minhashLshPairs(docs, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
+
+  test("between-pairs cap applies per side") {
+    // old bucket {1,2,3,4} capped to {1,2}; new bucket {101,102,103}
+    // capped to {101,102} — bipartite candidates are the 2×2 product
+    val text = "alpha beta gamma delta epsilon"
+    val oldDocs = Seq(1L, 2L, 3L, 4L).map(id => (id, text)).toDF("doc_id", "text")
+    val newDocs = Seq(101L, 102L, 103L).map(id => (id, text)).toDF("doc_id", "text")
+    val got = TextDedup.minhashLshPairsBetween(newDocs, oldDocs, maxBucket = 2)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L)))
+  }
+
+  test("occupancy audit quantifies the capped/dropped candidate mass") {
+    val docs = Seq(1L, 2L, 3L, 5L, 9L)
+      .map(id => (id, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = TextDedup.bandOccupancyAudit(docs, maxBucket = 2)
+      .select("band", "n_buckets", "max_bucket", "cand_pairs",
+        "capped_pairs", "dropped_pairs", "dropped_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 8)
+    // per band: one bucket of 5 → 10 raw pairs, 1 capped pair, 9 dropped
+    out.foreach { case (_, nb, mb, cp, kp, dp, ppm) =>
+      assert((nb, mb, cp, kp, dp, ppm) == ((1L, 5L, 10L, 1L, 9L, 900000L)))
+    }
+  }
 }
