@@ -56,6 +56,24 @@ object StreamErasure {
   val ReleaseSurvivors = "release_survivors"
   val Ledger = "erasure_ledger"
 
+  /** Bloom-rebuild deferral threshold: the sketch is rebuilt only when
+    * the repaired index has shrunk ≥ this percent below the size it
+    * was built over (the bloom row's own n_items — no extra state).
+    *
+    * Why deferral is SAFE: erasure only removes index keys, so the
+    * standing bloom was built over a SUPERSET of the current index —
+    * every surviving key still hits (the no-false-negative contract
+    * holds unconditionally); an erased key may also still hit, which
+    * costs the consumer probe overshoot, never a wrong answer. Why it
+    * exists: a bloom cannot subtract, so the only repair is a full
+    * rebuild from the index — per-batch rebuild makes every RTBF
+    * micro-batch cost O(index) regardless of batch size. Deferral
+    * decouples them: below the threshold the batch pays only its own
+    * row deletes + the index repair; the O(index) rebuild amortizes
+    * over ~shrinkPct of index mass erased. Set 0 to rebuild eagerly
+    * (every batch, the pre-r12 behavior). */
+  val BloomRebuildShrinkPct = 10
+
   private def readIf(spark: SparkSession, path: String): Option[DataFrame] =
     if (Ingest.readyRecovering(spark, path)) Some(spark.read.parquet(path)) else None
 
@@ -73,7 +91,8 @@ object StreamErasure {
     * regardless of which checkpoint delivered it. Applying an already-
     * recorded key again is harmless anyway — every step is a fixpoint. */
   def mergeBatch(spark: SparkSession, victims: DataFrame, batchId: Long,
-                 root: String): Unit = {
+                 root: String,
+                 bloomRebuildShrinkPct: Int = BloomRebuildShrinkPct): Unit = {
     val ledgerPath = s"$root/$Ledger"
     val v = victims.select(col("key")).dropDuplicates("key")
     val ledger = readIf(spark, ledgerPath)
@@ -90,6 +109,15 @@ object StreamErasure {
         s"$root has $GramIndex but no $GramOccurrences: the distinct index " +
           "cannot be repaired without its occurrence base — land the base " +
           "or drop the index from this deployment")
+      // same fail-fast for the sketch: a bloom can only be maintained
+      // by rebuilding from the repaired index — a root with the bloom
+      // but no index would silently keep a stale sketch whose bits
+      // still encode victim-derived gram hashes
+      require(!Ingest.readyRecovering(spark, s"$root/$GramBloom") ||
+        Ingest.readyRecovering(spark, s"$root/$GramIndex"),
+        s"$root has $GramBloom but no $GramIndex: the bloom cannot be " +
+          "maintained without the index it is rebuilt from — land the " +
+          "index or drop the bloom from this deployment")
       def applyTo(name: String)(f: DataFrame => DataFrame): Unit =
         readIf(spark, s"$root/$name").foreach(df =>
           Ingest.overwriteSwap(spark, f(df), s"$root/$name"))
@@ -98,7 +126,22 @@ object StreamErasure {
       applyTo(GramOccurrences)(Erasure.erase(_, "doc_id", v))
       // the survivor pool stores the victim's SCRUBBED TEXT keyed by
       // doc_id — the one artifact where a missed delete is personal
-      // data retained, not just index drift
+      // data retained, not just index drift.
+      //
+      // DOCUMENTED SEMANTICS — monotonic shrink on keeper erasure: when
+      // a near-dup cluster KEEPER is erased, the relabel below promotes
+      // a new keeper (min surviving member), but its scrubbed row is
+      // NOT added here — the scrub needs the promoted doc's raw text,
+      // and raw documents are deliberately not a maintained artifact
+      // under this root (keeping a raw-text copy beside the index
+      // artifacts would widen the RTBF surface this maintainer exists
+      // to shrink). So a keepers-only pool under continuous erasure
+      // holds a SUBSET of what a cold warehouse rebuild over the
+      // surviving corpus would: releases never leak erased content
+      // (the privacy contract), but may omit a promoted keeper's
+      // content until the next warehouse build re-derives the pool
+      // (the cold build is the repair path, exactly like the cluster
+      // bridge caveat). Pinned by the keepers-only-pool spec.
       applyTo(ReleaseSurvivors)(Erasure.erase(_, "doc_id", v))
       // derived state reads the base JUST erased (artifact-dependency
       // order, the warehouse registry's own rule); repair before the
@@ -113,26 +156,47 @@ object StreamErasure {
           pmod(col("doc_id"), lit(10)) =!= graft.warehouse.Warehouse.HoldoutMod)
         applyTo(GramIndex)(Erasure.repairDistinctIndex(_, "h", baseSlice))
         readIf(spark, s"$root/$GramIndex").foreach { idx =>
-          if (Ingest.readyRecovering(spark, s"$root/$GramBloom"))
-            // the warehouse's own builder — one source of truth for the
-            // sketch geometry, so streamed and batch-built blooms stay
-            // byte-identical by construction
-            Ingest.overwriteSwap(spark,
-              graft.warehouse.Warehouse.buildGramBloomBase(spark, idx),
-              s"$root/$GramBloom")
+          readIf(spark, s"$root/$GramBloom").foreach { bloomRow =>
+            // DEFERRED rebuild (see [[BloomRebuildShrinkPct]]): the
+            // bloom row's own n_items records the index size it was
+            // built over; rebuild only once the repaired index has
+            // shrunk past the threshold (or — defensively — GROWN,
+            // which would mean false negatives: another maintainer
+            // added keys without updating the sketch). In between, the
+            // stale superset bloom keeps the no-false-negative
+            // contract and the batch cost stays O(batch + repair),
+            // decoupled from index size.
+            val builtOver = bloomRow.select(col("n_items")).head().getLong(0)
+            val cur = idx.count()
+            val shrunkPastThreshold =
+              (builtOver - cur) * 100L >= builtOver * bloomRebuildShrinkPct.toLong
+            if (builtOver <= 0L || cur > builtOver || shrunkPastThreshold)
+              // the warehouse's own builder — one source of truth for
+              // the sketch geometry, so streamed and batch-built blooms
+              // stay byte-identical by construction
+              Ingest.overwriteSwap(spark,
+                graft.warehouse.Warehouse.buildGramBloomBase(spark, idx),
+                s"$root/$GramBloom")
+          }
         }
       }
       applyTo(Pairs)(Erasure.eraseAny(_, Seq("doc_a", "doc_b"), v))
       applyTo(Clusters)(Erasure.relabelClusters(_, v))
-      // ledger LAST, append-only: a crash anywhere above leaves keys
-      // unrecorded and replay re-applies (fixpoints converge); a crash
-      // mid-append re-appends only the still-missing keys next time.
-      // Append keeps ledger maintenance O(batch) — a cumulative
-      // rewrite-per-batch would make the multi-year RTBF stream
-      // quadratic in its own history.
-      val rows = newKeys.withColumn("batch_id", lit(batchId)).repartition(1)
-      if (Ingest.readyRecovering(spark, ledgerPath)) Ingest.append(rows, ledgerPath)
-      else Ingest.overwriteSwap(spark, rows, ledgerPath)
+      // ledger LAST: a crash anywhere above leaves keys unrecorded and
+      // replay re-applies (fixpoints converge). Written through the
+      // SAME crash-safe overwriteSwap path as every other artifact
+      // (old ∪ new keys into a fresh swap dir, then rename) — the
+      // previous append-only write leaned on committer rename
+      // atomicity, and a torn append on a non-atomic store would have
+      // corrupted the one artifact an auditor reads. The rewrite is
+      // O(ledger), not O(batch), but the ledger is a keys-only table
+      // (bounded by total deletion requests ever — megabytes after
+      // years), so the swap's cost is noise next to the index repair
+      // the same batch already paid.
+      val rows = newKeys.withColumn("batch_id", lit(batchId))
+      val merged = ledger.fold(rows)(l =>
+        l.select(col("key"), col("batch_id")).unionByName(rows))
+      Ingest.overwriteSwap(spark, merged.repartition(1), ledgerPath)
     }
   }
 

@@ -350,6 +350,10 @@ object Similarity {
     * drops qid = nid pairs for the self-search case. */
   private def ivfSearchCore(eQ: DataFrame, eN: DataFrame, cent: DataFrame,
                             k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+    // argument validation BEFORE data inspection, matching
+    // [[graft.vector.ProductQuant.annIvfPq]]: an empty corpus with
+    // nprobe = 0 throws on both paths instead of one returning empty
+    require(nprobe >= 1, "nprobe must be positive")
     val cents = cent.select(col("cid"), col("cv"), col("cnrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     if (cents.isEmpty) // empty codebook (empty corpus) → no pairs, same schema
@@ -360,7 +364,6 @@ object Similarity {
       struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
         lit(cid).as("cid"))
     }
-    require(nprobe >= 1, "nprobe must be positive")
     def withCells(e: DataFrame) = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
     // explode_OUTER: the plain generator's inferred `size(slice(...)) > 0`
     // filter re-evaluates the whole ncells-literal sort per row (2× the

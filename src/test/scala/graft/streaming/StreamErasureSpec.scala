@@ -174,6 +174,81 @@ class StreamErasureSpec extends SparkSpec {
       .select("key").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("bloom rebuild defers below the shrink threshold, keeps no-false-negatives, fires above it") {
+    val root = landArtifacts(docs)
+    val originalBloom = table(root, StreamErasure.GramBloom)
+      .select("bf").head.getAs[Array[Byte]](0)
+    // erasing doc 1 removes ONE of the 11 base-index hashes (its only
+    // non-shared 8-gram) — 9.1% < the 10% threshold: the bloom is NOT
+    // rebuilt (byte-equal to the original), and because erasure only
+    // removes keys, the stale superset bloom still hits every
+    // surviving index key (the no-false-negative contract)
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, root)
+    val deferredBloom = table(root, StreamErasure.GramBloom)
+      .select("bf").head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(deferredBloom, originalBloom),
+      "bloom rebuilt below the shrink threshold")
+    val idx = table(root, StreamErasure.GramIndex)
+    assert(idx.where(!graft.operators.BloomPrune.mightContainLong(
+        deferredBloom, col("h"))).isEmpty,
+      "stale bloom dropped a surviving index key (false negative)")
+    // erasing doc 4 removes three more hashes — cumulative shrink 36%
+    // crosses the threshold: rebuild fires, byte-equal to a cold build
+    StreamErasure.mergeBatch(spark, Seq(4L).toDF("key"), 1L, root)
+    val rebuilt = table(root, StreamErasure.GramBloom)
+      .select("bf").head.getAs[Array[Byte]](0)
+    val idx2 = table(root, StreamErasure.GramIndex)
+    val cold = BloomPrune.sketchBloomBytes(idx2, "h", math.max(idx2.count(), 1L), 0.01)
+    assert(java.util.Arrays.equals(rebuilt, cold),
+      "threshold-crossing batch did not rebuild to the cold bytes")
+    assert(!java.util.Arrays.equals(rebuilt, originalBloom))
+  }
+
+  test("eager mode (shrinkPct = 0) rebuilds on every mutating batch") {
+    val root = landArtifacts(docs)
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, root,
+      bloomRebuildShrinkPct = 0)
+    val idx = table(root, StreamErasure.GramIndex)
+    val cold = BloomPrune.sketchBloomBytes(idx, "h", math.max(idx.count(), 1L), 0.01)
+    val landed = table(root, StreamErasure.GramBloom)
+      .select("bf").head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(landed, cold),
+      "eager mode kept a stale bloom after a sub-threshold erase")
+  }
+
+  test("keepers-only survivor pool: a promoted keeper's row is NOT re-added (documented shrink)") {
+    // land the pool the way the warehouse builds it — KEEPERS ONLY
+    // (doc 1 keeps cluster {1,3,5}; 2 and 4 are singletons)
+    val root = landArtifacts(docs)
+    Ingest.overwriteSwap(spark,
+      docs.where(col("doc_id").isin(1L, 2L, 4L))
+        .select(col("doc_id"), col("text").as("clean_text")),
+      s"$root/${StreamErasure.ReleaseSurvivors}")
+    StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, root)
+    // the relabel promoted doc 3 to cluster keeper…
+    assert(rowsOf(table(root, StreamErasure.Clusters)).toSet ==
+      Set(Seq("3", "3"), Seq("5", "3"), Seq("2", "2"), Seq("4", "4")))
+    // …but the pool only shrinks: victim gone (the privacy contract),
+    // promoted keeper 3 NOT re-derived (needs raw text — deliberately
+    // not a maintained artifact; the cold warehouse rebuild is the
+    // repair path, as documented in StreamErasure.mergeBatch)
+    assert(table(root, StreamErasure.ReleaseSurvivors)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+  }
+
+  test("a root with the bloom but no index fails fast before any mutation") {
+    val root = landArtifacts(docs)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/${StreamErasure.GramIndex}"), true)
+    val before = rowsOf(table(root, StreamErasure.Postings))
+    val ex = intercept[IllegalArgumentException] {
+      StreamErasure.mergeBatch(spark, Seq(1L).toDF("key"), 0L, root)
+    }
+    assert(ex.getMessage.contains(StreamErasure.GramBloom))
+    assert(rowsOf(table(root, StreamErasure.Postings)) == before,
+      "fail-fast still mutated an artifact")
+  }
+
   test("index repair follows the base-corpus slice: a holdout-only carrier cannot keep a hash") {
     // doc 7 (holdout: 7 % 10 == 7) duplicates doc 1's text. Doc 1's
     // third gram has NO other base-corpus carrier, so after erasing
