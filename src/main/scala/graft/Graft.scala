@@ -38,12 +38,23 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * All graft entry points — Bench, BenchGuard, Verify — release between
   * queries. At MEMORY_AND_DISK default storage the worst case of NOT
   * releasing is eviction, never OOM-by-cache.
+  *
+  * The contract is enforced registry-wide, not per-operator:
+  * PersistBalanceSpec's REGISTRY SWEEP runs every `SparkEntry.queries`
+  * entry through the Bench/Verify teardown and fails — naming the
+  * query — if any retained cached block survives, so a future operator
+  * that persists outside the lease discipline cannot land green.
   */
 object Graft {
 
-  private val globalLeases = scala.collection.mutable.LinkedHashSet.empty[Dataset[_]]
-  private val scopeStack = new ThreadLocal[List[scala.collection.mutable.ListBuffer[Dataset[_]]]] {
-    override def initialValue(): List[scala.collection.mutable.ListBuffer[Dataset[_]]] = Nil
+  private val globalLeases = scala.collection.mutable.ListBuffer.empty[() => Unit]
+  private val scopeStack = new ThreadLocal[List[scala.collection.mutable.ListBuffer[() => Unit]]] {
+    override def initialValue(): List[scala.collection.mutable.ListBuffer[() => Unit]] = Nil
+  }
+
+  private def register(release: () => Unit): Unit = scopeStack.get() match {
+    case head :: _ => head += release
+    case Nil => globalLeases.synchronized { globalLeases += release }
   }
 
   /** Persist `ds` and REGISTER the acquisition: inside a [[leaseScope]]
@@ -55,25 +66,30 @@ object Graft {
     * consuming action fans out to executor threads). */
   def lease[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist()
-    scopeStack.get() match {
-      case head :: _ => head += ds
-      case Nil => globalLeases.synchronized { globalLeases += ds }
-    }
+    register(() => ds.unpersist(blocking = false))
     ds
   }
 
-  /** Run `body`; any [[lease]] acquired by this thread inside it is
-    * released (non-blocking unpersist) in `finally`. Use at a boundary
-    * where the leased intermediates are provably consumed — e.g. a
-    * warehouse artifact build, whose output lands on parquet before the
-    * scope closes. Nests: inner scopes release only their own leases. */
+  /** Register a custom release action under the same discipline as
+    * [[lease]] — for cached state that is NOT a catalog-registered
+    * Dataset persist (the RDD behind an eager `localCheckpoint`, a
+    * broadcast handle). Runs when the innermost [[leaseScope]] closes,
+    * or at [[releaseLeases]]. */
+  def leaseAction(release: () => Unit): Unit = register(release)
+
+  /** Run `body`; any [[lease]]/[[leaseAction]] acquired by this thread
+    * inside it is released (non-blocking) in `finally`. Use at a
+    * boundary where the leased intermediates are provably consumed —
+    * e.g. a warehouse artifact build, whose output lands on parquet
+    * before the scope closes. Nests: inner scopes release only their
+    * own leases. */
   def leaseScope[T](body: => T): T = {
-    val buf = scala.collection.mutable.ListBuffer.empty[Dataset[_]]
+    val buf = scala.collection.mutable.ListBuffer.empty[() => Unit]
     scopeStack.set(buf :: scopeStack.get())
     try body
     finally {
       scopeStack.set(scopeStack.get().tail)
-      buf.foreach(d => try d.unpersist(blocking = false) catch { case _: Throwable => () })
+      buf.foreach(r => try r() catch { case _: Throwable => () })
     }
   }
 
@@ -83,7 +99,7 @@ object Graft {
     * the number of leases released. */
   def releaseLeases(): Int = globalLeases.synchronized {
     val n = globalLeases.size
-    globalLeases.foreach(d => try d.unpersist(blocking = false) catch { case _: Throwable => () })
+    globalLeases.foreach(r => try r() catch { case _: Throwable => () })
     globalLeases.clear()
     n
   }

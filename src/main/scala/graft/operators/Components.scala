@@ -50,8 +50,9 @@ object Components {
     sym.count() // eager fill: every round probes this table
 
     // sym holds both orientations, so src alone covers every edge node
-    var labels = sym.select(col("src").as("id")).dropDuplicates("id")
-      .select(col("id"), col("id").as("component")).localCheckpoint(true)
+    var labels = Checkpoints.roll(
+      sym.select(col("src").as("id")).dropDuplicates("id")
+        .select(col("id"), col("id").as("component")), None)
     var sumOld = checksum(labels)
     var round = 0
     var converged = sumOld == null // no edges → nothing to iterate
@@ -59,18 +60,20 @@ object Components {
       round += 1
       // every edge node has a neighbor, so min-with-self needs no outer join:
       // msgs covers labels' ids exactly, and least(own, nbr) keeps monotonicity
-      val next = sym
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("src").as("id"),
-          least(col("component"), col("nbr_min")).as("component"))
-        .localCheckpoint(true)
+      val next = Checkpoints.roll(
+        sym
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("src").as("id"),
+            least(col("component"), col("nbr_min")).as("component")),
+        Some(labels))
       val sumNew = checksum(next)
       labels = next
       converged = sumNew == sumOld
       sumOld = sumNew
     }
+    Checkpoints.leaseFinal(labels) // released even on the loud non-convergence path
     // A silent early stop would return WRONG labels (propagation frozen
     // mid-graph); converging dedup graphs finish in a handful of rounds,
     // so hitting the valve means the input is not the graph this

@@ -58,8 +58,8 @@ object PageRank {
     deg.count() // eager fill: every round probes edges + degrees
 
     // sym holds both orientations, so src alone covers every edge node
-    var ranks = deg.select(col("src").as("id"), lit(Scale).as("pr_fix"))
-      .localCheckpoint(true)
+    var ranks = Checkpoints.roll(
+      deg.select(col("src").as("id"), lit(Scale).as("pr_fix")), None)
     for (_ <- 1 to iters) {
       // per-source contribution (same for each outgoing edge), fanned
       // out along edges, summed at the destination. Every edge node has
@@ -69,13 +69,14 @@ object PageRank {
       val contrib = ranks.join(deg.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("id").as("src"),
           expr(s"((pr_fix * $DampNum) div $DampDen) div outdeg").as("c"))
-      val next = sym.join(contrib, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("msg"))
-        .select(col("dst").as("id"), (lit(TeleportFix) + col("msg")).as("pr_fix"))
-        .localCheckpoint(true)
-      ranks = next
+      ranks = Checkpoints.roll(
+        sym.join(contrib, Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("msg"))
+          .select(col("dst").as("id"), (lit(TeleportFix) + col("msg")).as("pr_fix")),
+        Some(ranks))
     }
     sym.unpersist(); deg.unpersist()
+    Checkpoints.leaseFinal(ranks)
     val singletons = nodes.select(col("id"))
       .join(ranks.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(TeleportFix).as("pr_fix"))
@@ -103,8 +104,8 @@ object PageRank {
     val wsum = sym.groupBy(col("src")).agg(sum(col("w")).as("wtot")).persist()
     wsum.count()
 
-    var ranks = wsum.select(col("src").as("id"), lit(Scale).as("pr_fix"))
-      .localCheckpoint(true)
+    var ranks = Checkpoints.roll(
+      wsum.select(col("src").as("id"), lit(Scale).as("pr_fix")), None)
     for (_ <- 1 to iters) {
       // per-EDGE contribution this time (outflow splits by weight), so
       // the damped rank and W(u) attach to each edge before the fanout
@@ -113,12 +114,13 @@ object PageRank {
         .join(wsum, Seq("src"))
         .select(col("dst"),
           expr(s"(((pr_fix * $DampNum) div $DampDen) * w) div wtot").as("c"))
-      val next = contrib.groupBy(col("dst")).agg(sum(col("c")).as("msg"))
-        .select(col("dst").as("id"), (lit(TeleportFix) + col("msg")).as("pr_fix"))
-        .localCheckpoint(true)
-      ranks = next
+      ranks = Checkpoints.roll(
+        contrib.groupBy(col("dst")).agg(sum(col("c")).as("msg"))
+          .select(col("dst").as("id"), (lit(TeleportFix) + col("msg")).as("pr_fix")),
+        Some(ranks))
     }
     sym.unpersist(); wsum.unpersist()
+    Checkpoints.leaseFinal(ranks)
     val singletons = nodes.select(col("id"))
       .join(ranks.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(TeleportFix).as("pr_fix"))

@@ -49,6 +49,29 @@ class PersistBalanceSpec extends SparkSpec {
     mine.unpersist()
   }
 
+  test("REGISTRY SWEEP: every query returns with zero cached blocks after teardown") {
+    // The contract must fail for a FUTURE leaking operator by
+    // construction (the WarehouseMaintenanceSpec pattern): iterate the
+    // whole registry, run each query through the Bench/Verify teardown
+    // (releaseLeases + clearCache), and require zero retained blocks.
+    // A new query that persists outside the lease discipline fails
+    // here with its own name, not as a slow drift in a 163-query run.
+    Graft.releaseLeases(); spark.catalog.clearCache()
+    val leakers = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      Graft.releaseLeases(); spark.catalog.clearCache()
+      val left = spark.sparkContext.getPersistentRDDs
+      if (left.nonEmpty) {
+        leakers += s"$name -> [${left.values.map(_.name).mkString(", ")}]"
+        left.values.foreach(_.unpersist(blocking = true)) // isolate blame per query
+      }
+    }
+    assert(leakers.isEmpty,
+      s"queries leaked cached blocks past releaseLeases+clearCache:\n  " +
+        leakers.mkString("\n  "))
+  }
+
   test("a warehouse build returns with zero cached blocks (leaseScope releases in finally)") {
     // fresh corpus dir → the memoized ensureMaterialized actually builds
     val tmp = java.nio.file.Files.createTempDirectory("whlease").toString
