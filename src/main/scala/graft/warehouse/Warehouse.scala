@@ -754,6 +754,27 @@ object Warehouse {
       }
     })
 
+  /** Artifacts excluded from materialization — comma-separated registry
+    * names via `-Dgraft.wh.skip` or `SPARK_GRAFT_WH_SKIP`. This is the
+    * cross-scale stress posture made operational: at sf10 the quadratic
+    * eval-truth tables (`knn_exact`, sampled/searched top-k lists) are
+    * deliberately not built, exactly as a 100 TB deployment samples its
+    * eval truth instead of materializing it. A skipped artifact never
+    * lands and is never memoized, so its readers fail LOUDLY at the
+    * parquet read (no silent empties), and dropping the skip later
+    * builds it into the same cache dir. Unknown names throw: a typo
+    * that silently built the quadratic table would defeat the point. */
+  private def skipSet(names: Seq[String]): Set[String] = {
+    val s = sys.props.get("graft.wh.skip")
+      .orElse(sys.env.get("SPARK_GRAFT_WH_SKIP"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val unknown = s -- names.toSet
+    require(unknown.isEmpty,
+      s"graft.wh.skip names not in the warehouse registry: ${unknown.mkString(",")}")
+    s
+  }
+
   /** Attempt every warehouse table for `sfDir` (each build isolated —
     * one failed dim no longer aborts unrelated artifacts); returns the
     * cache directory. Idempotent and cheap after first touch. Throws
@@ -761,8 +782,10 @@ object Warehouse {
     * per-table failures surface at that table's reader. */
   def ensureMaterialized(spark: SparkSession, sfDir: String): String = {
     val dir = resolveDir(spark, sfDir)
-    registry(spark, sfDir, dir).foreach { case (name, build) =>
-      ensureTable(spark, dir, name, build)
+    val reg = registry(spark, sfDir, dir)
+    val skip = skipSet(reg.map(_._1))
+    reg.foreach { case (name, build) =>
+      if (!skip.contains(name)) ensureTable(spark, dir, name, build)
     }
     dir
   }

@@ -90,6 +90,47 @@ class WarehouseCacheSpec extends SparkSpec {
     }
   }
 
+  test("graft.wh.skip excludes named artifacts; readers fail loudly; unknown names throw") {
+    // the sf10-gate posture: quadratic eval-truth tables are deliberately
+    // not built at stress scale — skipped artifacts must never land, their
+    // readers must fail LOUDLY (not serve empties), and a typo in the skip
+    // list must throw rather than silently building the quadratic table
+    val sfDir = Files.createTempDirectory("whskip-sf")
+    val cacheRoot = Files.createTempDirectory("whskip-root")
+    Seq("documents.parquet", "embeddings.parquet").foreach { t =>
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t"), sfDir.resolve(t),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    System.setProperty("graft.wh.cache", cacheRoot.toString)
+    System.setProperty("graft.wh.skip",
+      "knn_exact,knn_global_sampled,ann_lsh_topk,ann_ivf_topk")
+    try {
+      Warehouse.invalidateResolved()
+      val dir = Warehouse.ensureMaterialized(spark, sfDir.toString)
+      assert(!Files.exists(Paths.get(dir, "knn_exact")), "skipped artifact must not land")
+      assert(Files.exists(Paths.get(dir, "ivf_assign", "_SUCCESS")),
+        "non-skipped artifacts still land")
+      // reader of a skipped artifact fails loudly at the parquet read
+      intercept[Exception](Warehouse.knnExact(spark, sfDir.toString).count())
+      // non-skipped readers unaffected
+      assert(Warehouse.ivfCodebook(spark, sfDir.toString).count() > 0)
+      // dropping the skip builds the artifact into the SAME cache dir
+      System.clearProperty("graft.wh.skip")
+      Warehouse.invalidateResolved()
+      assert(Warehouse.ensureMaterialized(spark, sfDir.toString) == dir)
+      assert(Warehouse.knnExact(spark, sfDir.toString).count() > 0)
+      // a typo throws instead of silently building everything
+      System.setProperty("graft.wh.skip", "knn_exactt")
+      Warehouse.invalidateResolved()
+      intercept[IllegalArgumentException](
+        Warehouse.ensureMaterialized(spark, sfDir.toString))
+    } finally {
+      System.clearProperty("graft.wh.cache")
+      System.clearProperty("graft.wh.skip")
+      Warehouse.invalidateResolved()
+    }
+  }
+
   test("materialized dims equal a direct build of the merge chain") {
     val sfDir = "/root/testdata/sf0.001"
     val direct = rowsOf(Warehouse.buildDimParts(spark, sfDir)

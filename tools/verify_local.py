@@ -48,9 +48,13 @@ if "--skip-spark" not in sys.argv:
         "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
         "java.base/sun.util.calendar"])
     only_arg = (" " + ",".join(sorted(ONLY))) if ONLY else ""
-    cmd = (f"java {opens} -Xmx24g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC "
+    xmx = os.environ.get("GRAFT_VERIFY_XMX", "24g")
+    cmd = (f"java {opens} -Xmx{xmx} -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC "
            f"-cp {jar}:/opt/spark/jars/* graft.Verify {SFDIR} {OUT}{only_arg}")
-    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    # default 8 cpus (the driver-gate shape) but honor an explicit
+    # override — big-corpus warehouse builds (sf10) want the full host
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "8")
     r = subprocess.run(["bash", "-c", cmd], capture_output=True, text=True, env=env)
     if r.returncode != 0:
         print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
