@@ -142,14 +142,17 @@ object ScaleStress {
       println(s"[scale] ncells: ${cb.count()}")
       time("ivf_assign(corpus)")(
         graft.vector.Similarity.cellAssignments(emb, cb))
+      // the PRODUCTION incremental path: corpus side reads the LANDED
+      // ivf_assign artifact (built once per corpus, timed as state:
+      // above), so the per-batch row measures batch assignment +
+      // in-cell candidates only — the flat-cost claim as deployed,
+      // not a harness re-assignment of the corpus per call
+      val assign = land("ivf_assign")(
+        graft.warehouse.Warehouse.buildIvfAssign(spark, sfDir, cb))
       val batchV = emb.where(col("vec_id") < 5000)
       val corpusV = emb.where(col("vec_id") >= 5000)
-      // corpus side re-assigns per call here (ScaleStress has no
-      // warehouse); the FLAT component is the in-cell candidate work,
-      // bounded by the ~512 cell width at every corpus size — the q125
-      // fixed-ncells lesson, re-measured at each scale
       time("ann_incremental(fixed 5k vecs vs corpus)")(
-        graft.vector.Similarity.annIvfNewAgainstCorpus(batchV, corpusV, cb))
+        graft.vector.Similarity.annIvfNewAgainstAssigned(batchV, corpusV, assign, cb))
     }
 
     spark.stop()

@@ -1772,12 +1772,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // Frame sampling over the binary payload column (video → every
-    // k-th fixed-size frame): the real mapPartitions/flatMap fan-out
-    // plumbing a codec stage runs in, oracle-gated byte-exactly — the
-    // digest goes over the frame's hex form because the oracle engine
-    // slices BLOBs via hex strings; both engines emit uppercase hex,
-    // so frame boundaries (including mid-codepoint CJK splits) and
-    // digests match bit for bit.
+    // k-th frame): each frame is one RASTER ROW of the REALLY-decoded
+    // P6 image (PpmCodec parses the header, slices pixel rows), in the
+    // mapPartitions/flatMap fan-out shape a codec stage runs in —
+    // oracle-gated byte-exactly. The digest goes over the frame's hex
+    // form because the oracle engine rebuilds the raster as hex
+    // strings; both engines emit uppercase hex, so frame boundaries
+    // (including mid-codepoint CJK splits) and digests match bit for
+    // bit.
     "q74_frame_sample" -> ((s, d) => {
       val media = Multimodal.mediaTable(docs(s, d)).where(col("media").isNotNull)
       Multimodal.sampleFrames(s, media).toDF()
@@ -2044,9 +2046,13 @@ object SparkEntry {
     // for retrieval). Oracle replays assignment + cross-set top-k.
     "q77_ann_incremental" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.annIvfNewAgainstCorpus(
+      // corpus side reads the LANDED ivf_assign artifact (rn = 1 rows;
+      // batch vec_ids drop in the join) — per-batch cost is batch
+      // assignment + in-cell candidates, never a corpus re-assignment
+      Similarity.annIvfNewAgainstAssigned(
         e.where(pmod(col("vec_id"), lit(10)) === 7),
         e.where(pmod(col("vec_id"), lit(10)) =!= 7),
+        graft.warehouse.Warehouse.ivfAssign(s, d),
         graft.warehouse.Warehouse.ivfCodebook(s, d))
     }),
     // Right-to-be-forgotten erasure audit: delete a deterministic
@@ -5316,9 +5322,25 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM p)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    // Rebuilds the synthesized P6 payload byte-for-byte in SQL (header
+    // + utf-8 text raster + '2E' pad hex) and digests the hex form —
+    // the decode audit's width/height/digests all replay analytically.
     "q19_media_stats" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, hex(encode(text)) AS thx,
+        |    greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)) AS h
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, h,
+        |    thx || repeat('2E', CAST(h*48 - length(thx)//2 AS INT)) AS px,
+        |    hex(encode('P6' || chr(10) || '16 ' || CAST(h AS VARCHAR) || chr(10)
+        |        || '255' || chr(10))) AS hdr
+        |  FROM p)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((length(hdr) + length(px)) // 2 AS BIGINT) AS n_bytes,
+        |  md5(hdr || px) AS content_md5,
+        |  md5(px) AS pixel_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
     "q20_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws
@@ -6239,12 +6261,19 @@ object SparkEntry {
     // Byte-exact frame replay: utf-8 payload → hex → 128-hex-char
     // (64-byte) frames → every 4th — same stride, same tail-frame
     // truncation, digests over the same uppercase hex text.
+    // Frames are raster ROWS of the decoded P6 image (16 px × 3 = 48
+    // bytes = 96 hex chars); the oracle rebuilds the '.'-padded raster
+    // and slices every 4th row.
     "q74_frame_sample" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS thx,
+        |    greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)) AS h
         |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, h,
+        |    thx || repeat('2E', CAST(h*48 - length(thx)//2 AS INT)) AS px
+        |  FROM p),
         |f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
-        |    substring(hx, CAST(i*128 + 1 AS BIGINT), 128) AS fh
-        |  FROM b, unnest(range(CAST(ceil(length(hx) / 128.0) AS BIGINT))) t(i)
+        |    substring(px, CAST(i*96 + 1 AS BIGINT), 96) AS fh
+        |  FROM b, unnest(range(h)) t(i)
         |  WHERE i % 4 = 0)
         |SELECT doc_id, frame_idx, md5(fh) AS frame_md5,
         |  CAST(length(fh) // 2 AS BIGINT) AS n_bytes

@@ -5,60 +5,79 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, and run batch "decode /
-  * feature-extract" stages as partition-local transforms.
-  *
-  * The container has no image/audio codecs, so the decoder itself is a
-  * clearly marked DETERMINISTIC STUB ([[stubDecode]]) — what is real and
-  * tested is everything Spark cares about at 100 TB:
+  * feature-extract" stages as partition-local transforms over a REAL
+  * codec ([[PpmCodec]], binary P6 — fixed header + raw pixels, no deps):
   *  - schema: (doc_id LONG, media BINARY, meta STRUCT<n_bytes, kind>)
   *  - partition-local batch processing via `mapPartitions` over a typed
   *    Dataset (the JVM analog of arrow-batched python UDFs): one
   *    decoder init per partition, streamed row iteration, no
   *    driver-side collection;
+  *  - decode / resize / frame-sample all parse the payload's header and
+  *    operate on decoded PIXELS (true byte→pixel semantics; a malformed
+  *    payload throws, it does not hash quietly);
   *  - feature output as `Array[Float]`, ready for
   *    [[graft.vector.Similarity]] consumption.
+  *
+  * The container has no image CORPUS, so [[mediaTable]] synthesizes the
+  * payloads: each document's utf-8 text bytes become the RGB raster of a
+  * 16-pixel-wide P6 image ('.'-padded to fill the last row — printable,
+  * so the DuckDB oracles can rebuild the exact bytes in SQL and every
+  * digest is replayed hex-exactly). The synthesis is the only fake; the
+  * codec path those payloads flow through is the real one.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
   case class MediaFeatures(doc_id: Long, width: Int, height: Int, feature: Array[Float])
 
-  /** Corpus adapter: re-use document text bytes as a stand-in binary
-    * payload (utf-8 encode) — the plumbing neither knows nor cares that
-    * the bytes aren't a real JPEG. */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "utf-8").as("media"),
-      struct(
-        octet_length(col("text")).as("n_bytes"),
-        lit("text/plain").as("kind")).as("meta"))
+  /** Raster width of synthesized payloads: 16 px × 3 bytes = 48-byte
+    * rows, the frame unit [[sampleFrames]] slices on. */
+  val SynthWidth = 16
+  private val RowBytes = SynthWidth * 3
+  private val PadByte = '.'.toByte // printable → oracle-reproducible
 
-  /** STUB decoder: a real deployment calls the codec here (one init per
-    * partition). Deterministic fake: dimensions and features derived
-    * from the payload bytes so tests are reproducible. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = math.floorMod(h, 640) + 1
-    val ht = math.floorMod(h >> 16, 480) + 1
-    // 8-dim "embedding": byte histogram over 8 buckets, L1-normalized
-    val hist = new Array[Float](8)
-    payload.foreach(b => hist(math.floorMod(b, 8)) += 1f)
-    val n = math.max(payload.length, 1).toFloat
-    (w, ht, hist.map(_ / n))
+  /** Text bytes → real P6 payload (see object doc). */
+  def synthesizePpm(text: String): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    val h = math.max(1, (tb.length + RowBytes - 1) / RowBytes)
+    val pixels = java.util.Arrays.copyOf(tb, RowBytes * h)
+    java.util.Arrays.fill(pixels, tb.length, pixels.length, PadByte)
+    PpmCodec.encode(SynthWidth, h, pixels)
+  }
+
+  /** Corpus adapter: synthesize a REAL decodable P6 payload from each
+    * document's text bytes — the encode side of the codec running in
+    * the same partition-local batch shape as every decode stage. */
+  def mediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows => // codec init once per partition
+        rows.map { case (id, text) =>
+          val payload = synthesizePpm(text)
+          (id, payload, payload.length, "image/ppm")
+        }
+      }
+      .toDF("doc_id", "media", "n_bytes", "kind")
+      .select(col("doc_id"), col("media"),
+        struct(col("n_bytes"), col("kind")).as("meta"))
   }
 
   /** Partition-local decode + feature extraction: the shape of every
-    * multimodal batch stage (decode, resize, frame-sample, embed). */
+    * multimodal batch stage. Dimensions come from the parsed header;
+    * the 8-dim "embedding" is an L1-normalized byte histogram over the
+    * DECODED raster (not the payload — header bytes don't leak in). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"), col("meta.kind").as("kind"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // decoder/codec init would happen ONCE here, per partition
         rows.map { r =>
-          val (w, h, feat) = stubDecode(r.media)
-          MediaFeatures(r.doc_id, w, h, feat)
+          val (w, h, pixels) = PpmCodec.decode(r.media)
+          val hist = new Array[Float](8)
+          pixels.foreach(b => hist(math.floorMod(b, 8)) += 1f)
+          val n = math.max(pixels.length, 1).toFloat
+          MediaFeatures(r.doc_id, w, h, hist.map(_ / n))
         }
       }
   }
@@ -66,44 +85,65 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, width: Int, height: Int, media: Array[Byte])
   case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB resize: a real deployment decodes, scales, re-encodes; the
-    * deterministic stand-in truncates the payload proportionally to the
-    * target area so output sizes are testable. Same mapPartitions
-    * shape as [[decodeFeatures]]. */
+  /** Real resize: decode, nearest-neighbor resample to `w`×`h`
+    * ([[PpmCodec.resizePixels]]), re-encode. Same mapPartitions shape
+    * as [[decodeFeatures]]; output payloads are themselves valid P6. */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"), col("meta.kind").as("kind")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val n = math.max(1, math.min(r.media.length, (w.toLong * h / 2048).toInt))
-          ResizedMedia(r.doc_id, w, h, java.util.Arrays.copyOf(r.media, n))
+          val (w0, h0, px) = PpmCodec.decode(r.media)
+          ResizedMedia(r.doc_id, w, h,
+            PpmCodec.encode(w, h, PpmCodec.resizePixels(w0, h0, px, w, h)))
         }
       }
   }
 
-  /** STUB frame sampling (video → every k-th frame): slices the payload
-    * into fixed-size pseudo-frames and keeps every `stride`-th one. One
-    * input row fans out to many frame rows — the flatMap shape any real
-    * frame sampler has. */
+  /** Frame sampling (video → every `stride`-th frame): each RASTER ROW
+    * of the decoded image is one w×1 frame (raw RGB row bytes); keep
+    * every `stride`-th. One input row fans out to many frame rows —
+    * the flatMap shape any real frame sampler has, over real decoded
+    * pixels. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-                   frameBytes: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
+                   stride: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
+    require(stride >= 1, "stride must be positive")
     media.select(col("doc_id"), col("media"), col("meta.kind").as("kind")).as[MediaRow]
       .flatMap { r =>
-        r.media.grouped(frameBytes).zipWithIndex.collect {
-          case (frame, idx) if idx % stride == 0 => FrameSample(r.doc_id, idx, frame)
+        val (w, h, px) = PpmCodec.decode(r.media)
+        val rowBytes = w * 3
+        (0 until h).collect {
+          case y if y % stride == 0 =>
+            FrameSample(r.doc_id, y,
+              java.util.Arrays.copyOfRange(px, y * rowBytes, (y + 1) * rowBytes))
         }
       }
   }
 
-  /** Oracle-checkable stats over the binary payload — byte length and
-    * md5 content digest are portable (identical on any engine). */
-  def mediaStats(docs: DataFrame): DataFrame =
-    mediaTable(docs).select(
-      col("doc_id"),
-      col("meta.n_bytes").as("n_bytes"),
-      md5(col("media")).as("content_md5"))
+  /** Decode audit over the media table — dimensions from the PARSED
+    * header plus payload and raster digests. Digests go over the hex
+    * form because the oracle engine rebuilds the byte layout as hex
+    * strings (both engines emit uppercase hex, so header bytes, pad
+    * bytes and mid-codepoint splits match bit for bit). */
+  def mediaStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaTable(docs)
+      .select(col("doc_id"), col("media"), col("meta.kind").as("kind")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, px) = PpmCodec.decode(r.media)
+          (r.doc_id, w, h, r.media, px)
+        }
+      }
+      .toDF("doc_id", "width", "height", "payload", "pixels")
+      .select(col("doc_id"), col("width"), col("height"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(hex(col("payload"))).as("content_md5"),
+        md5(hex(col("pixels"))).as("pixel_md5"))
       .orderBy("doc_id")
+  }
 
   /** Payload-level near-duplicate pairs — perceptual-hash dedup for
     * multimodal columns: a SimHash over the payload's sliding 8-unit

@@ -2,7 +2,7 @@ package graft.vector
 
 import graft.Graft.LeaseOps
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -354,35 +354,86 @@ object Similarity {
     // [[graft.vector.ProductQuant.annIvfPq]]: an empty corpus with
     // nprobe = 0 throws on both paths instead of one returning empty
     require(nprobe >= 1, "nprobe must be positive")
-    val cents = cent.select(col("cid"), col("cv"), col("cnrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cents = collectCodebook(cent)
     if (cents.isEmpty) // empty codebook (empty corpus) → no pairs, same schema
-      return eQ.sparkSession.range(0).select(col("id").as("qid"),
-        col("id").cast("int").as("rank"), col("id").as("nid"),
-        col("id").cast("double").as("cosine"))
+      return emptyRanked(eQ.sparkSession)
+    val n = withCells(eN, cents).select(col("vec_id").as("nid"), col("v").as("vb"),
+      col("nrm").as("nb"), expr("__cells[0].cid").as("cell"))
+    probeAgainstIndexed(probeSide(eQ, cents, nprobe), n, k, excludeSelf)
+  }
+
+  private def collectCodebook(cent: DataFrame): Array[(Long, Seq[Double], Double)] =
+    cent.select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  private def emptyRanked(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("qid"),
+      col("id").cast("int").as("rank"), col("id").as("nid"),
+      col("id").cast("double").as("cosine"))
+
+  /** (−cosine, cid) struct-sorted cell ranking as a `__cells` column —
+    * the shared scoring projection of every literal-codebook path.
+    * Downstream explode/`__cells[0]` access stays OUTER-safe: the plain
+    * generator's inferred `size(slice(...)) > 0` filter re-evaluates
+    * the whole ncells-literal sort per row (2× the assignment work even
+    * when pushdown stops at a cached input — the cellAssignments
+    * finding). slice(non-empty, 1, ≥1) is statically non-empty, so
+    * outer ≡ inner. */
+  private def withCells(e: DataFrame, cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
     val scored = cents.map { case (cid, cv, cn) =>
       struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
         lit(cid).as("cid"))
     }
-    def withCells(e: DataFrame) = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
-    // explode_OUTER: the plain generator's inferred `size(slice(...)) > 0`
-    // filter re-evaluates the whole ncells-literal sort per row (2× the
-    // assignment work even when pushdown stops at a cached input — the
-    // cellAssignments finding). slice(non-empty, 1, ≥1) is statically
-    // non-empty, so outer ≡ inner.
-    val q = withCells(eQ).select(col("vec_id").as("qid"), col("v").as("va"),
+    e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+  }
+
+  /** Probe rows (qid, va, na, cell) — one row per (query, probe cell). */
+  private def probeSide(eQ: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+                        nprobe: Int): DataFrame =
+    withCells(eQ, cents).select(col("vec_id").as("qid"), col("v").as("va"),
         col("nrm").as("na"), explode_outer(expr(s"slice(__cells, 1, $nprobe)")).as("__pc"))
       .select(col("qid"), col("va"), col("na"), col("__pc.cid").as("cell"))
-    val n = withCells(eN).select(col("vec_id").as("nid"), col("v").as("vb"),
-      col("nrm").as("nb"), expr("__cells[0].cid").as("cell"))
-    // each (qid, nid) pair appears at most once: the index assignment
-    // is unique and the probe cells are distinct. Salted for the same
-    // reason as [[annIvfWithAssign]]: ncells join keys alone would cap
-    // the pair-evaluation parallelism at ncells tasks.
+
+  /** In-cell candidate join + top-k over a probe side (qid, va, na,
+    * cell) and an indexed side (nid, vb, nb, cell). Each (qid, nid)
+    * pair appears at most once: the index assignment is unique and the
+    * probe cells are distinct. Salted for the same reason as
+    * [[annIvfWithAssign]]: ncells join keys alone would cap the
+    * pair-evaluation (and top-k partial-agg) parallelism at ncells
+    * tasks. */
+  private def probeAgainstIndexed(q: DataFrame, n: DataFrame, k: Int,
+                                  excludeSelf: Boolean): DataFrame = {
     val joined = graft.operators.SkewJoin.salted(q, n, Seq("cell"), CellSalt)
     val pairs = (if (excludeSelf) joined.where(col("qid") =!= col("nid")) else joined)
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     topK(pairs, k)
+  }
+
+  /** Incremental ANN against the MATERIALIZED corpus assignment — the
+    * production form of [[annIvfNewAgainstCorpus]]: the corpus side
+    * joins the landed `ivf_assign` artifact's rn = 1 rows instead of
+    * re-scoring ncells centroid literals over the whole corpus per
+    * arriving batch. Per-batch cost = batch-sized cell assignment + the
+    * in-cell candidate join; the corpus-sized assignment is paid once
+    * per corpus build (graft.warehouse.Warehouse), not once per batch.
+    * Equivalent to [[annIvfNewAgainstCorpus]] by construction when
+    * `assign` was built from the same `codebook` (cell ranking and
+    * tie-break are identical — SimilaritySpec pins row equality).
+    * `assign` rows for vectors absent from `corpus` drop in the join,
+    * so callers may pass the full-corpus artifact beside a filtered
+    * corpus side. */
+  def annIvfNewAgainstAssigned(newVecs: DataFrame, corpus: DataFrame,
+                               assign: DataFrame, codebook: DataFrame,
+                               k: Int = 3, nprobe: Int = 6): DataFrame = {
+    require(nprobe >= 1, "nprobe must be positive")
+    val cents = collectCodebook(codebook)
+    if (cents.isEmpty)
+      return emptyRanked(newVecs.sparkSession)
+    val n = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+      .join(prepared(corpus), Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    probeAgainstIndexed(probeSide(prepared(newVecs), cents, nprobe), n, k,
+      excludeSelf = false)
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the standard

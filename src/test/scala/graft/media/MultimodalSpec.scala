@@ -10,40 +10,63 @@ class MultimodalSpec extends SparkSpec {
   private def docs =
     spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
 
-  test("media table carries opaque binary payloads with typed metadata") {
+  test("media table carries REAL decodable P6 payloads with typed metadata") {
     val media = Multimodal.mediaTable(docs)
     val row = media.orderBy("doc_id").head()
     assert(row.schema("media").dataType.typeName == "binary")
     val meta = row.getStruct(row.fieldIndex("meta"))
-    assert(meta.getAs[String]("kind") == "text/plain")
-    assert(meta.getAs[Int]("n_bytes") > 0)
+    assert(meta.getAs[String]("kind") == "image/ppm")
+    val payload = row.getAs[Array[Byte]]("media")
+    assert(meta.getAs[Int]("n_bytes") == payload.length)
+    // the payload decodes with the real codec and round-trips the text
+    val (w, h, px) = PpmCodec.decode(payload)
+    assert(w == Multimodal.SynthWidth && h >= 1 && px.length == w * h * 3)
+    val text = docs.orderBy("doc_id").head().getString(1)
+    assert(new String(px.take(text.getBytes("UTF-8").length), "UTF-8") == text)
+    assert(px.drop(text.getBytes("UTF-8").length).forall(_ == '.'.toByte))
   }
 
-  test("resize and frame-sample stubs keep the batch shape and fan out deterministically") {
+  test("resize really resamples pixels: output is valid P6 at the target size") {
     val media = Multimodal.mediaTable(docs)
-    val resized = Multimodal.resize(spark, media, 320, 240).collect()
+    val resized = Multimodal.resize(spark, media, 8, 5).collect()
     assert(resized.length == docs.count())
     resized.foreach { r =>
-      assert(r.width == 320 && r.height == 240)
-      assert(r.media.length <= 320 * 240 / 2048 && r.media.length >= 1)
+      assert(r.width == 8 && r.height == 5)
+      val (w, h, px) = PpmCodec.decode(r.media) // output is itself decodable
+      assert(w == 8 && h == 5 && px.length == 8 * 5 * 3)
     }
-    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 64, stride = 4)
+    // nearest-neighbor at source size is the identity on pixels
+    val id = Multimodal.resize(spark, media.limit(1), Multimodal.SynthWidth,
+      PpmCodec.decode(media.head().getAs[Array[Byte]]("media"))._2).head()
+    assert(java.util.Arrays.equals(
+      PpmCodec.decode(id.media)._3,
+      PpmCodec.decode(media.head().getAs[Array[Byte]]("media"))._3))
+  }
+
+  test("frame sampling slices decoded raster rows, every stride-th") {
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.sampleFrames(spark, media, stride = 4)
     val byDoc = frames.collect().groupBy(_.doc_id)
     assert(byDoc.nonEmpty)
     byDoc.values.foreach { fs =>
-      assert(fs.map(_.frame_idx).forall(_ % 4 == 0)) // only every 4th frame kept
-      assert(fs.forall(_.frame.length <= 64))
+      assert(fs.map(_.frame_idx).forall(_ % 4 == 0)) // only every 4th row kept
+      assert(fs.forall(_.frame.length == Multimodal.SynthWidth * 3))
     }
+    // frame 0 of a known doc == first 48 pixel bytes of its decoded raster
+    val first = media.orderBy("doc_id").head()
+    val px = PpmCodec.decode(first.getAs[Array[Byte]]("media"))._3
+    val f0 = byDoc(first.getLong(0)).minBy(_.frame_idx)
+    assert(java.util.Arrays.equals(f0.frame, px.take(Multimodal.SynthWidth * 3)))
   }
 
-  test("partition-local decode produces deterministic features of the right shape") {
+  test("partition-local decode produces header dimensions and raster features") {
     val feats = Multimodal.decodeFeatures(spark, Multimodal.mediaTable(docs))
     val rows = feats.collect()
     assert(rows.length == docs.count())
     rows.foreach { f =>
-      assert(f.width >= 1 && f.width <= 640 && f.height >= 1 && f.height <= 480)
+      assert(f.width == Multimodal.SynthWidth && f.height >= 1)
       assert(f.feature.length == 8)
-      // histogram is L1-normalized over payload bytes
+      // histogram is L1-normalized over decoded raster bytes
       assert(math.abs(f.feature.sum - 1.0f) < 1e-3)
     }
     // determinism across runs

@@ -106,6 +106,27 @@ class SimilaritySpec extends SparkSpec {
     assert(graft.warehouse.Warehouse.ivfCodebook(spark, sfDir).count() == 16)
   }
 
+  test("assign-reading incremental ANN == corpus-reassigning incremental ANN") {
+    // the production path (corpus side joins the landed ivf_assign
+    // artifact) must return row-for-row what the self-contained form
+    // (which re-assigns the corpus per call) returns — same codebook,
+    // same (−ccos, cid) tie-break, so equality is by construction
+    val cb = graft.warehouse.Warehouse.ivfCodebook(spark, sfDir)
+    val assign = graft.warehouse.Warehouse.ivfAssign(spark, sfDir)
+    val batch = embeddings.where(pmod(col("vec_id"), lit(10)) === 7)
+    val corpus = embeddings.where(pmod(col("vec_id"), lit(10)) =!= 7)
+    val direct = Similarity.annIvfNewAgainstCorpus(batch, corpus, cb)
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    val viaAssign = Similarity.annIvfNewAgainstAssigned(batch, corpus, assign, cb)
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    assert(direct.nonEmpty)
+    assert(viaAssign == direct,
+      "materialized-assignment search must equal the re-assigning search exactly")
+    // full-corpus assign beside a FILTERED corpus side: batch rows drop
+    assert(!viaAssign.exists { case (_, _, nid, _) => nid % 10 == 7 },
+      "index side must contain only corpus vectors")
+  }
+
   test("trained IVF survives inputs thinner than the codebook") {
     // 6 vectors < ncells=16: the 1/4 sample can't even seed one centroid
     // per cell — training must fall back to the full table and a smaller
