@@ -3886,22 +3886,25 @@ object SparkEntry {
     "q137_margin_mining_incr" ->
       s"""WITH $VecCte,
          |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |rs AS (SELECT e.vec_id, c.cid AS cell,
+         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS score
          |  FROM en e CROSS JOIN cent c),
-         |a1 AS (SELECT vec_id, cell FROM r WHERE rn = 1),
-         |ec AS (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
+         |r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cell) AS rn
+         |  FROM rs),
+         |a1 AS MATERIALIZED (SELECT vec_id, cell FROM r WHERE rn = 1),
+         |ec AS MATERIALIZED (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
          |  FROM en JOIN a1 USING (vec_id)),
          |nx AS (SELECT * FROM ec WHERE vec_id % 10 = 7),
          |cy AS (SELECT * FROM ec WHERE vec_id % 10 <> 7),
-         |cpos AS (SELECT * FROM (
+         |cpos AS MATERIALIZED (SELECT * FROM (
          |  SELECT x.vec_id AS xid, x.label AS xlab, y.vec_id AS yid, y.label AS ylab,
          |    CAST(floor(list_dot_product(x.v, y.v) / (x.nrm * y.nrm) * 1000000.0)
          |         AS BIGINT) AS cos_micro
          |  FROM nx x JOIN cy y ON x.cell = y.cell AND x.label <> y.label)
          |  WHERE cos_micro > 0),
-         |fpos AS (SELECT * FROM (
+         |fpos AS MATERIALIZED (SELECT * FROM (
          |  SELECT a.vec_id AS xid, b.vec_id AS yid,
          |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0)
          |         AS BIGINT) AS cos_micro
@@ -3923,7 +3926,7 @@ object SparkEntry {
          |  FROM dxb b LEFT JOIN fden f ON f.id = b.xid),
          |dy AS (SELECT b.yid, COALESCE(f.den, b.den_b) AS den_y
          |  FROM dyb b LEFT JOIN fden f ON f.id = b.yid),
-         |sc AS (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
+         |sc AS MATERIALIZED (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
          |    (2 * c.cos_micro * 1000000) // (dx.den_x + dy.den_y) AS margin_ppm
          |  FROM cpos c JOIN dx USING (xid) JOIN dy USING (yid)),
          |bx AS (SELECT xid, yid FROM (

@@ -80,6 +80,13 @@ def norm(v):
     return str(v)
 
 fails = 0
+if ONLY:
+    # a typo'd --only name silently matches nothing and the loop prints a
+    # vacuous ALL OK — fail loudly instead (full registry names required)
+    unknown = ONLY - set(oracle)
+    if unknown:
+        print(f"FAIL --only names not in oracle registry: {sorted(unknown)}")
+        sys.exit(1)
 for name in sorted(oracle):
     if ONLY and name not in ONLY: continue
     res_dir = f"{OUT}/{name}"
