@@ -47,6 +47,38 @@ object Erasure {
     index.join(erasedBase.select(col(keyCol)).dropDuplicates(keyCol),
       Seq(keyCol), "left_semi")
 
+  /** Victim-scoped [[repairDistinctIndex]] — the per-batch form for a
+    * CONTINUOUS deletion stream: only keys the victims carried can
+    * possibly leave the index (every other key's carrier set is
+    * untouched by the erase), so instead of re-deriving the surviving
+    * key set from the whole erased base (a corpus-gram-sized
+    * dedup shuffle on EVERY deletion micro-batch), probe the base for
+    * the victim-carried keys alone and anti-join the orphans — keys
+    * with no surviving carrier — out of the index.
+    *
+    * `victimCarried` must be the distinct keys the victims carried in
+    * the SAME slice the index is defined over, captured from the base
+    * BEFORE it was erased (after, the evidence is gone). Broadcast is
+    * safe by construction: its size is bounded by the deletion batch
+    * (victims × keys/doc), never by the corpus. Shuffle mass drops
+    * from O(corpus distinct keys) to O(victim keys); the one base
+    * scan is map-side filtered through the broadcast.
+    *
+    * Equivalent to [[repairDistinctIndex]] whenever every index key
+    * has ≥1 base carrier — true by construction for a derived distinct
+    * index, and pinned by the StreamErasureSpec equality suite
+    * (streamed ≡ one-shot ≡ cold rebuild). */
+  def repairDistinctIndexVictimScoped(index: DataFrame, keyCol: String,
+                                      erasedBase: DataFrame,
+                                      victimCarried: DataFrame): DataFrame = {
+    val vk = victimCarried.select(col(keyCol))
+    val still = erasedBase
+      .join(broadcast(vk), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).dropDuplicates(keyCol)
+    val orphaned = vk.join(still, Seq(keyCol), "left_anti")
+    index.join(broadcast(orphaned), Seq(keyCol), "left_anti")
+  }
+
   /** Repair a min-label cluster assignment after erasure: victim
     * member rows are removed, and any cluster whose LABEL was a victim
     * (the min-id member) is relabeled to its minimum surviving member

@@ -123,6 +123,37 @@ object StreamErasure {
           Ingest.overwriteSwap(spark, f(df), s"$root/$name"))
       applyTo(Postings)(Erasure.erase(_, "doc_id", v))
       applyTo(DocLens)(Erasure.erase(_, "doc_id", v))
+      // INDEX REPAIR BEFORE BASE ERASE — victim-scoped
+      // ([[Erasure.repairDistinctIndexVictimScoped]]): only the hashes
+      // the victims carried can leave the index, so the batch probes
+      // the base for those alone instead of re-deduplicating every
+      // corpus gram hash per deletion batch — the shuffle is O(victim
+      // grams), decoupled from corpus size. The repair needs the
+      // PRE-erase base (the victims' own rows are the evidence of
+      // which hashes to re-check), so it runs before the base swap,
+      // with the erase applied as a VIEW (anti-join) for the
+      // surviving-carrier probe — the rows it sees are exactly the
+      // post-erase table. Ordering is what makes crash replay
+      // converge: a crash after this swap but before the base erase
+      // replays against the still-intact base (repair is a fixpoint —
+      // the orphans are already gone); a crash after the base erase
+      // replays with an empty victim-hash set, a no-op on an index
+      // that this very step already repaired. Both sides filter to
+      // the SAME slice the index was built from (buildGramIndexBase's
+      // %10 ≠ HoldoutMod) — probing the full base would keep a hash
+      // whose only surviving carrier is a holdout doc, silently
+      // forking the maintained index from a cold rebuild.
+      readIf(spark, s"$root/$GramOccurrences").foreach { preBase =>
+        val baseSlice = preBase.where(pmod(col("doc_id"), lit(10)) =!=
+          graft.warehouse.Warehouse.HoldoutMod)
+        val victimGrams = baseSlice
+          .join(broadcast(v.withColumnRenamed("key", "doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select(col("h")).dropDuplicates("h")
+        val erasedView = Erasure.erase(baseSlice, "doc_id", v)
+        applyTo(GramIndex)(
+          Erasure.repairDistinctIndexVictimScoped(_, "h", erasedView, victimGrams))
+      }
       applyTo(GramOccurrences)(Erasure.erase(_, "doc_id", v))
       // the survivor pool stores the victim's SCRUBBED TEXT keyed by
       // doc_id — the one artifact where a missed delete is personal
@@ -143,41 +174,30 @@ object StreamErasure {
       // (the cold build is the repair path, exactly like the cluster
       // bridge caveat). Pinned by the keepers-only-pool spec.
       applyTo(ReleaseSurvivors)(Erasure.erase(_, "doc_id", v))
-      // derived state reads the base JUST erased (artifact-dependency
-      // order, the warehouse registry's own rule); repair before the
-      // bloom so the sketch re-derives from the repaired index. The
-      // repair probe filters the erased base to the SAME slice the
-      // index was built from (buildGramIndexBase's %10 ≠ HoldoutMod) —
-      // probing the full base would keep a hash whose only surviving
-      // carrier is a holdout doc, silently forking the maintained
-      // index from a cold rebuild.
-      readIf(spark, s"$root/$GramOccurrences").foreach { erasedGrams =>
-        val baseSlice = erasedGrams.where(
-          pmod(col("doc_id"), lit(10)) =!= graft.warehouse.Warehouse.HoldoutMod)
-        applyTo(GramIndex)(Erasure.repairDistinctIndex(_, "h", baseSlice))
-        readIf(spark, s"$root/$GramIndex").foreach { idx =>
-          readIf(spark, s"$root/$GramBloom").foreach { bloomRow =>
-            // DEFERRED rebuild (see [[BloomRebuildShrinkPct]]): the
-            // bloom row's own n_items records the index size it was
-            // built over; rebuild only once the repaired index has
-            // shrunk past the threshold (or — defensively — GROWN,
-            // which would mean false negatives: another maintainer
-            // added keys without updating the sketch). In between, the
-            // stale superset bloom keeps the no-false-negative
-            // contract and the batch cost stays O(batch + repair),
-            // decoupled from index size.
-            val builtOver = bloomRow.select(col("n_items")).head().getLong(0)
-            val cur = idx.count()
-            val shrunkPastThreshold =
-              (builtOver - cur) * 100L >= builtOver * bloomRebuildShrinkPct.toLong
-            if (builtOver <= 0L || cur > builtOver || shrunkPastThreshold)
-              // the warehouse's own builder — one source of truth for
-              // the sketch geometry, so streamed and batch-built blooms
-              // stay byte-identical by construction
-              Ingest.overwriteSwap(spark,
-                graft.warehouse.Warehouse.buildGramBloomBase(spark, idx),
-                s"$root/$GramBloom")
-          }
+      // sketch maintenance AFTER the index repair above (the bloom
+      // re-derives from the repaired index — artifact-dependency order)
+      readIf(spark, s"$root/$GramIndex").foreach { idx =>
+        readIf(spark, s"$root/$GramBloom").foreach { bloomRow =>
+          // DEFERRED rebuild (see [[BloomRebuildShrinkPct]]): the
+          // bloom row's own n_items records the index size it was
+          // built over; rebuild only once the repaired index has
+          // shrunk past the threshold (or — defensively — GROWN,
+          // which would mean false negatives: another maintainer
+          // added keys without updating the sketch). In between, the
+          // stale superset bloom keeps the no-false-negative
+          // contract and the batch cost stays O(batch + repair),
+          // decoupled from index size.
+          val builtOver = bloomRow.select(col("n_items")).head().getLong(0)
+          val cur = idx.count()
+          val shrunkPastThreshold =
+            (builtOver - cur) * 100L >= builtOver * bloomRebuildShrinkPct.toLong
+          if (builtOver <= 0L || cur > builtOver || shrunkPastThreshold)
+            // the warehouse's own builder — one source of truth for
+            // the sketch geometry, so streamed and batch-built blooms
+            // stay byte-identical by construction
+            Ingest.overwriteSwap(spark,
+              graft.warehouse.Warehouse.buildGramBloomBase(spark, idx),
+              s"$root/$GramBloom")
         }
       }
       applyTo(Pairs)(Erasure.eraseAny(_, Seq("doc_a", "doc_b"), v))

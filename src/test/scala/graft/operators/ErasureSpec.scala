@@ -56,6 +56,31 @@ class ErasureSpec extends SparkSpec {
     assert(repaired == Set(100L, 300L))
   }
 
+  test("victim-scoped repair ≡ full repair (shared, victim-only, and untouched keys)") {
+    // h=100 shared victim+survivor (stays), h=200 victim-only (dies),
+    // h=300 survivor-only / untouched by the victim set (stays WITHOUT
+    // ever being probed — the point of victim-scoping)
+    val occ = Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("doc_id", "h")
+    val idx = occ.select($"h").distinct()
+    val erased = Erasure.erase(occ, "doc_id", victims)
+    val victimCarried = occ.join(victims.withColumnRenamed("key", "doc_id"),
+      Seq("doc_id"), "left_semi").select($"h").distinct()
+    val scoped = Erasure.repairDistinctIndexVictimScoped(idx, "h", erased, victimCarried)
+      .as[Long].collect().toSet
+    val full = Erasure.repairDistinctIndex(idx, "h", erased)
+      .as[Long].collect().toSet
+    assert(scoped == full && scoped == Set(100L, 300L))
+    // replay shape: after the base erase the victim evidence is gone —
+    // an EMPTY victim-carried set must be a no-op on the already-
+    // repaired index (crash-replay convergence relies on this)
+    val replayed = Erasure.repairDistinctIndexVictimScoped(
+        Erasure.repairDistinctIndex(idx, "h", erased), "h", erased,
+        victimCarried.limit(0))
+      .as[Long].collect().toSet
+    assert(replayed == full)
+  }
+
   test("relabelClusters removes victims and relabels clusters whose label WAS a victim") {
     // cluster labeled 2 (victim) with survivors {5, 9}; cluster {3}
     // untouched; victim-only cluster {4} vanishes

@@ -160,6 +160,39 @@ class StreamErasureSpec extends SparkSpec {
       .agg(max(col("batch_id"))).head.getLong(0) == 1L)
   }
 
+  test("crash AFTER the base erase (victim evidence gone): the retry converges") {
+    // The victim-scoped index repair reads the victims' own gram rows
+    // as evidence. Ordering (repair BEFORE base erase) is what makes
+    // this crash window safe: simulate a first attempt that got through
+    // the index repair AND the base erase, then died before the
+    // pair/cluster/ledger steps — the replay sees an empty victim-hash
+    // set and must leave the already-repaired index alone while
+    // finishing the remaining artifacts.
+    val root = landArtifacts(docs)
+    val v = Seq(4L).toDF("key")
+    val baseSlice = table(root, StreamErasure.GramOccurrences)
+      .where(pmod(col("doc_id"), lit(10)) =!= 7)
+    val victimGrams = baseSlice.join(v.withColumnRenamed("key", "doc_id"),
+      Seq("doc_id"), "left_semi").select(col("h")).distinct().localCheckpoint(true)
+    Ingest.overwriteSwap(spark,
+      Erasure.repairDistinctIndexVictimScoped(
+        table(root, StreamErasure.GramIndex), "h",
+        Erasure.erase(baseSlice, "doc_id", v), victimGrams),
+      s"$root/${StreamErasure.GramIndex}")
+    Ingest.overwriteSwap(spark,
+      Erasure.erase(table(root, StreamErasure.GramOccurrences), "doc_id", v),
+      s"$root/${StreamErasure.GramOccurrences}")
+    // redelivery (victim 4 not in the ledger) — replays every step
+    StreamErasure.mergeBatch(spark, v, 0L, root)
+    val surviving = docsWithout(Set(4L))
+    assert(rowsOf(table(root, StreamErasure.GramIndex)) ==
+      rowsOf(SegmentDedup.gramOccurrences(surviving)
+        .where(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("h")).distinct()))
+    assert(rowsOf(table(root, StreamErasure.Postings)) ==
+      rowsOf(TextAnalysis.bm25Postings(surviving)))
+  }
+
   test("fresh-checkpoint restart: new victims at a reset batchId still apply") {
     // batchIds are checkpoint-scoped; the ledger outlives checkpoints.
     // A batch-id watermark would silently drop these — the guard must
