@@ -15,6 +15,10 @@ import java.nio.file.{Files, Paths}
   * reflect steady-state execution, not JVM warmup.
   */
 object Bench {
+  /** Post-cold runs above this cost report a median of 3 samples;
+    * below it a single sample (absolute jitter is sub-budget noise). */
+  val MedianFloorSec = 1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,34 +63,51 @@ object Bench {
                 catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
     val whSec = (System.nanoTime() - tWh) / 1e9
 
-    // Two timed runs per query, same sf, cache cleared between: the
-    // FIRST sample (cold) carries per-construction planning/codegen
-    // jitter (measured spread up to 5× on join-heavy queries — fresh
+    // Timed runs per query, same sf, cache cleared between: the FIRST
+    // sample (cold) carries per-construction planning/codegen jitter
+    // (measured spread up to 5× on join-heavy queries — fresh
     // expression ids defeat the codegen cache every construction); the
-    // SECOND (steady) is the reproducible per-query cost. The headline
-    // total stays the cold sum for round-over-round comparability;
-    // steady times ship alongside so a one-off spike is visible as
-    // jitter rather than a regression.
+    // post-cold samples are the reproducible per-query cost. The
+    // headline total stays the cold sum for round-over-round
+    // comparability. Queries whose first post-cold run exceeds
+    // [[MedianFloorSec]] get TWO more post-cold runs and report the
+    // MEDIAN of the three (BenchRepeat's discipline — one sample is
+    // not evidence at ±15% host variance; the r12 driver number read
+    // +19% on an unchanged registry from exactly this); the sub-second
+    // tail keeps single samples so total wall stays inside the driver
+    // budget (the tail's absolute jitter is noise in the total).
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       cleanup()
       val t0 = System.nanoTime()
       val err = run(sfDir, name)
       val cold = (System.nanoTime() - t0) / 1e9
+      def timed(): Double = {
+        cleanup()
+        val t = System.nanoTime()
+        run(sfDir, name)
+        (System.nanoTime() - t) / 1e9
+      }
       cleanup()
       val t1 = System.nanoTime()
       val err2 = run(sfDir, name)
       val steady = (System.nanoTime() - t1) / 1e9
-      (name, cold, steady, err.orElse(err2))
+      val samples =
+        if (err.orElse(err2).isDefined || steady < MedianFloorSec) Seq(steady)
+        else steady +: Seq.fill(2)(timed())
+      val median = samples.sorted.apply(samples.size / 2)
+      (name, cold, steady, median, err.orElse(err2))
     }
     def q(s: String): String = Json.quote(s)
-    val qs = results.map { case (k, v, _, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val qsSteady = results.map { case (k, _, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
-    val errs = (results.collect { case (k, _, _, Some(e)) => s"${q(k)}:${q(e)}" } ++
+    val qs = results.map { case (k, v, _, _, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val qsSteady = results.map { case (k, _, v, _, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val qsMedian = results.map { case (k, _, _, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val errs = (results.collect { case (k, _, _, _, Some(e)) => s"${q(k)}:${q(e)}" } ++
       whErr.map(e => s"${q("warehouse_build")}:${q(e)}")).mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalSteady = results.map(_._3).sum
+    val totalMedian = results.map(_._4).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"total_steady_sec":$totalSteady,"errors":$errs,"warehouse_build_sec":$whSec,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"queries_steady_median":$qsMedian,"total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"errors":$errs,"warehouse_build_sec":$whSec,"sf":${q(sfDir)}}"""
     Files.writeString(Paths.get(benchOut), fullJson + "\n")
     // The stdout line MUST stay short: the driver captures only the last
     // ~2000 chars of output, and the round-5 line (72-query cold+steady
@@ -94,13 +115,13 @@ object Bench {
     // Per-query maps live in BENCH.json only; stdout carries the summary
     // the perf gate parses. Error messages are truncated and capped so a
     // pathological round cannot blow the line either.
-    val nErrors = results.count(_._4.isDefined) + whErr.size
-    val errsShort = (results.collect { case (k, _, _, Some(e)) => (k, e) } ++
+    val nErrors = results.count(_._5.isDefined) + whErr.size
+    val errsShort = (results.collect { case (k, _, _, _, Some(e)) => (k, e) } ++
         whErr.map(("warehouse_build", _)))
       .take(8).map { case (k, e) => s"${q(k)}:${q(e.take(40))}" }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
     println(summary)
     spark.stop()
   }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.Graft.LeaseOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,7 +66,12 @@ object SparkEntry {
     "q21_lang_guess" -> ((s, d) => TextAnalysis.langGuess(docs(s, d)).orderBy("doc_id")),
     "q22_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
     "q23_sql_current_by_status" -> ((s, d) => Metrics.sqlCurrentOrdersByStatus(s, d)),
-    "q24_embedding_neardup" -> ((s, d) => Similarity.cosineNearDup(Tables.embeddings(s, d))),
+    // Cell-blocked (trained IVF, landed ivf_assign): the in-block
+    // quadratic is bounded by the ~512-vector cell width — corpus-
+    // independent by construction, unlike a fixed-cardinality label
+    // block whose width grows with the corpus (20M pairs at sf1).
+    "q24_embedding_neardup" -> ((s, d) => Similarity.cosineNearDupInCells(
+      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))),
     "q25_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
     "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
@@ -567,8 +574,12 @@ object SparkEntry {
     // sees it (see [[graft.vector.Similarity.centroidDrift]]).
     "q156_embedding_drift" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.centroidDrift(
-        e.where(pmod(col("vec_id"), lit(10)) =!= 7),
+      // corpus side = the MAINTAINED label_centroid_sums_base artifact
+      // (sum-mergeable fixed-point state): per-batch drift cost is the
+      // batch's own aggregate + a label-cardinality join, never a
+      // corpus re-scan (the q76/q77 discipline for the monitor).
+      Similarity.centroidDriftFromSums(
+        graft.warehouse.Warehouse.labelCentroidSumsBase(s, d),
         e.where(pmod(col("vec_id"), lit(10)) === 7))
     }),
     // Quality-DISTRIBUTION drift — the PSI-style curation-gate monitor
@@ -994,10 +1005,14 @@ object SparkEntry {
     }),
     // JL random-projection distortion audit: 64→16-dim ±1 projection
     // (literal sign matrix, 16 codegen'd vec_dot per row, map-only),
-    // then per-label mean/max |cos_orig − cos_proj| over label-blocked
-    // pairs — the measured "did compression keep the geometry" gate.
+    // then per-label mean/max |cos_orig − cos_proj| over same-label
+    // pairs blocked by the TRAINED IVF CELL (landed ivf_assign — the
+    // q24 discipline: a fixed-cardinality label block goes quadratic
+    // with the corpus; the cell-bounded pair sample measures the same
+    // statistic) — the "did compression keep the geometry" gate.
     "q111_jl_distortion" -> ((s, d) =>
-      graft.vector.RandomProjection.distortionAudit(Tables.embeddings(s, d))),
+      graft.vector.RandomProjection.distortionAudit(Tables.embeddings(s, d),
+        graft.warehouse.Warehouse.ivfAssign(s, d))),
     // Output-shard manifest: deterministic 16 KiB-budget shard
     // assignment by cumulative byte offset (the webdataset/WARC shard-
     // writing step) rolled up to the per-shard index a random-access
@@ -2032,13 +2047,17 @@ object SparkEntry {
     }),
     // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
     // new crawl) against the rest of the corpus — candidates ONLY from
-    // the bipartite (new × old) band join; the historical old×old
-    // pairing never re-runs. The daily shape at 100 TB.
+    // the bipartite (new × old) band join, and the corpus side reads
+    // the LANDED band_signatures_base artifact (capped signature table
+    // as corpus state): per-batch work is the batch's banding + the
+    // bipartite join, history is never re-banded. The historical
+    // old×old pairing never re-runs. The daily shape at 100 TB.
     "q76_incremental_neardup" -> ((s, d) => {
       val dd = docs(s, d)
-      TextDedup.minhashLshPairsBetween(
-        dd.where(pmod(col("doc_id"), lit(10)) === 7),
-        dd.where(pmod(col("doc_id"), lit(10)) =!= 7))
+      TextDedup.minhashLshPairsBetweenAgainstBands(
+        TextDedup.shingled(dd.where(pmod(col("doc_id"), lit(10)) === 7)).leased,
+        graft.warehouse.Warehouse.bandSignaturesBase(s, d),
+        TextDedup.shingled(dd.where(pmod(col("doc_id"), lit(10)) =!= 7)).leased)
     }),
     // Incremental ANN: today's embedding batch (vec_id % 10 = 7)
     // searched against the existing corpus index under the trained
@@ -4829,7 +4848,8 @@ object SparkEntry {
          |  CAST((running_total - n_chunk_tokens) // 512 AS BIGINT) AS pack_id
          |FROM r ORDER BY doc_id, chunk_id""".stripMargin,
     // Replays the projection against the SAME literal ±1 matrix
-    // (list_dot_product ≡ vec_dot, the VecCte bit-exactness) and the
+    // (list_dot_product ≡ vec_dot, the VecCte bit-exactness), the
+    // trained-codebook cell blocking (q24's CTE shape), and the
     // floor-ppm error rollup.
     "q111_jl_distortion" -> {
       val projList = (0 until graft.vector.RandomProjection.OutDims).map { j =>
@@ -4838,15 +4858,22 @@ object SparkEntry {
         s"list_dot_product(v, [$lst])"
       }.mkString(",\n         |    ")
       s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
          |pr AS (SELECT vec_id, label, v, nrm AS nv,
          |    [$projList] AS p
          |  FROM en),
-         |pn AS (SELECT vec_id, label, v, p, nv,
-         |    sqrt(list_dot_product(p, p)) AS np FROM pr),
+         |pn AS (SELECT pr.vec_id, label, v, p, nv,
+         |    sqrt(list_dot_product(p, p)) AS np, r.cell
+         |  FROM pr JOIN r ON pr.vec_id = r.vec_id AND r.rn = 1),
          |ps AS (SELECT a.label,
          |    list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cos_o,
          |    list_dot_product(a.p, b.p) / (a.np * b.np) AS cos_p
-         |  FROM pn a JOIN pn b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  FROM pn a JOIN pn b
+         |    ON a.cell = b.cell AND a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE a.nv > 0 AND b.nv > 0 AND a.np > 0 AND b.np > 0),
          |e AS (SELECT label,
          |    CAST(floor(abs(cos_o - cos_p) * 1000000.0) AS BIGINT) AS err_ppm
@@ -5414,12 +5441,22 @@ object SparkEntry {
       """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // Same trained-codebook cell assignment as the engine's landed
+    // ivf_assign (rn = 1), pairs confined to a cell — the oracle
+    // mirrors the corpus-independent blocking, not a label block.
     "q24_embedding_neardup" ->
-      s"""WITH $VecCte
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |r AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM en e CROSS JOIN cent c),
+         |ea AS (SELECT en.vec_id, v, nrm, cell
+         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1)
          |SELECT vec_a, vec_b, cosine FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
-         |  FROM en a JOIN en b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  FROM ea a JOIN ea b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |WHERE cosine >= CAST(0.4 AS DOUBLE) ORDER BY vec_a, vec_b""".stripMargin,
     "q25_ann_ivf" ->
       s"""WITH $VecCte,

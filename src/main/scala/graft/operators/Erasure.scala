@@ -71,7 +71,13 @@ object Erasure {
   def repairDistinctIndexVictimScoped(index: DataFrame, keyCol: String,
                                       erasedBase: DataFrame,
                                       victimCarried: DataFrame): DataFrame = {
-    val vk = victimCarried.select(col(keyCol))
+    // leased: the victim-key sub-plan is typically an O(corpus) base
+    // scan (StreamErasure derives it from gram_occurrences) and the
+    // repair plan evaluates it twice — the broadcast(vk) build inside
+    // `still` and the probe side of `orphaned`. Without the persist
+    // each deletion batch pays the base scan 2×; with it the batch
+    // really pays the ONE map-side-filtered scan the design claims.
+    val vk = graft.Graft.lease(victimCarried.select(col(keyCol)))
     val still = erasedBase
       .join(broadcast(vk), Seq(keyCol), "left_semi")
       .select(col(keyCol)).dropDuplicates(keyCol)

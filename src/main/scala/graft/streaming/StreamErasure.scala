@@ -98,7 +98,12 @@ object StreamErasure {
     val ledger = readIf(spark, ledgerPath)
     val newKeys = ledger.fold(v)(l =>
       v.join(l.select(col("key")), Seq("key"), "left_anti"))
-    if (!newKeys.isEmpty) {
+    // leaseScope: the victim-scoped repair leases its victim-key table
+    // (one base scan instead of two — Erasure scaladoc); every leased
+    // intermediate is consumed once the artifacts land, so release at
+    // batch close instead of letting a long-running deletion stream
+    // accumulate block-manager state across batches
+    if (!newKeys.isEmpty) graft.Graft.leaseScope {
       // fail-fast BEFORE any mutation: an index without its occurrence
       // base cannot be repaired (victim-only hashes are
       // indistinguishable from shared ones — silent under-deletion);

@@ -34,18 +34,16 @@ import graft.text.TextDedup
 object StreamNearDup {
 
   /** Static corpus index for [[flagAgainstCorpus]]: band table
-    * (doc_id, band, band_key) from a (doc_id, shingles) projection —
+    * (corpus_doc, band, band_key) from a (doc_id, shingles) projection —
     * materialize the result (parquet or persist) once per corpus
-    * refresh. */
-  def corpusBands(corpusShingled: DataFrame): DataFrame =
-    corpusShingled
-      .withColumn("sig", TextDedup.minhashExpr("shingles"))
-      .select(col("doc_id").as("corpus_doc"),
-        explode(expr(
-          s"""transform(sequence(0, ${TextDedup.LshBands - 1}), b -> struct(b AS band,
-             |  concat_ws('_', element_at(sig, 2*b + 1), element_at(sig, 2*b + 2)) AS band_key))"""
-            .stripMargin)).as("bk"))
-      .select(col("corpus_doc"), col("bk.band"), col("bk.band_key"))
+    * refresh. The [[TextDedup.LshMaxBucket]] occupancy cap applies
+    * (same rule as the warehouse `band_signatures` artifact): an
+    * uncapped static side would let one boilerplate mega-bucket fan
+    * every colliding stream row out by the bucket's full occupancy. */
+  def corpusBands(corpusShingled: DataFrame,
+                  maxBucket: Int = TextDedup.LshMaxBucket): DataFrame =
+    TextDedup.bandSignatures(corpusShingled, maxBucket)
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("band_key"))
 
   /** Flag streaming documents that near-duplicate the static corpus.
     * `streamDocs`: streaming (doc_id, text, ingest_ts). `corpusShingled`:

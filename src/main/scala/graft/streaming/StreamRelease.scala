@@ -55,8 +55,15 @@ import graft.text.{SegmentDedup, TextAnalysis, TextDedup}
   *  - `gram_index`  (h, last_batch)        — all ingested docs' grams;
   *                                           carries the ledger and is
   *                                           written LAST (commit point)
-  *  - `shingles/batch=N`  (doc_id, shingles) — corpus side of the
-  *                                           bipartite near-dup join
+  *  - `shingles/batch=N`  (doc_id, shingles) — exact-jaccard verify
+  *                                           side of the near-dup join
+  *  - `bands/batch=N`  (doc_id, band, band_key) — the CAPPED band-
+  *                                           signature artifact, append-
+  *                                           only under the
+  *                                           [[TextDedup.bandRowsAdmitted]]
+  *                                           law; the bipartite candidate
+  *                                           join probes it, so history
+  *                                           is never re-banded
   *  - `pool/batch=N`     scrub-at-arrival survivor rows
   *  - `raw/batch=N`      (source, n)       — per-batch raw counts
   *  - `clusters`  (doc_id, cluster_id)     — near-dup closure, swapped
@@ -75,12 +82,15 @@ import graft.text.{SegmentDedup, TextAnalysis, TextDedup}
   * heals at the next delivery.
   *
   * == Scale posture ==
-  * Per-batch corpus-dependent cost is the same set the batch capstone
-  * pays per run — the bipartite band join scans the maintained shingle
-  * table and the card re-derivation scans the pool (both
-  * source/corpus-cardinality aggregates after one id-keyed semi-join);
-  * the quadratic stages (pair generation within history, history
-  * re-scrub) never re-run. The cluster table is rewritten per batch at
+  * Per-batch corpus-dependent cost is narrow-row only: the bipartite
+  * candidate join probes the maintained capped BAND table (three short
+  * columns — history's shingle → minhash → band computation never
+  * re-runs; the band merge itself is one occupancy aggregate over the
+  * same narrow table, the gram-index-distinct cost class), the verify
+  * attach hash-joins the maintained shingle table on surviving
+  * candidates, and the card re-derivation scans the pool; the
+  * quadratic stages (pair generation within history, history re-scrub,
+  * history re-band) never re-run. The cluster table is rewritten per batch at
   * demo scale; at 100 TB it is partitioned by cluster_id range and
   * only partitions holding relabeled clusters rewrite (the relabel map
   * is batch-bounded and broadcast-sized). */
@@ -115,21 +125,40 @@ object StreamRelease {
       val within = TextDedup.minhashLshPairsFromShingles(shNew, threshold)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val shinglesPath = s"$statePath/shingles"
+      val bandsPath = s"$statePath/bands"
       val clustersPath = s"$statePath/clusters"
       val oldClusters =
         if (Ingest.readyRecovering(spark, clustersPath))
           spark.read.parquet(clustersPath).select(col("doc_id"), col("cluster_id"))
         else spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
-      val crossRep =
-        if (Ingest.readyRecovering(spark, shinglesPath)) {
+      // both per-batch state dirs are read STRICTLY below the current
+      // batchId: a crash after this batch's own subdir landed but
+      // before the ledger commit must re-run against the same history
+      // the first attempt saw (idempotent re-run), never against its
+      // own partial output
+      val oldBands =
+        if (Ingest.readyRecovering(spark, bandsPath))
+          Some(graft.Graft.lease(spark.read.parquet(bandsPath)
+            .where(col("batch") < batchId)
+            .select(col("doc_id"), col("band"), col("band_key"))))
+        else None
+      val crossRep = oldBands match {
+        case Some(bands) =>
           val shOld = spark.read.parquet(shinglesPath)
+            .where(col("batch") < batchId)
             .select(col("doc_id"), col("shingles"))
-          // edges go to the corpus doc's CLUSTER REP (its component
-          // min), so the tiny rep-graph below merges whole clusters
-          TextDedup.minhashLshPairsBetweenFromShingles(shNew, shOld, threshold)
+          // the corpus side is the MAINTAINED capped band artifact —
+          // per-batch work is the batch's banding + the bipartite
+          // join; history is never re-banded (shOld feeds only the
+          // exact-jaccard attach of surviving candidates). Edges go to
+          // the corpus doc's CLUSTER REP (its component min), so the
+          // tiny rep-graph below merges whole clusters
+          TextDedup.minhashLshPairsBetweenAgainstBands(
+              shNew, bands, shOld, threshold)
             .join(oldClusters.withColumnRenamed("doc_id", "old_id"), Seq("old_id"))
             .select(col("new_id").as("src"), col("cluster_id").as("dst"))
-        } else within.limit(0)
+        case None => within.limit(0)
+      }
 
       // ---- incremental closure on the batch-induced rep graph ----
       // nodes = batch docs + touched cluster reps: batch-bounded, so
@@ -175,6 +204,15 @@ object StreamRelease {
       // ---- land state; every write before the ledger is idempotent ----
       Ingest.overwriteSwap(spark, poolRows, s"$statePath/pool/batch=$batchId")
       Ingest.overwriteSwap(spark, shNew, s"$shinglesPath/batch=$batchId")
+      // the batch's ADMITTED band rows under the global occupancy cap
+      // ([[TextDedup.bandRowsAdmitted]] — append-only: landed batches
+      // never rewrite, and the union over batches equals a cold capped
+      // re-band of the whole corpus under monotonic ids)
+      Ingest.overwriteSwap(spark,
+        TextDedup.bandRowsAdmitted(shNew,
+          oldBands.getOrElse(spark.range(0).select(col("id").as("doc_id"),
+            col("id").cast("int").as("band"), col("id").cast("string").as("band_key")))),
+        s"$bandsPath/batch=$batchId")
       Ingest.overwriteSwap(spark,
         docs.groupBy(col("source")).agg(count(lit(1)).as("n")),
         s"$statePath/raw/batch=$batchId")

@@ -123,11 +123,13 @@ object TextDedup {
       .select(col("doc_id"), shingleExpr("text").as("shingles"))
 
   /** Per-document LSH band keys, one NARROW row per (doc, band) — the
-    * "signature table" a production pipeline would materialize to
-    * parquet. Persisted because the candidate self-join probes it twice
-    * (without it Spark re-evaluates the whole shingle+md5+minhash
-    * subtree per join side — the round-1 snapshotMerge lesson).
-    * Footprint is O(docs × 8) short rows.
+    * "signature table" a production pipeline materializes to parquet
+    * (warehouse artifacts `band_signatures`/`band_signatures_base`;
+    * [[graft.streaming.StreamRelease]] maintains the same table
+    * incrementally via [[bandRowsAdmitted]]). Persisted because the
+    * candidate self-join probes it twice (without it Spark re-evaluates
+    * the whole shingle+md5+minhash subtree per join side — the round-1
+    * snapshotMerge lesson). Footprint is O(docs × 8) short rows.
     *
     * `maxBucket` < Int.MaxValue applies the [[LshMaxBucket]] occupancy
     * cap: a row_number window over (band, band_key) ordered by doc_id
@@ -135,8 +137,8 @@ object TextDedup {
     * narrow band rows, sort confined to each bucket — O(n_b log n_b)
     * where the join it guards is O(n_b²). The persisted table is the
     * CAPPED one (smaller, and it is what both join probes read). */
-  private def bandedSignatures(sh: DataFrame,
-                               maxBucket: Int = Int.MaxValue): DataFrame = {
+  def bandSignatures(sh: DataFrame,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     val raw = sh
       .withColumn("sig", minhashExpr("shingles"))
       .select(col("doc_id"),
@@ -153,7 +155,10 @@ object TextDedup {
             .partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
         .where(col("rn") <= maxBucket)
         .drop("rn")
-    capped.leased
+    // not leased here: single-probe consumers (audits, bipartite sides,
+    // artifact writes) read it once; the self-join path leases at its
+    // own double-probe site ([[minhashLshPairsFromBands]])
+    capped
   }
 
   /** MinHash+LSH near-duplicate pairs over a fresh shingle projection —
@@ -186,7 +191,7 @@ object TextDedup {
     * pair). */
   def bandOccupancyAudit(docs: DataFrame,
                          maxBucket: Int = LshMaxBucket): DataFrame = {
-    val occ = bandedSignatures(shingled(docs))
+    val occ = bandSignatures(shingled(docs))
       .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
     occ.groupBy(col("band"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -226,8 +231,19 @@ object TextDedup {
     * through sf1; bounds the quadratic on boilerplate-dense ones;
     * dropped candidate mass quantified by [[bandOccupancyAudit]]). */
   def minhashLshPairsFromShingles(sh: DataFrame, threshold: Double = 0.5,
-                                  maxBucket: Int = LshMaxBucket): DataFrame = {
-    val sigs = bandedSignatures(sh, maxBucket)
+                                  maxBucket: Int = LshMaxBucket): DataFrame =
+    minhashLshPairsFromBands(bandSignatures(sh, maxBucket), sh, threshold)
+
+  /** [[minhashLshPairsFromShingles]] with the (already capped) band
+    * table supplied — the artifact path: the warehouse lands
+    * `band_signatures` once per corpus ([[bandSignatures]]'s parquet
+    * twin) and the pair build self-joins it instead of re-computing
+    * shingle → minhash → band → cap window per query. `sh` is still
+    * consumed by the exact-jaccard attach of surviving candidates —
+    * persist (or materialize) both inputs. */
+  def minhashLshPairsFromBands(bands: DataFrame, sh: DataFrame,
+                               threshold: Double = 0.5): DataFrame = {
+    val sigs = bands.leased // probed twice by the candidate self-join
     val cand = sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
       .join(sigs.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band", "band_key"))
@@ -264,10 +280,12 @@ object TextDedup {
     minhashLshPairsBetweenFromShingles(
       shingled(newDocs).leased, shingled(corpus).leased, threshold, maxBucket)
 
-  /** [[minhashLshPairsBetween]] with both shingle projections supplied —
-    * the maintained-artifact path ([[graft.streaming.StreamRelease]]
-    * keeps the corpus (doc_id, shingles) table on parquet and passes it
-    * here per batch instead of re-shingling history from text). Persist
+  /** [[minhashLshPairsBetween]] with both shingle projections supplied.
+    * NOTE: this form still RE-BANDS the corpus side per call (minhash +
+    * cap window over every corpus shingle row) — use
+    * [[minhashLshPairsBetweenAgainstBands]] with the maintained band
+    * artifact for per-batch ingestion, where that O(corpus) hash work
+    * must not recur ([[graft.streaming.StreamRelease]] does). Persist
     * (or materialize) both inputs: each feeds its signature stage AND
     * the exact-jaccard attach.
     *
@@ -279,10 +297,31 @@ object TextDedup {
     * micro-batch and must not depend on corpus ids for its own cap). */
   def minhashLshPairsBetweenFromShingles(shNew: DataFrame, shOld: DataFrame,
                                          threshold: Double = 0.5,
+                                         maxBucket: Int = LshMaxBucket): DataFrame =
+    minhashLshPairsBetweenAgainstBands(shNew, bandSignatures(shOld, maxBucket),
+      shOld, threshold, maxBucket)
+
+  /** The incremental near-dup's PRODUCTION form: the corpus side's band
+    * table is a MAINTAINED ARTIFACT (warehouse `band_signatures_base`,
+    * or [[graft.streaming.StreamRelease]]'s per-batch-appended `bands`
+    * state) supplied already capped — per-batch work is then the
+    * BATCH's shingle → minhash → band computation plus the bipartite
+    * band join; the corpus is never re-banded (the
+    * annIvfNewAgainstAssigned discipline: the corpus-sized derivation
+    * is paid once when the artifact lands, not once per batch).
+    * `shOld` is still consumed by the exact-jaccard attach, but only
+    * rows surviving the candidate join are intersected — a hash join
+    * against the maintained shingle table, no signature recompute.
+    * Row-equal to [[minhashLshPairsBetweenFromShingles]] when
+    * `oldBands` = [[bandSignatures]] of `shOld` at the same cap
+    * (TextDedupSpec pins it). */
+  def minhashLshPairsBetweenAgainstBands(shNew: DataFrame, oldBands: DataFrame,
+                                         shOld: DataFrame,
+                                         threshold: Double = 0.5,
                                          maxBucket: Int = LshMaxBucket): DataFrame = {
-    val cand = bandedSignatures(shNew, maxBucket)
+    val cand = bandSignatures(shNew, maxBucket)
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-      .join(bandedSignatures(shOld, maxBucket)
+      .join(oldBands
         .select(col("band"), col("band_key"), col("doc_id").as("old_id")),
         Seq("band", "band_key"))
       .select(col("new_id"), col("old_id"))
@@ -297,6 +336,40 @@ object TextDedup {
       .where(col("jaccard") >= threshold)
       .select(col("new_id"), col("old_id"), col("jaccard"))
       .orderBy("new_id", "old_id")
+  }
+
+  /** The band rows a NEW batch contributes to a maintained corpus band
+    * artifact under the global [[LshMaxBucket]] cap — the APPEND LAW
+    * that keeps the `band_signatures` table exactly equal to a cold
+    * [[bandSignatures]] rebuild over the union corpus without ever
+    * re-banding history.
+    *
+    * Exactness argument (requires the ingestion precondition every
+    * incremental operator here shares: batch doc_ids exceed all landed
+    * ids): per bucket, the corpus-wide cap keeps the `maxBucket`
+    * smallest ids. The landed artifact already holds the smallest
+    * `n_old = min(maxBucket, total_old)` of them, and every batch id is
+    * larger than every landed id, so the merged capped set is the old
+    * rows PLUS the batch rows whose within-batch bucket rank `rn`
+    * satisfies `n_old + rn ≤ maxBucket`. The artifact therefore only
+    * ever APPENDS (the gram-index ledger pattern — no rewrite of landed
+    * rows), and WarehouseMaintenanceSpec pins append ≡ cold rebuild.
+    *
+    * Cost: one batch-sized band computation + window, and one NARROW
+    * occupancy aggregate over the landed band table (three short
+    * columns — the same cost class as the gram-index distinct merge,
+    * nothing re-hashes corpus text). */
+  def bandRowsAdmitted(shNew: DataFrame, oldBands: DataFrame,
+                       maxBucket: Int = LshMaxBucket): DataFrame = {
+    val occ = oldBands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("__n_old"))
+    bandSignatures(shNew)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))))
+      .join(occ, Seq("band", "band_key"), "left")
+      .where(col("__rn") + coalesce(col("__n_old"), lit(0L)) <= maxBucket)
+      .select(col("doc_id"), col("band"), col("band_key"))
   }
 
   /** MinHash ESTIMATOR calibration — the q99-style eval-in-engine for

@@ -21,9 +21,14 @@ import graft.functions.PortableHash
   * `vec_dot` calls per row, map-only (the LSH-hyperplane idiom,
   * [[Similarity.annLsh]]). No scaling factor: cosine is scale-
   * invariant, so the 1/√k normalization cancels. The pair audit is
-  * label-blocked like the q17 brute-force baseline (quadratic bounded
-  * by block size, never the corpus); errors roll up as floor-ppm
-  * integers — exact, order-immune.
+  * blocked by the TRAINED IVF CELL (the landed `ivf_assign` artifact —
+  * the [[Similarity.cosineNearDupInCells]] discipline): a fixed-
+  * cardinality label block's width grows with the corpus, so the audit
+  * pairs would go quadratic exactly like the q24 near-dup did; cell
+  * width is held ~constant by the corpus-scaled codebook, and a
+  * cell-bounded pair SAMPLE measures distortion just as well (the
+  * audit is a statistic, not an enumeration). Errors roll up as
+  * floor-ppm integers — exact, order-immune.
   */
 object RandomProjection {
   val InDims = 64
@@ -38,9 +43,12 @@ object RandomProjection {
   def signCol(j: Int): Seq[Double] = (0 until InDims).map(sign(_, j))
 
   /** Per-label distortion audit: (label, n_pairs, mean_abs_err_ppm,
-    * max_abs_err_ppm) where err = |cos_orig − cos_proj| over all
-    * in-label pairs. */
-  def distortionAudit(embeddings: DataFrame): DataFrame = {
+    * max_abs_err_ppm) where err = |cos_orig − cos_proj| over the
+    * SAME-LABEL pairs sharing a trained IVF cell (`assign` = the
+    * landed rn-ranked assignment; rn = 1 rows block the pairs). The
+    * same-label restriction keeps the rollup per-label; the cell block
+    * keeps the candidate count corpus-independent. */
+  def distortionAudit(embeddings: DataFrame, assign: DataFrame): DataFrame = {
     val proj = array((0 until OutDims).map(j =>
       Similarity.dotCol(col("v"), typedLit(signCol(j)))): _*)
     val pr = graft.Par.fanOut(embeddings)
@@ -49,12 +57,15 @@ object RandomProjection {
       .select(col("vec_id"), col("label"), col("v"), col("p"),
         sqrt(Similarity.dotExpr("v", "v")).as("nv"),
         sqrt(Similarity.dotExpr("p", "p")).as("np"))
-      .leased // both sides of the in-label pair join
-    val a = pr.select(col("label"), col("vec_id").as("qid"), col("v").as("va"),
+      .join(assign.where(col("rn") === 1).select(col("vec_id"), col("cell")),
+        Seq("vec_id"))
+      .leased // both sides of the in-cell pair join
+    val a = pr.select(col("cell"), col("label"), col("vec_id").as("qid"), col("v").as("va"),
       col("p").as("pa"), col("nv").as("nva"), col("np").as("npa"))
-    val b = pr.select(col("label"), col("vec_id").as("nid"), col("v").as("vb"),
-      col("p").as("pb"), col("nv").as("nvb"), col("np").as("npb"))
-    a.join(b, Seq("label")).where(col("qid") < col("nid"))
+    val b = pr.select(col("cell"), col("label").as("label_b"), col("vec_id").as("nid"),
+      col("v").as("vb"), col("p").as("pb"), col("nv").as("nvb"), col("np").as("npb"))
+    graft.operators.SkewJoin.salted(a, b, Seq("cell"), Similarity.CellSalt)
+      .where(col("qid") < col("nid") && col("label") === col("label_b"))
       .where(col("nva") > 0 && col("nvb") > 0 && col("npa") > 0 && col("npb") > 0)
       .withColumn("cos_o", Similarity.dotExpr("va", "vb") / (col("nva") * col("nvb")))
       .withColumn("cos_p", Similarity.dotExpr("pa", "pb") / (col("npa") * col("npb")))

@@ -90,16 +90,58 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs inside a
-    * `label` block with cosine ≥ `threshold` — the thresholded sibling
-    * of [[knnBruteForce]] (dedup semantics instead of retrieval). Same
-    * blocking discipline: never all-pairs across blocks. */
-  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val e = prepared(embeddings).leased
+    * `blockCol` block with cosine ≥ `threshold` — the thresholded
+    * sibling of [[knnBruteForce]] (dedup semantics instead of
+    * retrieval), with the SAME enforced blocking discipline: the block
+    * must be CORPUS-INDEPENDENT (an IVF cell id — [[cosineNearDupInCells]]
+    * is the production form) or the in-block join is quadratic in the
+    * corpus. A fixed-cardinality label is NOT a valid block at scale:
+    * block width = corpus/|labels|, so pair count grows quadratically
+    * with the corpus (measured: 20M pairs at sf1 under the 5-value
+    * corpus label). An intentional global scan must say so with
+    * `withColumn("block", lit(0))`. */
+  def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.4,
+                    blockCol: String = "label"): DataFrame = {
+    require(embeddings.columns.contains(blockCol),
+      s"cosineNearDup requires blocking column '$blockCol' " +
+        "(all-pairs without a block does not scale; add lit(0) to force a global scan)")
+    val e = prepared(embeddings.withColumn("label", col(blockCol))).leased
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("label"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
+      .where(col("cosine") >= lit(threshold))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** [[cosineNearDup]] blocked by the TRAINED IVF cell — the scale-safe
+    * production form (the [[semanticDedup]] shape, emitting the pair
+    * list instead of drop decisions): candidate pairs exist only inside
+    * a cell of the materialized `ivf_assign` artifact (rn = 1 rows), so
+    * the quadratic is bounded by the ~[[graft.warehouse.Warehouse.IvfCellWidth]]-vector
+    * cell width — corpus-independent by construction, because the
+    * codebook's cell count scales with the corpus at fixed cell width.
+    * Cross-cell near-dups at the cell boundary are the accepted
+    * SemDeDup trade-off (recall rises with finer codebooks).
+    *
+    * The cell join is salted ([[CellSalt]]) for the same reason as
+    * [[annIvfWithAssign]]: ncells join keys alone would cap pair-eval
+    * parallelism at ncells tasks. */
+  def cosineNearDupInCells(embeddings: DataFrame, assign: DataFrame,
+                           threshold: Double = 0.4): DataFrame = {
+    val e = prepared(embeddings).leased
+    val cells = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val a = cells.join(e, Seq("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("cell"),
+        col("v").as("va"), col("nrm").as("na"))
+    val b = cells.join(e, Seq("vec_id"))
+      .select(col("vec_id").as("vec_b"), col("cell"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    graft.operators.SkewJoin.salted(a, b, Seq("cell"), CellSalt)
+      .where(col("vec_a") < col("vec_b"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
       .where(col("cosine") >= lit(threshold))
       .select(col("vec_a"), col("vec_b"), col("cosine"))
@@ -628,18 +670,42 @@ object Similarity {
     * labels × dim cells), one label-keyed join of label-cardinality
     * tables, two 1-row broadcast totals. The corpus side reads the
     * corpus once; nothing pairs. */
-  def centroidDrift(corpus: DataFrame, batch: DataFrame): DataFrame = {
-    def cents(e: DataFrame): DataFrame =
-      prepared(e).select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(floor((col("x") + 1) * lit(1048576L)).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .withColumn("c", expr("s div n").cast("double") / lit(1048576.0) - 1)
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").as("cv"),
-          max(col("n")).as("n")) // n is the label's vector count at every pos
-    val cc = cents(corpus).select(col("label"), col("cv").as("cv_c"), col("n").as("nc"))
-    val cb = cents(batch).select(col("label"), col("cv").as("cv_b"), col("n").as("nb"))
+  def centroidDrift(corpus: DataFrame, batch: DataFrame): DataFrame =
+    centroidDriftFromSums(labelCentroidSums(corpus), batch)
+
+  /** Fixed-point per-label centroid SUM state (label, pos, s, n) — the
+    * MERGEABLE form of the corpus-centroid artifact (warehouse
+    * `label_centroid_sums_base`): sums and counts merge under appends
+    * by keyed addition (WarehouseMaintenanceSpec pins the law), so the
+    * drift monitor's corpus side is maintained state, never a per-batch
+    * corpus re-aggregation. Fixed-point rule as [[labelOutliers]]:
+    * floor((x+1)·2²⁰) summed as BIGINT — bit-identical on any engine
+    * and summation order. */
+  def labelCentroidSums(e: DataFrame): DataFrame =
+    prepared(e).select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor((col("x") + 1) * lit(1048576L)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+
+  /** (label, cv, n) centroids from the sum state — one floor-division
+    * per coordinate, the read-side half of the artifact pair. */
+  private def centsFromSums(sums: DataFrame): DataFrame =
+    sums.withColumn("c", expr("s div n").cast("double") / lit(1048576.0) - 1)
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").as("cv"),
+        max(col("n")).as("n")) // n is the label's vector count at every pos
+
+  /** [[centroidDrift]] with the corpus side supplied as its
+    * MATERIALIZED sum state ([[labelCentroidSums]] read back from the
+    * warehouse) — the production form: per-batch cost is the batch's
+    * own centroid aggregate plus a label-cardinality join; the corpus
+    * is never re-scanned (the annIvfNewAgainstAssigned discipline
+    * applied to the drift monitor). */
+  def centroidDriftFromSums(corpusSums: DataFrame, batch: DataFrame): DataFrame = {
+    val cc = centsFromSums(corpusSums)
+      .select(col("label"), col("cv").as("cv_c"), col("n").as("nc"))
+    val cb = centsFromSums(labelCentroidSums(batch))
+      .select(col("label"), col("cv").as("cv_b"), col("n").as("nb"))
     val joined = cc.join(cb, Seq("label"), "full_outer")
       .select(col("label"), col("cv_c"), col("cv_b"),
         coalesce(col("nc"), lit(0L)).as("n_corpus"),

@@ -191,21 +191,68 @@ object Warehouse {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Empty (doc_id, band, band_key) band table — the no-documents shape
+    * of the two band-signature artifacts below. */
+  private def emptyBands(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), col("id").cast("int").as("band"),
+      col("id").cast("string").as("band_key")).repartition(1)
+
+  /** Capped MinHash-LSH band-signature table (doc_id, band, band_key)
+    * over the FULL corpus — the parquet twin of what the pair build
+    * computes ([[graft.text.TextDedup.bandSignatures]]'s own design
+    * note): the signature table is CORPUS STATE, landed once per build
+    * so the pair self-join (and any band-probing analytic) joins
+    * parquet instead of re-running shingle → minhash → band → cap
+    * window per query. Maintained incrementally by the
+    * [[graft.text.TextDedup.bandRowsAdmitted]] append law
+    * ([[graft.streaming.StreamRelease]] applies it per micro-batch;
+    * WarehouseMaintenanceSpec pins append ≡ cold rebuild). */
+  def buildBandSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return emptyBands(spark)
+    graft.text.TextDedup.bandSignatures(
+      graft.text.TextDedup.shingled(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+      graft.text.TextDedup.LshMaxBucket)
+  }
+
+  /** Capped band-signature table of the BASE corpus (doc_id % 10 !=
+    * [[HoldoutMod]]) — the maintained corpus-side index the incremental
+    * near-dup (q76) probes, exactly parallel to `gram_index_base` for
+    * the substring scrub. Built from the base slice directly (NOT a
+    * filter of the full table: the occupancy cap is a window over the
+    * banded population, so cap-then-filter ≠ filter-then-cap). */
+  def buildBandSignaturesBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return emptyBands(spark)
+    graft.text.TextDedup.bandSignatures(
+      graft.text.TextDedup.shingled(
+        Tables.documents(spark, sfDir)
+          .where(pmod(col("doc_id"), lit(10)) =!= HoldoutMod)
+          .select(col("doc_id"), col("text"))),
+      graft.text.TextDedup.LshMaxBucket)
+  }
+
   /** The MinHash-LSH near-dup PAIR table (doc_a, doc_b, jaccard) — the
     * duplicate graph's edge list, materialized once per corpus like the
     * clusters built from it: every graph analytic (closure q35,
     * centrality q105, triangle density q107) reads this table instead
-    * of re-running shingle → signature → band join per query. At 100 TB
-    * the signature/pair tables ARE parquet artifacts (TextDedup's
-    * bandedSignatures note); recomputing the pair join inside each
-    * analytic would be the scale bug. */
-  def buildNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    * of re-running shingle → signature → band join per query. The
+    * candidate self-join reads the `band_signatures` artifact LANDED
+    * just above it in the registry (the ivf_assign dependency pattern);
+    * only the exact-jaccard verify re-shingles, and only surviving
+    * candidates are intersected. */
+  def buildNearDupPairs(spark: SparkSession, sfDir: String,
+                        bands: DataFrame): DataFrame = {
     val p = new Path(s"$sfDir/documents.parquet")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
         col("id").cast("double").as("jaccard")).repartition(1)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    graft.text.TextDedup.minhashLshPairs(docs)
+    graft.text.TextDedup.minhashLshPairsFromBands(
+      bands, graft.text.TextDedup.shingled(docs).leased)
   }
 
   /** PQ codebooks (subspace, code, cv) — the trained product-quantizer
@@ -320,6 +367,23 @@ object Warehouse {
   def buildKnnGlobalSampled(spark: SparkSession, sfDir: String): DataFrame = {
     if (!hasEmbeddings(spark, sfDir)) return emptyRankedList(spark)
     graft.vector.Similarity.knnGlobalSampled(Tables.embeddings(spark, sfDir))
+  }
+
+  /** Fixed-point label-centroid SUM state (label, pos, s, n) of the
+    * BASE corpus (vec_id % 10 != [[HoldoutMod]]) — the maintained
+    * corpus side of the embedding-drift monitor (q156):
+    * [[graft.vector.Similarity.labelCentroidSums]], labels × dim rows,
+    * sum-mergeable under appends (WarehouseMaintenanceSpec pins the
+    * law), so scoring an arriving batch never re-aggregates the
+    * corpus. */
+  def buildLabelCentroidSumsBase(spark: SparkSession, sfDir: String): DataFrame = {
+    if (!hasEmbeddings(spark, sfDir))
+      return spark.range(0).select(col("id").cast("int").as("label"),
+        col("id").cast("int").as("pos"), col("id").as("s"), col("id").as("n"))
+        .repartition(1)
+    graft.vector.Similarity.labelCentroidSums(
+      Tables.embeddings(spark, sfDir)
+        .where(pmod(col("vec_id"), lit(10)) =!= HoldoutMod))
   }
 
   /** Corpus gram-occurrence table (doc_id, pos, h) at the ExactSubstr
@@ -578,8 +642,13 @@ object Warehouse {
     * v9: ivf_codebook ncells scales with corpus size (fixed cell-width
     *   target; resolves to the legacy 16 at the test SFs) + bm25
     *   postings/doclens, gram_index_base/gram_bloom_base, margin_denoms
-    *   artifacts joined the registry. */
-  private val CacheVersion = "v9"
+    *   artifacts joined the registry.
+    * v10: + band_signatures / band_signatures_base (the capped LSH
+    *   signature tables as corpus state — neardup_pairs self-joins the
+    *   landed full-corpus table; q76 probes the base slice) +
+    *   label_centroid_sums_base (the drift monitor's corpus side as
+    *   mergeable sum state — q156 probes it). */
+  private val CacheVersion = "v10"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -668,6 +737,7 @@ object Warehouse {
       // retrieval truth + searched-index lists: corpus state consumed
       // by the eval queries (q99/q104/q117/q118) and the demos
       // (q17/q18/q29) — built once, beside the index they evaluate
+      "label_centroid_sums_base" -> (() => buildLabelCentroidSumsBase(spark, sfDir)),
       "knn_exact" -> (() => buildKnnExact(spark, sfDir)),
       "knn_global_sampled" -> (() => buildKnnGlobalSampled(spark, sfDir)),
       "ann_lsh_topk" -> (() => buildAnnLshTopk(spark, sfDir)),
@@ -677,12 +747,15 @@ object Warehouse {
       "pq_codes" -> (() => buildPqCodes(spark, sfDir,
         decodeBooks(spark.read.parquet(s"$dir/pq_codebooks")))),
       "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
-      // the pair table lands first; the cluster closure reads it
-      // (single source of truth for the duplicate graph — q14's
-      // operator demo still derives pairs fresh, but the graph
-      // analytics q35/q105/q107 read corpus state, as production
-      // would)
-      "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir)),
+      // the signature table lands first; the pair build self-joins it
+      // and the cluster closure reads the pairs (single source of
+      // truth for the duplicate graph — q14's operator demo still
+      // derives pairs fresh, but the graph analytics q35/q105/q107
+      // read corpus state, as production would)
+      "band_signatures" -> (() => buildBandSignatures(spark, sfDir)),
+      "band_signatures_base" -> (() => buildBandSignaturesBase(spark, sfDir)),
+      "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir,
+        spark.read.parquet(s"$dir/band_signatures"))),
       "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
         spark.read.parquet(s"$dir/neardup_pairs"))),
       "gram_occurrences" -> (() => buildGramOccurrences(spark, sfDir)),
@@ -838,6 +911,16 @@ object Warehouse {
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "neardup_pairs")
 
+  /** Full-corpus capped band-signature table, materialized-once (see
+    * [[buildBandSignatures]]). */
+  def bandSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "band_signatures")
+
+  /** Base-corpus capped band-signature table, materialized-once (see
+    * [[buildBandSignaturesBase]]). */
+  def bandSignaturesBase(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "band_signatures_base")
+
   /** Co-occurrence edges, materialized-once (see [[buildCooccurEdges]]). */
   def cooccurEdges(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "cooccur_edges")
@@ -949,4 +1032,9 @@ object Warehouse {
   /** Materialized trained-IVF top-k list (see [[buildAnnIvfTopk]]). */
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "ann_ivf_topk")
+
+  /** Materialized base-corpus label-centroid sums (see
+    * [[buildLabelCentroidSumsBase]]). */
+  def labelCentroidSumsBase(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "label_centroid_sums_base")
 }

@@ -88,6 +88,61 @@ class StreamReleaseSpec extends SparkSpec {
     assert(pool(11L) == "zzz qqq www eee", s"got ${pool.get(11L)}")
   }
 
+  test("maintained band artifact equals a cold capped re-band of the corpus") {
+    val state = tmp("bands")
+    ingestAll(state)
+    assertSameRows(
+      spark.read.parquet(s"$state/bands").select("doc_id", "band", "band_key"),
+      rowsOf(TextDedup.bandSignatures(
+        TextDedup.shingled(allDocs.select(col("doc_id"), col("text"))),
+        TextDedup.LshMaxBucket)))
+    // append-only: landed batches each carry their own subdir (the
+    // artifact grows by appends, never rewrites history)
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/bands"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(parts.toSeq == Seq("batch=0", "batch=1", "batch=2"))
+  }
+
+  test("crash BEFORE the ledger commit: re-delivery converges to the clean state") {
+    val clean = tmp("crashclean")
+    ingestAll(clean)
+
+    // ingest batches 0–1, snapshot the ledger (gram_index), ingest
+    // batch 2 fully, then RESTORE the snapshot: every batch-2 state
+    // write has landed but the ledger still says 1 — the widest
+    // pre-ledger crash window. Re-delivery must re-run batch 2 against
+    // the HISTORY it saw the first time (the batch<batchId reads) and
+    // land the identical state.
+    val state = tmp("crash")
+    batches.zipWithIndex.take(2).foreach { case (b, i) =>
+      StreamRelease.mergeBatch(spark, b.toDF("doc_id", "source", "text"),
+        i.toLong, state, mixture, minTokens = L, threshold = Thresh)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val snap = tmp("crashsnap")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, p(s"$state/gram_index"), fs, p(s"$snap/gram_index"), false, conf)
+    StreamRelease.mergeBatch(spark, batches(2).toDF("doc_id", "source", "text"),
+      2L, state, mixture, minTokens = L, threshold = Thresh)
+    fs.delete(p(s"$state/gram_index"), true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, p(s"$snap/gram_index"), fs, p(s"$state/gram_index"), false, conf)
+
+    StreamRelease.mergeBatch(spark, batches(2).toDF("doc_id", "source", "text"),
+      2L, state, mixture, minTokens = L, threshold = Thresh)
+    for (t <- Seq("card", "clusters", "gram_index"))
+      assertSameRows(spark.read.parquet(s"$state/$t"),
+        rowsOf(spark.read.parquet(s"$clean/$t")))
+    for (t <- Seq("bands", "shingles", "pool"))
+      assertSameRows(
+        spark.read.parquet(s"$state/$t").drop("batch"),
+        rowsOf(spark.read.parquet(s"$clean/$t").drop("batch")))
+  }
+
   test("redelivered batch is a no-op and the card self-heals") {
     val state = tmp("replay")
     ingestAll(state)

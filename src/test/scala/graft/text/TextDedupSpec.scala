@@ -71,6 +71,19 @@ class TextDedupSpec extends SparkSpec {
       s"missed ${expected.diff(between)} / extra ${between.diff(expected)}")
   }
 
+  test("probing a maintained band artifact equals re-banding the corpus per batch") {
+    // the production incremental form (corpus side = landed capped band
+    // table) must be ROW-EQUAL to the re-banding form it replaces —
+    // the annIvfNewAgainstAssigned discipline applied to near-dup
+    val docs = corpusDocs
+    val shNew = TextDedup.shingled(docs.where(pmod(col("doc_id"), lit(10)) === 7))
+    val shOld = TextDedup.shingled(docs.where(pmod(col("doc_id"), lit(10)) =!= 7))
+    val artifact = TextDedup.bandSignatures(shOld, TextDedup.LshMaxBucket)
+    assertSameRows(
+      TextDedup.minhashLshPairsBetweenAgainstBands(shNew, artifact, shOld),
+      rowsOf(TextDedup.minhashLshPairsBetweenFromShingles(shNew, shOld)))
+  }
+
   test("prefix-filtered ngram jaccard == brute-force jaccard pairs (exact, with scores)") {
     val docs = corpusDocs
     val got = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)

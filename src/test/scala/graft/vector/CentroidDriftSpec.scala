@@ -26,6 +26,16 @@ class CentroidDriftSpec extends SparkSpec {
     assert(out(1) == 0L)
   }
 
+  test("drift from the materialized sum state equals the direct form") {
+    val corpus = toEmb(Seq(
+      (1L, 0, Seq(0.9, 0.1)), (2L, 1, Seq(0.2, 0.8)), (3L, 0, Seq(0.7, -0.3))))
+    val batch = toEmb(Seq(
+      (10L, 0, Seq(0.8, 0.2)), (11L, 2, Seq(0.1, 0.9))))
+    assertSameRows(
+      Similarity.centroidDriftFromSums(Similarity.labelCentroidSums(corpus), batch),
+      rowsOf(Similarity.centroidDrift(corpus, batch)))
+  }
+
   test("a label missing on one side reports the sentinel and zero count") {
     val corpus = toEmb(Seq((1L, 0, Seq(1.0, 0.0))))
     val batch = toEmb(Seq((2L, 5, Seq(0.0, 1.0))))

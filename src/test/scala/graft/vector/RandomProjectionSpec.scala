@@ -5,8 +5,15 @@ import graft.SparkSpec
 class RandomProjectionSpec extends SparkSpec {
   import spark.implicits._
 
+  /** One-cell assignment: every vector in cell 0, so the cell block is
+    * a no-op and the audit degenerates to plain label blocking — the
+    * shape the driver-side replay mirrors. */
+  private def oneCell(vecs: Seq[(Long, Seq[Float], Int)]) =
+    vecs.map { case (id, _, _) => (id, 0L, 1) }.toDF("vec_id", "cell", "rn")
+
   private def run(vecs: Seq[(Long, Seq[Float], Int)]): Map[Int, (Long, Long, Long)] =
-    RandomProjection.distortionAudit(vecs.toDF("vec_id", "embedding", "label"))
+    RandomProjection.distortionAudit(vecs.toDF("vec_id", "embedding", "label"),
+        oneCell(vecs))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
 
   /** Driver-side replay with the same association order. */
@@ -52,6 +59,18 @@ class RandomProjectionSpec extends SparkSpec {
       (5L, Seq.tabulate(64)(k => (k % 7 - 3) / 4.0f), 1),
       (6L, Seq.tabulate(64)(_ => 0.25f), 1))
     assert(run(vecs) == replay(vecs))
+  }
+
+  test("cell blocking bounds the audit pairs: split cells pair nothing across") {
+    val vecs = Seq(
+      (1L, unitVec(0), 0), (2L, unitVec(1), 0), (3L, unitVec(2), 0))
+    // 1/2 share cell 0; 3 sits alone in cell 1 → only the (1,2) pair
+    val assign = Seq((1L, 0L, 1), (2L, 0L, 1), (3L, 1L, 1))
+      .toDF("vec_id", "cell", "rn")
+    val out = RandomProjection.distortionAudit(
+        vecs.toDF("vec_id", "embedding", "label"), assign)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L)
   }
 
   test("zero vectors are excluded from the pair audit") {

@@ -51,6 +51,28 @@ class SimilaritySpec extends SparkSpec {
       s"sampled-global kNN diverged from global brute force")
   }
 
+  test("cell-blocked near-dup == global threshold pairs restricted to shared cells") {
+    val cents = Similarity.trainIvfCentroids(embeddings, ncells = 8, iters = 2)
+    val cb = Similarity.codebookDf(spark, cents)
+    val assign = Similarity.cellAssignments(embeddings, cb)
+    val got = Similarity.cosineNearDupInCells(embeddings, assign, threshold = 0.2)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty, "threshold 0.2 should admit some in-cell pairs")
+    // truth: forced-global pairs, filtered to pairs sharing an rn=1 cell
+    val cellOf = assign.where(col("rn") === 1).select("vec_id", "cell")
+      .as[(Long, Long)].collect().toMap
+    val global = Similarity.cosineNearDup(
+        embeddings.withColumn("g", lit(0)), threshold = 0.2, blockCol = "g")
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => cellOf(a) == cellOf(b) }.toSet
+    assert(got == global)
+    // and the blocking API refuses an unblocked corpus
+    val err = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDup(embeddings.drop("label"))
+    }
+    assert(err.getMessage.contains("blocking column"))
+  }
+
   test("IVF recall vs global brute force rises with multi-probe") {
     val globalTop = Similarity.knnBruteForce(embeddings.withColumn("label", lit(0)), k = 3)
       .select("qid", "nid").as[(Long, Long)].collect().toSet

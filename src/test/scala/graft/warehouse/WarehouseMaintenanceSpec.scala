@@ -37,6 +37,8 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     "gram_index_base" -> "StreamSubstrScrub.mergeBatch",
     "gram_bloom_base" -> "StreamSubstrScrub.mergeBatch (sketch OR-merge)",
     "gram_occurrences" -> "per-doc append law",
+    "band_signatures" -> "TextDedup.bandRowsAdmitted append law (StreamRelease.mergeBatch)",
+    "band_signatures_base" -> "TextDedup.bandRowsAdmitted append law (base-slice instance)",
     "neardup_pairs" -> "within ∪ between append law (q76 shape)",
     "neardup_clusters" -> "StreamRelease.mergeBatch",
     "doc_quality" -> "per-doc append law",
@@ -45,6 +47,7 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     "cooccur_edges" -> "keyed sum-merge law",
     "token_unigrams" -> "keyed sum-merge law",
     "dsir_counts" -> "StreamDsir.mergeBatch (keyed sum-merge, two value columns)",
+    "label_centroid_sums_base" -> "keyed sum-merge law (fixed-point sums + counts)",
     "pq_codes" -> "per-vector encode under frozen codebooks",
     "events_by_day" -> "Ingest.appendPartitioned of each day batch")
 
@@ -144,6 +147,30 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       "gram bloom: merged sketch ≠ cold sketch of the union index")
   }
 
+  test("band_signatures: bandRowsAdmitted append equals cold capped rebuild") {
+    // tiny cap (2) so the law is exercised where it BITES: corpusA has
+    // near-identical docs 1/3 sharing band buckets, and batch doc 10
+    // collides with them — admission must respect history's occupancy
+    val cap = 2
+    val bandsA = TextDedup.bandSignatures(TextDedup.shingled(dfA), cap)
+    val admitted = TextDedup.bandRowsAdmitted(
+      TextDedup.shingled(dfB), bandsA, cap)
+    assertEq(bandsA.unionByName(admitted),
+      TextDedup.bandSignatures(TextDedup.shingled(dfAB), cap), "band_signatures")
+    // non-vacuous: at least one batch band row was REJECTED by a full
+    // bucket (docs 1 and 3 fill their shared buckets at cap 2)
+    val rawB = TextDedup.bandSignatures(TextDedup.shingled(dfB), cap)
+    assert(rowsOf(admitted).size < rowsOf(rawB).size,
+      "cap never fired — fixture no longer exercises the admission rule")
+    // and at the production cap the law still holds (cap never fires
+    // here, so admitted = the batch's full band set)
+    val bandsAFull = TextDedup.bandSignatures(TextDedup.shingled(dfA))
+    assertEq(bandsAFull.unionByName(
+        TextDedup.bandRowsAdmitted(TextDedup.shingled(dfB), bandsAFull)),
+      TextDedup.bandSignatures(TextDedup.shingled(dfAB),
+        TextDedup.LshMaxBucket), "band_signatures (production cap)")
+  }
+
   test("neardup_pairs: within ∪ between append law equals cold rebuild") {
     val incremental =
       TextDedup.minhashLshPairs(dfA, 0.5)
@@ -206,6 +233,21 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       cnts(dfA).unionByName(cnts(dfB)).groupBy("feat")
         .agg(sum(col("cnt_r")).as("cnt_r"), sum(col("cnt_t")).as("cnt_t")),
       cnts(dfAB), "dsir_counts")
+  }
+
+  test("label_centroid_sums: fixed-point sums obey the keyed sum-merge law") {
+    def vecs(rows: Seq[(Long, Int, Seq[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+    val va = Seq((1L, 0, Seq(0.9f, -0.1f, 0.2f)), (2L, 1, Seq(0.1f, 0.8f, -0.5f)),
+      (3L, 0, Seq(0.4f, 0.4f, 0.1f)))
+    val vb = Seq((10L, 1, Seq(0.7f, 0.3f, 0.9f)), (11L, 0, Seq(-0.5f, 0.2f, 0.2f)))
+    import graft.vector.Similarity
+    val merged = Similarity.labelCentroidSums(vecs(va))
+      .unionByName(Similarity.labelCentroidSums(vecs(vb)))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    assertEq(merged, Similarity.labelCentroidSums(vecs(va ++ vb)),
+      "label_centroid_sums_base")
   }
 
   test("events_by_day: daily partitioned append equals cold rebuild") {

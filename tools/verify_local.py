@@ -17,6 +17,18 @@ for a in sys.argv:
     if a.startswith("--only"):
         ONLY = set(a.split("=", 1)[1].split(","))
 
+if ONLY and os.path.isfile(f"{OUT}/oracle_sql.json"):
+    # pre-flight: a typo'd --only name should fail BEFORE the Spark run
+    # (hours at sf10), not after it. A prior dump's registry is close
+    # enough to catch typos; the post-run check below stays authoritative
+    # (the registry may have gained/lost names since that dump).
+    prior = set(json.load(open(f"{OUT}/oracle_sql.json")))
+    unknown = ONLY - prior
+    if unknown:
+        print(f"FAIL --only names not in the last dump's oracle registry: "
+              f"{sorted(unknown)} (delete {OUT}/oracle_sql.json to override)")
+        sys.exit(1)
+
 if "--skip-spark" not in sys.argv:
     # rebuild when any source is newer than the jar — a stale jar makes
     # the compare silently vacuous for queries it doesn't contain (their
