@@ -115,6 +115,23 @@ object ScaleStress {
         docs.select(col("source")).distinct().withColumn("mix_ppm", lit(50000L))))
 
     // ---- fixed-batch incremental family (the flat-cost claim) ----
+    // corpus side of the incremental near-dup: the maintained CAPPED
+    // band artifact + the shingle table (landed once, like production)
+    val corpusShingles = land("corpus_shingles")(
+      graft.text.TextDedup.shingled(
+        docs.where(col("doc_id") >= 5000).select(col("doc_id"), col("text"))))
+    val corpusBands = land("corpus_bands")(
+      graft.text.TextDedup.bandSignatures(corpusShingles,
+        graft.text.TextDedup.LshMaxBucket))
+    time("incr_neardup(fixed 5k batch vs band artifact)")(
+      graft.text.TextDedup.minhashLshPairsBetweenAgainstBands(
+        graft.text.TextDedup.shingled(batch.select(col("doc_id"), col("text"))),
+        corpusBands, corpusShingles))
+    // the REPLACED path, for the ratio: re-bands the corpus per call
+    time("incr_neardup_reband(fixed 5k batch, corpus re-banded)")(
+      graft.text.TextDedup.minhashLshPairsBetweenFromShingles(
+        graft.text.TextDedup.shingled(batch.select(col("doc_id"), col("text"))),
+        corpusShingles))
     time("incr_scrub(fixed 5k batch)")(
       graft.text.SegmentDedup.scrubAgainstIndexFromGrams(
         batch.select(col("doc_id"), col("text")), batchGrams, index, 8, Some(bloom)))

@@ -685,6 +685,16 @@ object SparkEntry {
     "q162_lsh_bucket_audit" -> ((s, d) =>
       graft.text.TextDedup.bandOccupancyAudit(
         Tables.documents(s, d).select(col("doc_id"), col("text")))),
+    // Malformed-payload quarantine: the synthesized media corpus
+    // carries PLANTED corrupt blobs by deterministic rule (truncated
+    // payload / flipped magic), the permissive decode turns them into
+    // dead-letter rows instead of a stage abort, and the audit counts
+    // them per (source, error class) — the monitor that catches a
+    // source shipping garbage at 100 TB, where decode-throws means one
+    // bad blob fails the stage. The oracle replays the plant rule and
+    // the healthy payloads' header arithmetic.
+    "q163_media_quarantine" -> ((s, d) => Multimodal.quarantineAudit(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -5371,6 +5381,21 @@ object SparkEntry {
         |  md5(hdr || px) AS content_md5,
         |  md5(px) AS pixel_md5
         |FROM x ORDER BY doc_id""".stripMargin,
+    // Replays the corruption plant BY RULE (doc_id % 13) and the
+    // healthy payloads' header arithmetic (w=16, h=ceil(bytes/48));
+    // quarantined rows contribute the −1 dimension sentinels.
+    "q163_media_quarantine" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 5 THEN 'malformed'
+        |         WHEN doc_id % 13 = 9 THEN 'bad_magic' ELSE 'ok' END AS err_kind,
+        |    greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)) AS h
+        |  FROM documents)
+        |SELECT source, err_kind, count(*) AS n_payloads,
+        |  CAST(sum(CASE WHEN err_kind = 'ok' THEN 16 ELSE -1 END) AS BIGINT) AS sum_width,
+        |  CAST(sum(CASE WHEN err_kind = 'ok' THEN h ELSE -1 END) AS BIGINT) AS sum_height,
+        |  CAST(sum(CASE WHEN err_kind = 'ok' THEN h*48 ELSE 0 END) AS BIGINT)
+        |    AS sum_pixel_bytes
+        |FROM k GROUP BY source, err_kind ORDER BY source, err_kind""".stripMargin,
     "q20_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws

@@ -145,6 +145,84 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class QuarantinedDecode(doc_id: Long, ok: Boolean, err_kind: String,
+                               width: Int, height: Int, n_pixel_bytes: Long)
+
+  /** Deterministic corruption plant for the quarantine path: at 100 TB
+    * corrupt blobs are a certainty, so the synthesized corpus carries
+    * them BY RULE (oracle-replayable) — `doc_id % 13 == 5` truncates the
+    * payload to its first 10 bytes (magic intact, header/raster gone);
+    * `doc_id % 13 == 9` flips the magic byte. Every other payload stays
+    * the valid P6 [[mediaTable]] emits. */
+  def corruptPayload(id: Long, payload: Array[Byte]): Array[Byte] =
+    if (id % 13 == 5) java.util.Arrays.copyOf(payload, 10)
+    else if (id % 13 == 9) { val p = payload.clone(); p(0) = 'X'.toByte; p }
+    else payload
+
+  /** [[mediaTable]] with the corruption plant applied — the fixture
+    * every quarantine stage runs over. */
+  def mediaTableWithFaults(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val payload = corruptPayload(id, synthesizePpm(text))
+          (id, payload, payload.length, "image/ppm")
+        }
+      }
+      .toDF("doc_id", "media", "n_bytes", "kind")
+      .select(col("doc_id"), col("media"),
+        struct(col("n_bytes"), col("kind")).as("meta"))
+  }
+
+  /** PERMISSIVE decode — the 100 TB posture for untrusted payloads:
+    * [[PpmCodec.decode]] throws by design (specs must fail loudly), but
+    * one corrupt blob must not fail a million-row stage, so this wraps
+    * the codec per row and turns malformed payloads into QUARANTINE
+    * rows (ok = false, coarse error class `bad_magic` | `malformed`,
+    * sentinel −1 dimensions) instead of a stage abort — the dead-letter
+    * twin of a PERMISSIVE-mode CSV read's corrupt-record column
+    * ([[graft.sources.Ingest]] documents the same pattern for text
+    * ingest). Healthy rows carry parsed dimensions and raster size. */
+  def decodeQuarantine(spark: SparkSession, media: DataFrame): Dataset[QuarantinedDecode] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("meta.kind").as("kind"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          try {
+            val (w, h, px) = PpmCodec.decode(r.media)
+            QuarantinedDecode(r.doc_id, ok = true, "ok", w, h, px.length.toLong)
+          } catch {
+            case e: IllegalArgumentException =>
+              val kind =
+                if (Option(e.getMessage).exists(_.contains("magic"))) "bad_magic"
+                else "malformed"
+              QuarantinedDecode(r.doc_id, ok = false, kind, -1, -1, 0L)
+          }
+        }
+      }
+  }
+
+  /** Dead-letter audit over the faulted corpus: per (source, error
+    * class), payload counts plus dimension/raster sums over the rows
+    * that DECODED (quarantined rows contribute the −1 sentinels). The
+    * counts are the monitor a pipeline alerts on — a source whose
+    * quarantine share jumps is shipping garbage. */
+  def quarantineAudit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    decodeQuarantine(spark, mediaTableWithFaults(docs))
+      .toDF()
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("err_kind"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("width")).cast("long").as("sum_width"),
+        sum(col("height")).cast("long").as("sum_height"),
+        sum(col("n_pixel_bytes")).as("sum_pixel_bytes"))
+      .orderBy("source", "err_kind")
+  }
+
   /** Payload-level near-duplicate pairs — perceptual-hash dedup for
     * multimodal columns: a SimHash over the payload's sliding 8-unit
     * grams (no tokenization — works on any byte/char stream, unlike the

@@ -88,6 +88,23 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String, schema: StructType, batchTs: String): DataFrame =
     stamp(spark.read.option("header", "true").schema(schema).csv(path), batchTs)
 
+  /** [[readCsv]] with the DEAD-LETTER posture for untrusted feeds — the
+    * text-ingest twin of [[graft.media.Multimodal.decodeQuarantine]]:
+    * PERMISSIVE mode plus an explicit `_corrupt_record` column, so a
+    * malformed line becomes a quarantine row (schema fields null, the
+    * raw line preserved for the dead-letter sink) instead of FAILFAST
+    * aborting the stage or DROPMALFORMED silently shrinking the batch.
+    * Callers split on `_corrupt_record IS NULL` and count the other
+    * side per source — at 100 TB a feed's quarantine share is a
+    * monitored number, never an exception trace. */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        batchTs: String): DataFrame =
+    stamp(spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path), batchTs)
+
   /** Append the batch `processed_time` column (shared.py:16). */
   def stamp(df: DataFrame, batchTs: String): DataFrame =
     df.withColumn("processed_time", to_timestamp(lit(batchTs)))

@@ -74,4 +74,38 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
     rows.foreach(f => assert(again(f.doc_id) == ((f.width, f.height))))
   }
+
+  test("permissive decode quarantines planted corrupt payloads, never throws") {
+    val planted = Seq(
+      (1L, "healthy text payload one"),
+      (5L, "this one gets truncated"),       // 5 % 13 == 5 → malformed
+      (9L, "this one gets a flipped magic"), // 9 % 13 == 9 → bad_magic
+      (13L, "healthy again after the modulus wraps"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeQuarantine(spark,
+        Multimodal.mediaTableWithFaults(planted))
+      .collect().map(q => q.doc_id -> q).toMap
+    assert(out(1L).ok && out(1L).err_kind == "ok" && out(1L).width == 16)
+    assert(!out(5L).ok && out(5L).err_kind == "malformed" && out(5L).width == -1)
+    assert(!out(9L).ok && out(9L).err_kind == "bad_magic")
+    assert(out(13L).ok)
+    // the strict decode path THROWS on the same payloads (specs must
+    // fail loudly; only the quarantine path degrades gracefully)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark,
+        Multimodal.mediaTableWithFaults(planted)).collect()
+    }
+  }
+
+  test("quarantine audit counts dead-letter rows per source and error class") {
+    val planted = Seq(
+      (1L, "a", "healthy one"), (5L, "a", "truncated one"),
+      (9L, "b", "bad magic one"), (14L, "b", "healthy two"))
+      .toDF("doc_id", "source", "text")
+    val rows = Multimodal.quarantineAudit(planted)
+      .select("source", "err_kind", "n_payloads")
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("a", "ok", 1L), ("a", "malformed", 1L),
+      ("b", "bad_magic", 1L), ("b", "ok", 1L)))
+  }
 }

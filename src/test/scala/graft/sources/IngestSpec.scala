@@ -81,6 +81,25 @@ class IngestSpec extends SparkSpec {
     assert(df.where(col("id") === "1000").head().getAs[String]("title").contains("8t"))
   }
 
+  test("readCsvQuarantine dead-letters malformed lines instead of aborting or dropping") {
+    val dir = java.nio.file.Files.createTempDirectory("csvq")
+    java.nio.file.Files.writeString(dir.resolve("feed.csv"),
+      "id,price\n1,10.50\nnot-a-row-at-all,\"unclosed\n3,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DecimalType(18, 2))))
+    val df = Ingest.readCsvQuarantine(spark, dir.toString, schema, "2019-01-01 00:00:00")
+      .cache()
+    val good = df.where(col("_corrupt_record").isNull)
+    val dead = df.where(col("_corrupt_record").isNotNull)
+    // both healthy rows parse; the malformed line survives as a
+    // quarantine row carrying its raw text (nothing thrown, nothing
+    // silently dropped)
+    assert(good.count() == 2 && dead.count() == 1)
+    assert(dead.head().getAs[String]("_corrupt_record").startsWith("not-a-row"))
+    assert(df.schema.fieldNames.contains("processed_time"))
+    df.unpersist()
+  }
+
   test("appendIfAbsent drops rows whose key already exists (ON CONFLICT DO NOTHING)") {
     val existing = Seq(("a", 1), ("b", 2)).toDF("k", "v")
     val incoming = Seq(("b", 99), ("c", 3)).toDF("k", "v")
