@@ -83,7 +83,7 @@ object Catalog {
       "q115_quality_training_prep", "q121_repetition_scrub", "q122_substr_scrub",
       "q124_source_substr_overlap", "q129_source_gram_diversity",
       "q135_split_substr_leakage", "q136_code_switch", "q141_index_erasure",
-      "q163_media_quarantine",
+      "q163_media_quarantine", "q164_two_level_assign",
       "q142_curriculum_pack", "q151_dsir_weights", "q154_dsir_resample",
       "q159_epoch_shuffle", "q160_worker_mixture", "q162_lsh_bucket_audit"),
     "fixed-batch-incremental" -> Seq("q63_incremental_rollup",

@@ -159,6 +159,15 @@ object ScaleStress {
       println(s"[scale] ncells: ${cb.count()}")
       time("ivf_assign(corpus)")(
         graft.vector.Similarity.cellAssignments(emb, cb))
+      // the O(√ncells) two-level path vs the flat row above — the
+      // assignment-cost cliff the corpus-scaled codebook builds toward
+      // (4096 dots/vector at the cell cap)
+      val sc = land("ivf_supercells")(
+        graft.warehouse.Warehouse.buildIvfSuperCells(spark, cb))
+      val mp = land("ivf_super_map")(
+        graft.warehouse.Warehouse.buildIvfSuperMap(spark, cb))
+      time("ivf_assign_two_level(corpus)")(
+        graft.vector.Similarity.cellAssignmentsTwoLevel(emb, cb, sc, mp))
       // the PRODUCTION incremental path: corpus side reads the LANDED
       // ivf_assign artifact (built once per corpus, timed as state:
       // above), so the per-batch row measures batch assignment +

@@ -695,6 +695,18 @@ object SparkEntry {
     // the healthy payloads' header arithmetic.
     "q163_media_quarantine" -> ((s, d) => Multimodal.quarantineAudit(
       Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))),
+    // Two-level coarse assignment: rank √ncells super-cells (landed
+    // artifact trained over the codebook's own centroids), then score
+    // only the probed supers' member cells — O(√ncells) dots/vector
+    // where flat assignment pays ncells (4096 at the cell cap). At the
+    // test SFs sprobe ≥ nsuper, so the result provably equals the flat
+    // assignment (SimilaritySpec pins both that equality and the
+    // partial-probe agreement rate).
+    "q164_two_level_assign" -> ((s, d) => Similarity.cellAssignmentsTwoLevel(
+      Tables.embeddings(s, d),
+      graft.warehouse.Warehouse.ivfCodebook(s, d),
+      graft.warehouse.Warehouse.ivfSuperCells(s, d),
+      graft.warehouse.Warehouse.ivfSuperMap(s, d))),
     // Mixed-language / code-switching audit: the q21 stopword vote per
     // SENTENCE vs per document — the pre-filter a monolingual slice
     // needs before trusting doc-level language ids.
@@ -5396,6 +5408,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN err_kind = 'ok' THEN h*48 ELSE 0 END) AS BIGINT)
         |    AS sum_pixel_bytes
         |FROM k GROUP BY source, err_kind ORDER BY source, err_kind""".stripMargin,
+    // Replays the two-level rule from the LANDED super-cell artifacts:
+    // rank supers per vector (−cos, sid), probe the top 4, rank the
+    // probed supers' member cells (−cos, cid), keep the best.
+    "q164_two_level_assign" ->
+      s"""WITH $VecCte,
+         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |sup AS (SELECT sid, sv, snrm FROM '$oracleWhDir/ivf_supercells/*.parquet'),
+         |mp AS (SELECT cid, sid FROM '$oracleWhDir/ivf_super_map/*.parquet'),
+         |rs AS (SELECT e.vec_id, s.sid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) DESC, s.sid) AS rn
+         |  FROM en e CROSS JOIN sup s),
+         |cand AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS cos
+         |  FROM en e JOIN rs ON rs.vec_id = e.vec_id AND rs.rn <= 4
+         |  JOIN mp ON mp.sid = rs.sid JOIN cent c ON c.cid = mp.cid),
+         |r AS (SELECT vec_id, cid, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |  FROM cand)
+         |SELECT vec_id, cid AS cell, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_micro
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q20_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, list_filter(str_split(text, ' '), w -> w <> '') AS ws

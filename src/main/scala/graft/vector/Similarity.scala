@@ -254,6 +254,117 @@ object Similarity {
         (col("r0") + 1).cast("int").as("rn"))
   }
 
+  /** Default super-cells probed by [[cellAssignmentsTwoLevel]] — 4 of
+    * ~√ncells supers keeps the flat/two-level top-1 agreement ≥ 99% on
+    * the measured corpora while the dot count drops from ncells to
+    * √ncells·(1 + sprobe). */
+  val SuperProbe = 4
+
+  /** Driver-side spherical k-means over the CODEBOOK's own centroids —
+    * the √ncells super-cell layer that makes coarse assignment
+    * sub-linear in ncells. The codebook is literal-sized by contract
+    * (≤ 4096 × 64 doubles), so training runs on the driver in
+    * microseconds, single-threaded and deterministic (seeds = first
+    * nsuper centroids by cid; assign by max cosine, ties → lowest sid;
+    * plain mean). Returns (superCentroids, cellToSuper).
+    *
+    * Why it exists (measured): assignment cost is ncells dots/vector,
+    * and ncells scales with the corpus at fixed cell width — the
+    * incremental-ANN stress residual (2.5× per 10× corpus) is exactly
+    * this term, reaching 4096 dots/vector at the cell cap. Probing
+    * `sprobe` supers then only their member cells costs
+    * ~√ncells·(1 + sprobe) dots — O(√ncells). */
+  def trainSuperCells(cents: Seq[(Long, Seq[Double], Double)],
+                      nsuper0: Int = 0, iters: Int = 3): (Seq[Seq[Double]], Map[Long, Int]) = {
+    if (cents.isEmpty) return (Seq.empty, Map.empty)
+    val nsuper = math.min(cents.length,
+      if (nsuper0 > 0) nsuper0 else math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt))
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted.head._2.length
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    var supers: Seq[Seq[Double]] = sorted.take(nsuper).map(_._2)
+    // (−cos, sid) rule, exactly the search-side tie-break
+    def assignAll(ss: Seq[Seq[Double]]): Map[Long, Int] = {
+      val snorms = ss.map(s => math.sqrt(dot(s, s)))
+      sorted.map { case (cid, cv, cn) =>
+        cid -> ss.indices.maxBy(j =>
+          (if (cn > 0 && snorms(j) > 0) dot(cv, ss(j)) / (cn * snorms(j)) else 0.0,
+            -j))
+      }.toMap
+    }
+    for (_ <- 1 to iters) {
+      val assign = assignAll(supers)
+      supers = supers.indices.map { j =>
+        val members = sorted.filter(c => assign(c._1) == j)
+        if (members.isEmpty) supers(j)
+        else (0 until dim).map(p => members.map(_._2(p)).sum / members.length)
+      }
+    }
+    // the landed map must be the argmax against the FINAL centroids —
+    // the membership rule the two-level assignment replays
+    (supers, assignAll(supers))
+  }
+
+  /** The super-cell layer as its two literal-sized warehouse tables:
+    * (sid, sv, snrm) and (cid, sid). */
+  def superCellTables(spark: SparkSession,
+                      supers: Seq[Seq[Double]],
+                      cellToSuper: Map[Long, Int]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val sc = supers.zipWithIndex
+      .map { case (s, j) => (j.toLong, s, math.sqrt(s.map(x => x * x).sum)) }
+      .toDF("sid", "sv", "snrm")
+    val mp = cellToSuper.toSeq.sortBy(_._1)
+      .map { case (cid, sid) => (cid, sid.toLong) }.toDF("cid", "sid")
+    (sc, mp)
+  }
+
+  /** TWO-LEVEL coarse assignment: rank `sprobe` super-cells per vector
+    * (√ncells literal dots, map-only), then score ONLY the cells mapped
+    * to those supers (broadcast join against the codebook-sized
+    * (sid, cid, cv, cnrm) table) and keep the best (bounded top-k
+    * aggregate — never a per-vector rank window). Output
+    * (vec_id, cell, cos_micro), one row per vector.
+    *
+    * Semantics vs the flat [[cellAssignments]]: EXACT when sprobe ≥
+    * nsuper (every cell is scored — SimilaritySpec pins row equality);
+    * at the default [[SuperProbe]] a vector whose true nearest cell
+    * lives in an unprobed super may assign to its second-best cell —
+    * the standard hierarchical-IVF trade (measured agreement on the
+    * test corpora in SimilaritySpec; the cell-occupancy consequences
+    * are the q143 monitor's job). Tie-breaks replay the flat rule:
+    * supers by (−cos, sid), cells by (−cos, cid). */
+  def cellAssignmentsTwoLevel(embeddings: DataFrame, codebook: DataFrame,
+                              supercells: DataFrame, superMap: DataFrame,
+                              sprobe: Int = SuperProbe): DataFrame = {
+    require(sprobe >= 1, "sprobe must be positive")
+    val spark = embeddings.sparkSession
+    val supers = collectCodebook(
+      supercells.select(col("sid").as("cid"), col("sv").as("cv"), col("snrm").as("cnrm")))
+    if (supers.isEmpty)
+      return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
+        col("id").as("cos_micro"))
+    val scored = supers.map { case (sid, sv, sn) =>
+      struct((-(dotCol(typedLit(sv.toSeq), col("v")) / (col("nrm") * lit(sn)))).as("nscos"),
+        lit(sid).as("sid"))
+    }
+    val probed = prepared(embeddings)
+      .withColumn("__supers", sort_array(array(scored.toSeq: _*)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode_outer(expr(s"slice(__supers, 1, $sprobe)")).as("__s"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("__s.sid").as("sid"))
+    val cells = superMap.join(codebook.select(col("cid"), col("cv"), col("cnrm")), Seq("cid"))
+      .select(col("sid"), col("cid"), col("cv"), col("cnrm"))
+    val cand = probed.join(broadcast(cells), Seq("sid"))
+      .select(col("vec_id").as("qid"), col("cid").as("nid"),
+        (dotCol(col("cv"), col("v")) / (col("nrm") * col("cnrm"))).as("cosine"))
+    topK(cand, 1)
+      .select(col("qid").as("vec_id"), col("nid").as("cell"),
+        expr("CAST(floor(cosine * 1000000.0) AS BIGINT)").as("cos_micro"))
+      .orderBy("vec_id")
+  }
+
   /** IVF search over a MATERIALIZED cell assignment ([[cellAssignments]]
     * read back from the warehouse): probe side = each query's rn ≤
     * nprobe cells, index side = each vector's rn = 1 cell. Equivalent to
@@ -404,7 +515,7 @@ object Similarity {
     probeAgainstIndexed(probeSide(eQ, cents, nprobe), n, k, excludeSelf)
   }
 
-  private def collectCodebook(cent: DataFrame): Array[(Long, Seq[Double], Double)] =
+  private[graft] def collectCodebook(cent: DataFrame): Array[(Long, Seq[Double], Double)] =
     cent.select(col("cid"), col("cv"), col("cnrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
 

@@ -303,6 +303,36 @@ object Warehouse {
     graft.vector.ProductQuant.encode(Tables.embeddings(spark, sfDir), dim = 64, books)
   }
 
+  /** √ncells SUPER-CELL layer over the trained codebook (sid, sv,
+    * snrm) — the two-level coarse-assignment artifact
+    * ([[graft.vector.Similarity.trainSuperCells]]): flat assignment is
+    * ncells dots/vector and ncells scales with the corpus, so at the
+    * 4096-cell cap every assignment pays 4096 dots; probing `sprobe`
+    * supers then their member cells costs O(√ncells). Trained on the
+    * DRIVER from the landed codebook (literal-sized input), like the
+    * codebook itself a refresh-on-build artifact. */
+  def buildIvfSuperCells(spark: SparkSession, codebook: DataFrame): DataFrame = {
+    val (supers, m) = graft.vector.Similarity.trainSuperCells(
+      graft.vector.Similarity.collectCodebook(codebook).toSeq)
+    if (supers.isEmpty)
+      return spark.range(0).select(col("id").as("sid"),
+        array().cast("array<double>").as("sv"), col("id").cast("double").as("snrm"))
+        .repartition(1)
+    graft.vector.Similarity.superCellTables(spark, supers, m)._1.repartition(1)
+  }
+
+  /** cell → super-cell membership (cid, sid) under the SAME training
+    * run as [[buildIvfSuperCells]] (deterministic, so re-deriving here
+    * cannot fork from the super table). */
+  def buildIvfSuperMap(spark: SparkSession, codebook: DataFrame): DataFrame = {
+    val (supers, m) = graft.vector.Similarity.trainSuperCells(
+      graft.vector.Similarity.collectCodebook(codebook).toSeq)
+    if (supers.isEmpty)
+      return spark.range(0).select(col("id").as("cid"), col("id").as("sid"))
+        .repartition(1)
+    graft.vector.Similarity.superCellTables(spark, supers, m)._2.repartition(1)
+  }
+
   /** Per-vector margin-mining denominators (id, den) under the landed
     * ivf_assign — the CCMatrix criterion's per-vector normalizers
     * ([[graft.vector.Similarity.marginDenoms]]), refreshed per corpus
@@ -732,6 +762,10 @@ object Warehouse {
       // dependent table records its own Left — loud for its readers.
       "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
         spark.read.parquet(s"$dir/ivf_codebook"))),
+      "ivf_supercells" -> (() => buildIvfSuperCells(spark,
+        spark.read.parquet(s"$dir/ivf_codebook"))),
+      "ivf_super_map" -> (() => buildIvfSuperMap(spark,
+        spark.read.parquet(s"$dir/ivf_codebook"))),
       "margin_denoms" -> (() => buildMarginDenoms(spark, sfDir,
         spark.read.parquet(s"$dir/ivf_assign"))),
       // retrieval truth + searched-index lists: corpus state consumed
@@ -1037,4 +1071,12 @@ object Warehouse {
     * [[buildLabelCentroidSumsBase]]). */
   def labelCentroidSumsBase(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "label_centroid_sums_base")
+
+  /** Materialized super-cell layer (see [[buildIvfSuperCells]]). */
+  def ivfSuperCells(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "ivf_supercells")
+
+  /** Materialized cell → super map (see [[buildIvfSuperMap]]). */
+  def ivfSuperMap(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "ivf_super_map")
 }

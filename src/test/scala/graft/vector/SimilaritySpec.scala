@@ -73,6 +73,31 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("blocking column"))
   }
 
+  test("two-level assignment: exact when every super is probed; near-exact at partial probe") {
+    val cents = Similarity.trainIvfCentroids(embeddings, ncells = 16, iters = 2)
+    val cb = Similarity.codebookDf(spark, cents)
+    val (supers, m) = Similarity.trainSuperCells(
+      Similarity.collectCodebook(cb).toSeq)
+    val (sc, mp) = Similarity.superCellTables(spark, supers, m)
+    assert(supers.length == 4 && m.size == 16) // √16 supers, total map
+    val flat = Similarity.cellAssignments(embeddings, cb)
+      .where(col("rn") === 1).select("vec_id", "cell")
+      .as[(Long, Long)].collect().toMap
+    // sprobe = nsuper → every cell is scored → EXACT equality with flat
+    val exact = Similarity.cellAssignmentsTwoLevel(embeddings, cb, sc, mp,
+        sprobe = supers.length)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(exact == flat, "full-probe two-level diverged from flat assignment")
+    // partial probe: complete output (one row per vector), measured
+    // agreement stays high — the documented hierarchical-IVF trade
+    val partial = Similarity.cellAssignmentsTwoLevel(embeddings, cb, sc, mp,
+        sprobe = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(partial.keySet == flat.keySet)
+    val agree = partial.count { case (v, c) => flat(v) == c }.toDouble / flat.size
+    assert(agree >= 0.8, f"sprobe=2 agreement $agree%.2f below 0.8")
+  }
+
   test("IVF recall vs global brute force rises with multi-probe") {
     val globalTop = Similarity.knnBruteForce(embeddings.withColumn("label", lit(0)), k = 3)
       .select("qid", "nid").as[(Long, Long)].collect().toSet

@@ -61,6 +61,8 @@ class WarehouseMaintenanceSpec extends SparkSpec {
 
   private val refreshOnBuild = Map(
     "ivf_codebook" -> "trained quantizer; q143 index-drift monitor triggers retrain",
+    "ivf_supercells" -> "trained over the codebook's centroids; refreshes with it",
+    "ivf_super_map" -> "derived with ivf_supercells from the same training run",
     "pq_codebooks" -> "trained quantizer; q143",
     "bpe_merges" -> "trained tokenizer; q144 fertility-drift monitor",
     "margin_denoms" -> ("frozen per-build neighborhoods — the incremental miner " +
