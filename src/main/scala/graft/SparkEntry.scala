@@ -2488,7 +2488,7 @@ object SparkEntry {
     * argmax ranking `a(cluster_id, keeper_doc, keeper_quality, rn)`.
     * q113 reads the rn=1 row; q115 filters documents through it. */
   private def clusterQualityCtes: String =
-    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    s"""edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach(id, peer) AS (
       |  SELECT doc_id, doc_id FROM documents
@@ -3120,7 +3120,7 @@ object SparkEntry {
     "q126_soft_dedup_weights" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -3350,7 +3350,7 @@ object SparkEntry {
     "q161_release_manifest" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -3444,7 +3444,7 @@ object SparkEntry {
     "q140_release_card" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -3578,7 +3578,7 @@ object SparkEntry {
     "q147_release_diff" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -4054,7 +4054,7 @@ object SparkEntry {
     "q134_data_card" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -4530,7 +4530,7 @@ object SparkEntry {
     "q45_training_prep" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -4561,7 +4561,7 @@ object SparkEntry {
     "q148_pack_efficiency" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -4604,7 +4604,7 @@ object SparkEntry {
     "q142_curriculum_pack" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -4773,7 +4773,7 @@ object SparkEntry {
     "q35_neardup_clusters" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -5005,7 +5005,7 @@ object SparkEntry {
     "q149_cluster_chain_audit" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -5029,14 +5029,14 @@ object SparkEntry {
     "q150_chain_cut" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION
          |  SELECT e.dst, r.peer FROM edges e JOIN reach r ON r.id = e.src),
          |comp AS MATERIALIZED (SELECT id AS doc_id, min(peer) AS cluster_id FROM reach GROUP BY id),
-         |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |sedges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |    WHERE CAST(floor(jaccard * 1000000.0) AS BIGINT) >= 800000
          |  UNION ALL SELECT doc_b, doc_a FROM pairs
          |    WHERE CAST(floor(jaccard * 1000000.0) AS BIGINT) >= 800000),
@@ -5416,10 +5416,12 @@ object SparkEntry {
          |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
          |sup AS (SELECT sid, sv, snrm FROM '$oracleWhDir/ivf_supercells/*.parquet'),
          |mp AS (SELECT cid, sid FROM '$oracleWhDir/ivf_super_map/*.parquet'),
-         |rs AS (SELECT e.vec_id, s.sid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) DESC, s.sid) AS rn
+         |ss AS (SELECT e.vec_id, s.sid,
+         |    list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) AS sscore
          |  FROM en e CROSS JOIN sup s),
+         |rs AS (SELECT vec_id, sid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, sid) AS rn
+         |  FROM ss),
          |cand AS (SELECT e.vec_id, c.cid,
          |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS cos
          |  FROM en e JOIN rs ON rs.vec_id = e.vec_id AND rs.rn <= 4
@@ -5505,11 +5507,13 @@ object SparkEntry {
     "q24_embedding_neardup" ->
       s"""WITH $VecCte,
          |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |rs AS (SELECT e.vec_id, c.cid AS cell,
+         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS score
          |  FROM en e CROSS JOIN cent c),
-         |ea AS (SELECT en.vec_id, v, nrm, cell
+         |r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |  FROM rs),
+         |ea AS MATERIALIZED (SELECT en.vec_id, v, nrm, cell
          |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1)
          |SELECT vec_a, vec_b, cosine FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -6148,7 +6152,7 @@ object SparkEntry {
     "q119_cluster_split" ->
       s"""WITH RECURSIVE $ShinglesCte,
          |$LshPairsCtes,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(id, peer) AS (
          |  SELECT doc_id, doc_id FROM documents
