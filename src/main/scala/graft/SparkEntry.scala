@@ -2458,7 +2458,7 @@ object SparkEntry {
       |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
       |         CAST(0.0 AS DOUBLE)) AS jaccard
       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
-      |pairs AS (SELECT doc_a, doc_b, jaccard FROM jac
+      |pairs AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM jac
       |  WHERE jaccard >= CAST($threshold AS DOUBLE))""".stripMargin
 
   /** Shared oracle CTE: per-document 32-bit simhash over shingles
@@ -2531,7 +2531,7 @@ object SparkEntry {
       |    CAST(coalesce(sum_len, 0) > coalesce(n_toks, 0) * 10 AS INT) AS f3,
       |    CAST((n_chars - n_plain) * 10 >= n_chars AND n_chars > 0 AS INT) AS f4
       |  FROM base b LEFT JOIN rep ON rep.doc_id = b.doc_id),
-      |q AS (SELECT fl.doc_id,
+      |q AS MATERIALIZED (SELECT fl.doc_id,
       |    CAST((4 - f1 - f2 - f3 - f4) * 1048576
       |         + least(b.n_chars, 1048575) AS BIGINT) AS quality
       |  FROM fl JOIN base b ON b.doc_id = fl.doc_id)""".stripMargin
@@ -3379,13 +3379,13 @@ object SparkEntry {
          |cv AS (SELECT doc_id, ws,
          |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
          |  FROM rr),
-         |scr AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |scr AS MATERIALIZED (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
          |    CAST(len(ws) - len(cov) AS BIGINT) AS kept_tokens,
          |    list_transform(list_filter(generate_series(1, len(ws)),
          |      i -> NOT list_contains(cov, i)), i -> ws[i]) AS cws
          |  FROM cv),
          |$docQualityCtes,
-         |surv AS (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
+         |surv AS MATERIALIZED (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
          |    scr.cws, q.quality
          |  FROM scr JOIN keep USING (doc_id)
          |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
@@ -3400,7 +3400,7 @@ object SparkEntry {
          |  FROM scum s2 JOIN sn USING (source)
          |  WHERE s2.cum >= greatest(1, sn.n_rows // 4)
          |  GROUP BY s2.source),
-         |gated AS (SELECT s3.* FROM surv s3
+         |gated AS MATERIALIZED (SELECT s3.* FROM surv s3
          |  JOIN thr t3 ON t3.source = s3.source AND s3.quality >= t3.threshold),
          |pd2 AS (SELECT d.doc_id, d.source, q.quality
          |  FROM documents d JOIN q USING (doc_id)),
@@ -3430,7 +3430,7 @@ object SparkEntry {
          |    least(1000000, (mx.mix_ppm * 1000000) // greatest(1,
          |      (mass.gated_tokens * 1000000) // greatest(1, mtot.all_tokens))) AS keep_ppm
          |  FROM mass CROSS JOIN mtot JOIN mx ON mx.source = mass.source),
-         |rel AS (SELECT g2.*, r2.keep_ppm FROM gated g2
+         |rel AS MATERIALIZED (SELECT g2.*, r2.keep_ppm FROM gated g2
          |  JOIN rates r2 ON r2.source = g2.source
          |  WHERE CAST(('0x' || substr(md5(CAST(g2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |        % 1000000 < r2.keep_ppm)
@@ -3475,13 +3475,13 @@ object SparkEntry {
          |cv AS (SELECT doc_id, ws,
          |    list_distinct(flatten(list_transform(ps, p -> generate_series(p, p + 7)))) AS cov
          |  FROM rr),
-         |scr AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |scr AS MATERIALIZED (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
          |    CAST(len(ws) - len(cov) AS BIGINT) AS kept_tokens,
          |    list_transform(list_filter(generate_series(1, len(ws)),
          |      i -> NOT list_contains(cov, i)), i -> ws[i]) AS cws
          |  FROM cv),
          |$docQualityCtes,
-         |surv AS (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
+         |surv AS MATERIALIZED (SELECT scr.doc_id, d.source, scr.n_tokens, scr.kept_tokens,
          |    scr.cws, q.quality
          |  FROM scr JOIN keep USING (doc_id)
          |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
@@ -3496,7 +3496,7 @@ object SparkEntry {
          |  FROM scum s2 JOIN sn USING (source)
          |  WHERE s2.cum >= greatest(1, sn.n_rows // 4)
          |  GROUP BY s2.source),
-         |gated AS (SELECT s3.* FROM surv s3
+         |gated AS MATERIALIZED (SELECT s3.* FROM surv s3
          |  JOIN thr t3 ON t3.source = s3.source AND s3.quality >= t3.threshold),
          |pd2 AS (SELECT d.doc_id, d.source, q.quality
          |  FROM documents d JOIN q USING (doc_id)),
@@ -3526,7 +3526,7 @@ object SparkEntry {
          |    least(1000000, (mx.mix_ppm * 1000000) // greatest(1,
          |      (mass.gated_tokens * 1000000) // greatest(1, mtot.all_tokens))) AS keep_ppm
          |  FROM mass CROSS JOIN mtot JOIN mx ON mx.source = mass.source),
-         |rel AS (SELECT g2.*, r2.keep_ppm FROM gated g2
+         |rel AS MATERIALIZED (SELECT g2.*, r2.keep_ppm FROM gated g2
          |  JOIN rates r2 ON r2.source = g2.source
          |  WHERE CAST(('0x' || substr(md5(CAST(g2.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
          |        % 1000000 < r2.keep_ppm),
