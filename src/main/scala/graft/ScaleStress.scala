@@ -179,6 +179,12 @@ object ScaleStress {
       val corpusV = emb.where(col("vec_id") >= 5000)
       time("ann_incremental(fixed 5k vecs vs corpus)")(
         graft.vector.Similarity.annIvfNewAgainstAssigned(batchV, corpusV, assign, cb))
+      // the q77 path since r13: the batch probe ranks through the
+      // super-cell layer — the flat row above isolates what the
+      // two-level probe saves per batch as ncells grows
+      time("ann_incremental_two_level(fixed 5k vecs vs corpus)")(
+        graft.vector.Similarity.annIvfNewAgainstAssignedTwoLevel(
+          batchV, corpusV, assign, cb, sc, mp))
     }
 
     spark.stop()

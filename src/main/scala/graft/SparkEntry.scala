@@ -2089,12 +2089,17 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       // corpus side reads the LANDED ivf_assign artifact (rn = 1 rows;
       // batch vec_ids drop in the join) — per-batch cost is batch
-      // assignment + in-cell candidates, never a corpus re-assignment
-      Similarity.annIvfNewAgainstAssigned(
+      // assignment + in-cell candidates, never a corpus re-assignment.
+      // The batch probe ranks through the TWO-LEVEL super-cell layer
+      // (r13): ~√ncells·(1+sprobe) dots per arriving vector instead of
+      // ncells, the term that scaled with the corpus in the stress row.
+      Similarity.annIvfNewAgainstAssignedTwoLevel(
         e.where(pmod(col("vec_id"), lit(10)) === 7),
         e.where(pmod(col("vec_id"), lit(10)) =!= 7),
         graft.warehouse.Warehouse.ivfAssign(s, d),
-        graft.warehouse.Warehouse.ivfCodebook(s, d))
+        graft.warehouse.Warehouse.ivfCodebook(s, d),
+        graft.warehouse.Warehouse.ivfSuperCells(s, d),
+        graft.warehouse.Warehouse.ivfSuperMap(s, d))
     }),
     // Right-to-be-forgotten erasure audit: delete a deterministic
     // victim set (user_id % 97 = 13) across the event stream and the
@@ -5832,16 +5837,31 @@ object SparkEntry {
     "q77_ann_incremental" ->
       s"""WITH $VecCte,
          |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
-         |q AS (SELECT en.vec_id AS qid, r.cell, v AS va, nrm AS na
-         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn <= 6
-         |  WHERE en.vec_id % 10 = 7),
+         |sup AS (SELECT sid, sv, snrm FROM '$oracleWhDir/ivf_supercells/*.parquet'),
+         |mp AS (SELECT cid, sid FROM '$oracleWhDir/ivf_super_map/*.parquet'),
+         |ss AS (SELECT e.vec_id, s.sid,
+         |    list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) AS sscore
+         |  FROM en e CROSS JOIN sup s WHERE e.vec_id % 10 = 7),
+         |srk AS (SELECT vec_id, sid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, sid) AS srn
+         |  FROM ss),
+         |cnd AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS ccos
+         |  FROM en e JOIN srk ON srk.vec_id = e.vec_id AND srk.srn <= 4
+         |  JOIN mp ON mp.sid = srk.sid JOIN cent c ON c.cid = mp.cid),
+         |rq AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM cnd),
+         |rs0 AS (SELECT e.vec_id, c.cid AS cell,
+         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS score
+         |  FROM en e CROSS JOIN cent c WHERE e.vec_id % 10 <> 7),
+         |r AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |  FROM rs0),
+         |q AS (SELECT en.vec_id AS qid, rq.cid AS cell, v AS va, nrm AS na
+         |  FROM en JOIN rq ON en.vec_id = rq.vec_id AND rq.rn <= 6),
          |n AS (SELECT en.vec_id AS nid, r.cell, v AS vb, nrm AS nb
-         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1
-         |  WHERE en.vec_id % 10 <> 7),
+         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1),
          |p AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
          |  FROM q JOIN n ON q.cell = n.cell)
          |SELECT qid, rank, nid, cosine FROM (

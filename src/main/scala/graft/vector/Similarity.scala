@@ -338,13 +338,29 @@ object Similarity {
   def cellAssignmentsTwoLevel(embeddings: DataFrame, codebook: DataFrame,
                               supercells: DataFrame, superMap: DataFrame,
                               sprobe: Int = SuperProbe): DataFrame = {
+    val cand = twoLevelCellCandidates(embeddings, codebook, supercells, superMap, sprobe)
+    if (cand.isEmpty)
+      return embeddings.sparkSession.range(0).select(col("id").as("vec_id"),
+        col("id").as("cell"), col("id").as("cos_micro"))
+    topK(cand.get, 1)
+      .select(col("qid").as("vec_id"), col("nid").as("cell"),
+        expr("CAST(floor(cosine * 1000000.0) AS BIGINT)").as("cos_micro"))
+      .orderBy("vec_id")
+  }
+
+  /** Shared two-level candidate stage: (qid, nid = candidate cell id,
+    * cosine) — `sprobe` super-ranks per vector (√ncells literal dots,
+    * map-only) joined to the probed supers' member cells (broadcast,
+    * codebook-sized). None when the super layer is empty. Tie-breaks
+    * replay the flat rule downstream: [[topK]] ranks (cosine DESC,
+    * nid), exactly the oracle's `ORDER BY cos DESC, cid`. */
+  private def twoLevelCellCandidates(embeddings: DataFrame, codebook: DataFrame,
+                                     supercells: DataFrame, superMap: DataFrame,
+                                     sprobe: Int): Option[DataFrame] = {
     require(sprobe >= 1, "sprobe must be positive")
-    val spark = embeddings.sparkSession
     val supers = collectCodebook(
       supercells.select(col("sid").as("cid"), col("sv").as("cv"), col("snrm").as("cnrm")))
-    if (supers.isEmpty)
-      return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
-        col("id").as("cos_micro"))
+    if (supers.isEmpty) return None
     val scored = supers.map { case (sid, sv, sn) =>
       struct((-(dotCol(typedLit(sv.toSeq), col("v")) / (col("nrm") * lit(sn)))).as("nscos"),
         lit(sid).as("sid"))
@@ -356,13 +372,56 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("__s.sid").as("sid"))
     val cells = superMap.join(codebook.select(col("cid"), col("cv"), col("cnrm")), Seq("cid"))
       .select(col("sid"), col("cid"), col("cv"), col("cnrm"))
-    val cand = probed.join(broadcast(cells), Seq("sid"))
+    Some(probed.join(broadcast(cells), Seq("sid"))
       .select(col("vec_id").as("qid"), col("cid").as("nid"),
-        (dotCol(col("cv"), col("v")) / (col("nrm") * col("cnrm"))).as("cosine"))
-    topK(cand, 1)
+        (dotCol(col("cv"), col("v")) / (col("nrm") * col("cnrm"))).as("cosine")))
+  }
+
+  /** Top-`probes` cell ranking under the TWO-LEVEL rule — the probe-set
+    * builder for [[annIvfNewAgainstAssignedTwoLevel]]: (vec_id, cell,
+    * rn ≤ probes), cells drawn only from the vector's top-`sprobe`
+    * supers. rn = 1 equals [[cellAssignmentsTwoLevel]]'s cell by
+    * construction (same candidates, same tie-break). */
+  def cellRankTwoLevel(embeddings: DataFrame, codebook: DataFrame,
+                       supercells: DataFrame, superMap: DataFrame,
+                       probes: Int, sprobe: Int = SuperProbe): DataFrame = {
+    require(probes >= 1, "probes must be positive")
+    val cand = twoLevelCellCandidates(embeddings, codebook, supercells, superMap, sprobe)
+    if (cand.isEmpty)
+      return embeddings.sparkSession.range(0).select(col("id").as("vec_id"),
+        col("id").as("cell"), col("id").cast("int").as("rn"))
+    topK(cand.get, probes)
       .select(col("qid").as("vec_id"), col("nid").as("cell"),
-        expr("CAST(floor(cosine * 1000000.0) AS BIGINT)").as("cos_micro"))
-      .orderBy("vec_id")
+        col("rank").cast("int").as("rn"))
+  }
+
+  /** [[annIvfNewAgainstAssigned]] with the BATCH probe ranked through
+    * the two-level super-cell layer — the production incremental-ANN
+    * form once ncells outgrows the flat scan: per-batch assignment cost
+    * drops from ncells dots/vector to ~√ncells·(1 + sprobe) (4096 → ~320
+    * at the cell cap), while the corpus side still reads the landed
+    * `ivf_assign` artifact untouched. Probe semantics: the top-`nprobe`
+    * cells are drawn from the batch vector's top-`sprobe` supers — EXACT
+    * vs the flat probe when sprobe ≥ nsuper (spec-pinned row equality);
+    * at the default [[SuperProbe]] a true probe cell in an unprobed
+    * super is the standard hierarchical-IVF recall trade, and the
+    * oracle replays the SAME two-level rule from the landed supercell
+    * artifacts, so the hash gate stays exact at every sprobe. */
+  def annIvfNewAgainstAssignedTwoLevel(newVecs: DataFrame, corpus: DataFrame,
+                                       assign: DataFrame, codebook: DataFrame,
+                                       supercells: DataFrame, superMap: DataFrame,
+                                       k: Int = 3, nprobe: Int = 6,
+                                       sprobe: Int = SuperProbe): DataFrame = {
+    require(nprobe >= 1, "nprobe must be positive")
+    val e = prepared(newVecs).leased
+    val probeCells =
+      cellRankTwoLevel(newVecs, codebook, supercells, superMap, nprobe, sprobe)
+    val q = probeCells.join(e, Seq("vec_id"))
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"), col("cell"))
+    val n = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
+      .join(prepared(corpus), Seq("vec_id"))
+      .select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
+    probeAgainstIndexed(q, n, k, excludeSelf = false)
   }
 
   /** IVF search over a MATERIALIZED cell assignment ([[cellAssignments]]

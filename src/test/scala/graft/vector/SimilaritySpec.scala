@@ -174,6 +174,35 @@ class SimilaritySpec extends SparkSpec {
       "index side must contain only corpus vectors")
   }
 
+  test("two-level incremental ANN == flat incremental ANN at full super probe") {
+    // the q77 production path: the batch probe ranks through the
+    // super-cell layer. With sprobe = nsuper every cell is a candidate,
+    // so the probe set — and therefore the whole search — must equal
+    // the flat form row-for-row; at the default SuperProbe the result
+    // keys stay complete and overlap stays high (recall trade, measured)
+    val cb = graft.warehouse.Warehouse.ivfCodebook(spark, sfDir)
+    val assign = graft.warehouse.Warehouse.ivfAssign(spark, sfDir)
+    val sc = graft.warehouse.Warehouse.ivfSuperCells(spark, sfDir)
+    val mp = graft.warehouse.Warehouse.ivfSuperMap(spark, sfDir)
+    val nsuper = sc.count().toInt
+    val batch = embeddings.where(pmod(col("vec_id"), lit(10)) === 7)
+    val corpus = embeddings.where(pmod(col("vec_id"), lit(10)) =!= 7)
+    val flat = Similarity.annIvfNewAgainstAssigned(batch, corpus, assign, cb)
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    val full = Similarity.annIvfNewAgainstAssignedTwoLevel(
+        batch, corpus, assign, cb, sc, mp, sprobe = nsuper)
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    assert(flat.nonEmpty)
+    assert(full == flat,
+      "full-super-probe two-level search must equal the flat search exactly")
+    val dflt = Similarity.annIvfNewAgainstAssignedTwoLevel(
+        batch, corpus, assign, cb, sc, mp)
+      .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    assert(dflt.map(_._1) == flat.map(_._1), "default probe must still answer every query")
+    val overlap = dflt.intersect(flat).size.toDouble / flat.size
+    assert(overlap >= 0.8, f"default-sprobe overlap $overlap%.2f below 0.8")
+  }
+
   test("trained IVF survives inputs thinner than the codebook") {
     // 6 vectors < ncells=16: the 1/4 sample can't even seed one centroid
     // per cell — training must fall back to the full table and a smaller
