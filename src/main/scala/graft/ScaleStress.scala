@@ -174,7 +174,7 @@ object ScaleStress {
       // in-cell candidates only — the flat-cost claim as deployed,
       // not a harness re-assignment of the corpus per call
       val assign = land("ivf_assign")(
-        graft.warehouse.Warehouse.buildIvfAssign(spark, sfDir, cb))
+        graft.warehouse.Warehouse.buildIvfAssign(spark, sfDir, cb, sc, mp))
       val batchV = emb.where(col("vec_id") < 5000)
       val corpusV = emb.where(col("vec_id") >= 5000)
       time("ann_incremental(fixed 5k vecs vs corpus)")(

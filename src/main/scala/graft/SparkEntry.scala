@@ -529,7 +529,9 @@ object SparkEntry {
         e.where(pmod(col("vec_id"), lit(10)) =!= 7),
         graft.warehouse.Warehouse.ivfAssign(s, d),
         graft.warehouse.Warehouse.ivfCodebook(s, d),
-        corpusDenoms = Some(graft.warehouse.Warehouse.marginDenoms(s, d)))
+        corpusDenoms = Some(graft.warehouse.Warehouse.marginDenoms(s, d)),
+        supercells = Some(graft.warehouse.Warehouse.ivfSuperCells(s, d)),
+        superMap = Some(graft.warehouse.Warehouse.ivfSuperMap(s, d)))
     }),
     // INDEX-DRIFT monitor — the retrain trigger every frozen-codebook
     // deployment needs: per-cell occupancy of the landed corpus
@@ -545,9 +547,11 @@ object SparkEntry {
         .where(col("rn") === 1)
         .where(pmod(col("vec_id"), lit(10)) =!= 7)
         .groupBy(col("cell")).agg(count(lit(1)).as("corpus_n"))
-      val ba = Similarity.cellAssignments(
+      val ba = Similarity.cellRankAuto(
           e.where(pmod(col("vec_id"), lit(10)) === 7),
-          graft.warehouse.Warehouse.ivfCodebook(s, d))
+          graft.warehouse.Warehouse.ivfCodebook(s, d), probes = 1,
+          supercells = Some(graft.warehouse.Warehouse.ivfSuperCells(s, d)),
+          superMap = Some(graft.warehouse.Warehouse.ivfSuperMap(s, d)))
         .where(col("rn") === 1)
         .groupBy(col("cell")).agg(count(lit(1)).as("batch_n"))
       val cells = graft.warehouse.Warehouse.ivfCodebook(s, d)
@@ -1856,7 +1860,9 @@ object SparkEntry {
     // is assignment + in-cell pairs, which the oracle replays over the
     // materialized codebook parquet (q29's mechanism).
     "q81_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(
-      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfCodebook(s, d))),
+      Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfCodebook(s, d),
+      supercells = Some(graft.warehouse.Warehouse.ivfSuperCells(s, d)),
+      superMap = Some(graft.warehouse.Warehouse.ivfSuperMap(s, d)))),
     // Cross-document duplicated-n-gram coverage — suffix-array dedup's
     // distributed proxy: per doc, the fraction of its distinct shingles
     // that recur elsewhere in the corpus (boilerplate detector).
@@ -2090,16 +2096,18 @@ object SparkEntry {
       // corpus side reads the LANDED ivf_assign artifact (rn = 1 rows;
       // batch vec_ids drop in the join) — per-batch cost is batch
       // assignment + in-cell candidates, never a corpus re-assignment.
-      // The batch probe ranks through the TWO-LEVEL super-cell layer
-      // (r13): ~√ncells·(1+sprobe) dots per arriving vector instead of
-      // ncells, the term that scaled with the corpus in the stress row.
-      Similarity.annIvfNewAgainstAssignedTwoLevel(
+      // The batch probe ranks under the PRODUCTION selector (r14): flat
+      // below the crossover (the cheaper plan at ≤ 128 cells), TWO-LEVEL
+      // above it — ~√ncells·(1+sprobe) dots per arriving vector instead
+      // of ncells, the term that scaled with the corpus in the stress
+      // row. One rule everywhere: the same selector builds ivf_assign.
+      Similarity.annIvfNewAgainstAssignedAuto(
         e.where(pmod(col("vec_id"), lit(10)) === 7),
         e.where(pmod(col("vec_id"), lit(10)) =!= 7),
         graft.warehouse.Warehouse.ivfAssign(s, d),
         graft.warehouse.Warehouse.ivfCodebook(s, d),
-        graft.warehouse.Warehouse.ivfSuperCells(s, d),
-        graft.warehouse.Warehouse.ivfSuperMap(s, d))
+        Some(graft.warehouse.Warehouse.ivfSuperCells(s, d)),
+        Some(graft.warehouse.Warehouse.ivfSuperMap(s, d)))
     }),
     // Right-to-be-forgotten erasure audit: delete a deterministic
     // victim set (user_id % 97 = 13) across the event stream and the
@@ -2486,6 +2494,51 @@ object SparkEntry {
       |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
 
+  /** Shared oracle CTE chain: cell ranking of `src`(vec_id, v, nrm)
+    * under the PRODUCTION selector rule (the
+    * [[graft.vector.Similarity.cellRankAuto]] replay): flat literal
+    * ranking while the landed codebook holds ≤
+    * [[graft.vector.Similarity.IvfTwoLevelCrossover]] cells, two-level
+    * super-cell ranking (top-[[graft.vector.Similarity.SuperProbe]]
+    * supers → their member cells, the landed `ivf_supercells` /
+    * `ivf_super_map` artifacts) above it — the branch is chosen by the
+    * codebook's OWN row count, so ONE SQL string replays the engine's
+    * selector exactly at every SF. Ends in `<r>(vec_id, cell, rn)`;
+    * tie-breaks replay the engine on both branches (supers by
+    * (−cos, sid), cells by (−cos, cid)). Set `withBooks = false` for
+    * the second+ instance in one query (the `cent`/`sup`/`smp`
+    * artifact CTEs are emitted once). */
+  private def assignSelectorCtes(src: String, r: String,
+                                 withBooks: Boolean = true): String = {
+    val sprobe = graft.vector.Similarity.SuperProbe
+    val xover = graft.vector.Similarity.IvfTwoLevelCrossover
+    val books =
+      s"""cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |sup AS (SELECT sid, sv, snrm FROM '$oracleWhDir/ivf_supercells/*.parquet'),
+         |smp AS (SELECT cid, sid FROM '$oracleWhDir/ivf_super_map/*.parquet'),
+         |""".stripMargin
+    (if (withBooks) books else "") +
+      s"""${r}_srk AS (SELECT vec_id, sid FROM (
+         |  SELECT e.vec_id, s.sid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) DESC, s.sid) AS srn
+         |  FROM $src e CROSS JOIN sup s) WHERE srn <= $sprobe),
+         |${r}_two AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+         |  FROM (SELECT e.vec_id, c.cid AS cell,
+         |      list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS ccos
+         |    FROM $src e JOIN ${r}_srk k ON k.vec_id = e.vec_id
+         |    JOIN smp ON smp.sid = k.sid JOIN cent c ON c.cid = smp.cid)),
+         |${r}_flat AS (SELECT e.vec_id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM $src e CROSS JOIN cent c),
+         |$r AS (SELECT vec_id, cell, rn FROM ${r}_flat
+         |    WHERE (SELECT count(*) FROM cent) <= $xover
+         |  UNION ALL SELECT vec_id, cell, rn FROM ${r}_two
+         |    WHERE (SELECT count(*) FROM cent) > $xover)""".stripMargin
+  }
+
   /** Shared oracle CTE chain: the recursive-CTE near-dup closure (the
     * q35 replay — compose under `WITH RECURSIVE` after the LSH pair
     * CTEs) × the q47 quality-flag replica, ending in the per-cluster
@@ -2561,12 +2614,7 @@ object SparkEntry {
        |lr AS (SELECT qid, nid, rank FROM (
        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
        |  FROM lp) WHERE rank <= 3),
-       |asn AS (SELECT vec_id, cell, rn FROM (
-       |  SELECT e.vec_id, c.cid AS cell,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-       |  FROM en e CROSS JOIN
-       |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)),
+       |${assignSelectorCtes("en", "asn")},
        |iq AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
        |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn <= 6),
        |ix AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
@@ -3084,18 +3132,13 @@ object SparkEntry {
         |    AS share_ppm
         |FROM p JOIN tot ta ON ta.source = src_x JOIN tot tb ON tb.source = src_y
         |ORDER BY src_x, src_y""".stripMargin,
-    // Full margin-mining replay: rn=1 assignment re-derived from the
-    // codebook parquet (so the ivf_assign artifact is checked), then
+    // Full margin-mining replay: rn=1 assignment re-derived under the
+    // SELECTOR rule (so the ivf_assign artifact is checked), then
     // the same integer-micros margin + mutual-best arithmetic.
     "q125_margin_mining" ->
       s"""WITH $VecCte,
-         |asn1 AS (SELECT vec_id, cell FROM (
-         |  SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN
-         |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)
-         |  WHERE rn = 1),
+         |${assignSelectorCtes("en", "rsel")},
+         |asn1 AS (SELECT vec_id, cell FROM rsel WHERE rn = 1),
          |ec AS (SELECT en.vec_id, en.label, en.v, en.nrm, asn1.cell
          |  FROM en JOIN asn1 USING (vec_id)),
          |cpos AS (SELECT * FROM (
@@ -3759,16 +3802,12 @@ object SparkEntry {
          |  (n_tokens * 1000000) // tok_all AS token_share_ppm,
          |  (n_tokens * 1000000) // greatest(1, n_chars) AS tokens_per_char_micro
          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
-    // Assignment replay from the codebook parquet for both sides, the
+    // Assignment replay under the SELECTOR rule for both sides, the
     // same vec_id%10 split, per-cell counts over the codebook's cell
     // dim, integer ppm + abs gap.
     "q143_index_drift" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
+         |${assignSelectorCtes("en", "r")},
          |a1 AS (SELECT vec_id, cell FROM r WHERE rn = 1),
          |ca AS (SELECT cell, count(*) AS corpus_n FROM a1
          |  WHERE vec_id % 10 <> 7 GROUP BY cell),
@@ -3923,7 +3962,7 @@ object SparkEntry {
         |    - (cs.stok * 1000000) // greatest(1, ct.ctot)) AS drift_ppm
         |FROM per p JOIN wt USING (worker) JOIN cs USING (source) CROSS JOIN ct
         |ORDER BY worker, source""".stripMargin,
-    // Bipartite margin replay: assignment from the codebook parquet,
+    // Bipartite margin replay: assignment under the SELECTOR rule,
     // batch/corpus split on vec_id, mutual best — denominators replay
     // the margin_denoms ARTIFACT semantics: the FULL-corpus
     // cross-label neighborhoods (so the gate checks the landed
@@ -3931,14 +3970,7 @@ object SparkEntry {
     // like the engine's fallback for artifact-unseen vectors.
     "q137_margin_mining_incr" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |rs AS (SELECT e.vec_id, c.cid AS cell,
-         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS score
-         |  FROM en e CROSS JOIN cent c),
-         |r AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY score DESC, cell) AS rn
-         |  FROM rs),
+         |${assignSelectorCtes("en", "r")},
          |a1 AS MATERIALIZED (SELECT vec_id, cell FROM r WHERE rn = 1),
          |ec AS MATERIALIZED (SELECT en.vec_id, en.label, en.v, en.nrm, a1.cell
          |  FROM en JOIN a1 USING (vec_id)),
@@ -4885,11 +4917,7 @@ object SparkEntry {
         s"list_dot_product(v, [$lst])"
       }.mkString(",\n         |    ")
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
+         |${assignSelectorCtes("en", "r")},
          |pr AS (SELECT vec_id, label, v, nrm AS nv,
          |    [$projList] AS p
          |  FROM en),
@@ -5506,18 +5534,12 @@ object SparkEntry {
       """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-    // Same trained-codebook cell assignment as the engine's landed
+    // Same selector-rule cell assignment as the engine's landed
     // ivf_assign (rn = 1), pairs confined to a cell — the oracle
     // mirrors the corpus-independent blocking, not a label block.
     "q24_embedding_neardup" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |rs AS (SELECT e.vec_id, c.cid AS cell,
-         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS score
-         |  FROM en e CROSS JOIN cent c),
-         |r AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-         |  FROM rs),
+         |${assignSelectorCtes("en", "r")},
          |ea AS MATERIALIZED (SELECT en.vec_id, v, nrm, cell
          |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1)
          |SELECT vec_a, vec_b, cosine FROM (
@@ -5548,11 +5570,7 @@ object SparkEntry {
     // side = the query's top-6 cells).
     "q29_ann_ivf_trained" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
+         |${assignSelectorCtes("en", "r")},
          |idx AS (SELECT vec_id, cell FROM r WHERE rn = 1),
          |prb AS (SELECT vec_id, cell FROM r WHERE rn <= 6),
          |q AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
@@ -5572,7 +5590,7 @@ object SparkEntry {
     // Constants mirror q44's call: dim=64, m=4 (dsub=16), nprobe=6.
     "q44_ann_ivfpq" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |${assignSelectorCtes("en", "r")},
          |pq AS (SELECT subspace, code, cv AS pcv FROM '$oracleWhDir/pq_codebooks/*.parquet'),
          |sc AS (SELECT e.vec_id, p.subspace, p.code,
          |    list_dot_product(p.pcv, p.pcv)
@@ -5587,10 +5605,6 @@ object SparkEntry {
          |  FROM (SELECT vec_id, subspace, code,
          |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY score, code) AS rn
          |    FROM sc) WHERE rn = 1 GROUP BY vec_id),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
          |idx AS (SELECT vec_id, cell FROM r WHERE rn = 1),
          |prb AS (SELECT vec_id, cell FROM r WHERE rn <= 6),
          |q AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
@@ -5637,12 +5651,7 @@ object SparkEntry {
          |lr AS (SELECT qid, nid, rank FROM (
          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM lp) WHERE rank <= 3),
-         |asn AS (SELECT vec_id, cell, rn FROM (
-         |  SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN
-         |    (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet') c)),
+         |${assignSelectorCtes("en", "asn")},
          |iq AS (SELECT en.vec_id AS qid, cell, v AS va, nrm AS na
          |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn <= 6),
          |ix AS (SELECT en.vec_id AS nid, cell, v AS vb, nrm AS nb
@@ -5681,7 +5690,7 @@ object SparkEntry {
     // rolled up per cell.
     "q103_pq_recon_error" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
+         |${assignSelectorCtes("en", "r")},
          |pq AS (SELECT subspace, code, cv AS pcv FROM '$oracleWhDir/pq_codebooks/*.parquet'),
          |sc AS (SELECT e.vec_id, p.subspace, p.code,
          |    list_dot_product(p.pcv, p.pcv)
@@ -5696,10 +5705,6 @@ object SparkEntry {
          |  FROM (SELECT vec_id, subspace, code,
          |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY score, code) AS rn
          |    FROM sc) WHERE rn = 1 GROUP BY vec_id),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
          |idx AS (SELECT vec_id, cell FROM r WHERE rn = 1),
          |er AS (SELECT c.vec_id,
          |  ${(0 until 4).map(s =>
@@ -5836,32 +5841,13 @@ object SparkEntry {
     // (the sets are disjoint).
     "q77_ann_incremental" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |sup AS (SELECT sid, sv, snrm FROM '$oracleWhDir/ivf_supercells/*.parquet'),
-         |mp AS (SELECT cid, sid FROM '$oracleWhDir/ivf_super_map/*.parquet'),
-         |ss AS (SELECT e.vec_id, s.sid,
-         |    list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) AS sscore
-         |  FROM en e CROSS JOIN sup s WHERE e.vec_id % 10 = 7),
-         |srk AS (SELECT vec_id, sid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY sscore DESC, sid) AS srn
-         |  FROM ss),
-         |cnd AS (SELECT e.vec_id, c.cid,
-         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS ccos
-         |  FROM en e JOIN srk ON srk.vec_id = e.vec_id AND srk.srn <= 4
-         |  JOIN mp ON mp.sid = srk.sid JOIN cent c ON c.cid = mp.cid),
-         |rq AS (SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-         |  FROM cnd),
-         |rs0 AS (SELECT e.vec_id, c.cid AS cell,
-         |    list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) AS score
-         |  FROM en e CROSS JOIN cent c WHERE e.vec_id % 10 <> 7),
-         |r AS (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
-         |  FROM rs0),
-         |q AS (SELECT en.vec_id AS qid, rq.cid AS cell, v AS va, nrm AS na
-         |  FROM en JOIN rq ON en.vec_id = rq.vec_id AND rq.rn <= 6),
+         |${assignSelectorCtes("en", "r")},
+         |q AS (SELECT en.vec_id AS qid, r.cell, v AS va, nrm AS na
+         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn <= 6
+         |  WHERE en.vec_id % 10 = 7),
          |n AS (SELECT en.vec_id AS nid, r.cell, v AS vb, nrm AS nb
-         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1),
+         |  FROM en JOIN r ON en.vec_id = r.vec_id AND r.rn = 1
+         |  WHERE en.vec_id % 10 <> 7),
          |p AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
          |  FROM q JOIN n ON q.cell = n.cell)
          |SELECT qid, rank, nid, cosine FROM (
@@ -5990,11 +5976,7 @@ object SparkEntry {
     // in-cell pairs, drop rule, and lowest-id witness via arg_min.
     "q81_semantic_dedup" ->
       s"""WITH $VecCte,
-         |cent AS (SELECT cid, cv, cnrm FROM '$oracleWhDir/ivf_codebook/*.parquet'),
-         |r AS (SELECT e.vec_id, c.cid AS cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM en e CROSS JOIN cent c),
+         |${assignSelectorCtes("en", "r")},
          |cells AS (SELECT en.vec_id, cell, v, nrm
          |  FROM en JOIN (SELECT vec_id, cell FROM r WHERE rn = 1) idx USING (vec_id)),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -22,10 +22,12 @@ import graft.vector.Similarity
   * its vectors' assignment rows (breaking every downstream join
   * cardinality), so redelivery is a no-op.
   *
-  * Scale: assignment is map-only (codebook as plan literals — the
-  * [[Similarity.cellAssignments]] shape), the merge is an append; at
-  * 100 TB the table is partitioned by cell so consumers prune to
-  * probed cells, and the append touches only the batch's partitions. */
+  * Scale: assignment runs under the PRODUCTION selector
+  * ([[Similarity.cellRankAuto]] — map-only literal ranking below the
+  * crossover, two-level super-cell ranking above it), the merge is an
+  * append; at 100 TB the table is partitioned by cell so consumers
+  * prune to probed cells, and the append touches only the batch's
+  * partitions. */
 object StreamIvfAssign {
 
   /** Assign one batch of (vec_id, embedding[, label]) under `codebook`
@@ -43,7 +45,13 @@ object StreamIvfAssign {
           col("last_batch")))
         .getOrElse(spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
           col("id").cast("int").as("rn"), col("id").as("last_batch")))
-      val assigned = Similarity.cellAssignments(batch, codebook)
+      // the PRODUCTION selector with the artifact's rank depth — the
+      // maintained table must equal buildIvfAssign's cold rebuild
+      // row-for-row (StreamIvfAssignSpec pins the law); supers derive
+      // from the frozen codebook (deterministic twin of the landed
+      // ivf_supercells/ivf_super_map artifacts)
+      val assigned = Similarity.cellRankAuto(batch, codebook,
+          probes = graft.warehouse.Warehouse.IvfAssignMaxRank)
         .withColumn("last_batch", lit(batchId))
       Ingest.overwriteSwap(spark, prior.unionByName(assigned), assignPath)
     }

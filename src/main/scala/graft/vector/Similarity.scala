@@ -227,10 +227,21 @@ object Similarity {
     * ints, built once per corpus so retrieval queries join it instead of
     * re-ranking centroids per query (see graft.warehouse.Warehouse).
     * Tie-break matches [[ivfSearchCore]]: (−ccos, cid) struct sort. */
-  def cellAssignments(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    val cents = codebook.select(col("cid"), col("cv"), col("cnrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+  def cellAssignments(embeddings: DataFrame, codebook: DataFrame,
+                      maxRank: Int = Int.MaxValue): DataFrame =
+    cellAssignmentsPrepared(prepared(embeddings), codebook, maxRank)
+
+  /** [[cellAssignments]] over an already-[[prepared]] frame — callers
+    * that probe the same prepared vectors again (search sides, in-cell
+    * self-joins) pass their leased frame so the norm pass runs once.
+    * `maxRank` truncates the emitted ranking (slice BEFORE the explode,
+    * so a bounded artifact never generates the ncells-deep tail it
+    * won't keep — at the lifted cell cap that tail is the artifact). */
+  private def cellAssignmentsPrepared(e: DataFrame, codebook: DataFrame,
+                                      maxRank: Int = Int.MaxValue): DataFrame = {
+    require(maxRank >= 1, "maxRank must be positive")
+    val spark = e.sparkSession
+    val cents = collectCodebook(codebook)
     if (cents.isEmpty)
       return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
         col("id").cast("int").as("rn"))
@@ -238,18 +249,20 @@ object Similarity {
       struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
         lit(cid).as("cid"))
     }
+    val ranked =
+      if (maxRank < cents.length) expr(s"slice(__cells, 1, $maxRank)")
+      else col("__cells")
     // posexplode_OUTER, deliberately: the plain generator makes the
     // optimizer infer `size(__cells) > 0`, and predicate pushdown drags
     // that filter — carrying the ENTIRE ncells-literal scoring
     // expression — below the fanOut exchange into the file-scan stage,
     // where it re-runs at scan parallelism (measured: 20 s for 20k×39
     // at sf1, ~0.3 s once removed; invisible at sf0.1, ruinous at
-    // sf10). The array is statically non-empty (ncells ≥ 1 — the empty
-    // codebook returns above), so outer ≡ inner here and no filter is
-    // inferred.
-    prepared(embeddings)
-      .withColumn("__cells", sort_array(array(scored.toSeq: _*)))
-      .select(col("vec_id"), posexplode_outer(col("__cells")).as(Seq("r0", "c")))
+    // sf10). The array (and any slice(…, 1, ≥1) of it) is statically
+    // non-empty (ncells ≥ 1 — the empty codebook returns above), so
+    // outer ≡ inner here and no filter is inferred.
+    e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
+      .select(col("vec_id"), posexplode_outer(ranked).as(Seq("r0", "c")))
       .select(col("vec_id"), col("c.cid").as("cell"),
         (col("r0") + 1).cast("int").as("rn"))
   }
@@ -338,7 +351,8 @@ object Similarity {
   def cellAssignmentsTwoLevel(embeddings: DataFrame, codebook: DataFrame,
                               supercells: DataFrame, superMap: DataFrame,
                               sprobe: Int = SuperProbe): DataFrame = {
-    val cand = twoLevelCellCandidates(embeddings, codebook, supercells, superMap, sprobe)
+    val cand = twoLevelCellCandidates(prepared(embeddings), codebook,
+      supercells, superMap, sprobe)
     if (cand.isEmpty)
       return embeddings.sparkSession.range(0).select(col("id").as("vec_id"),
         col("id").as("cell"), col("id").as("cos_micro"))
@@ -348,13 +362,15 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Shared two-level candidate stage: (qid, nid = candidate cell id,
-    * cosine) — `sprobe` super-ranks per vector (√ncells literal dots,
-    * map-only) joined to the probed supers' member cells (broadcast,
+  /** Shared two-level candidate stage over an already-[[prepared]]
+    * frame `e` (callers pass their leased frame so the norm pass runs
+    * once — r13 ADVICE): (qid, nid = candidate cell id, cosine) —
+    * `sprobe` super-ranks per vector (√ncells literal dots, map-only)
+    * joined to the probed supers' member cells (broadcast,
     * codebook-sized). None when the super layer is empty. Tie-breaks
     * replay the flat rule downstream: [[topK]] ranks (cosine DESC,
     * nid), exactly the oracle's `ORDER BY cos DESC, cid`. */
-  private def twoLevelCellCandidates(embeddings: DataFrame, codebook: DataFrame,
+  private def twoLevelCellCandidates(e: DataFrame, codebook: DataFrame,
                                      supercells: DataFrame, superMap: DataFrame,
                                      sprobe: Int): Option[DataFrame] = {
     require(sprobe >= 1, "sprobe must be positive")
@@ -365,7 +381,7 @@ object Similarity {
       struct((-(dotCol(typedLit(sv.toSeq), col("v")) / (col("nrm") * lit(sn)))).as("nscos"),
         lit(sid).as("sid"))
     }
-    val probed = prepared(embeddings)
+    val probed = e
       .withColumn("__supers", sort_array(array(scored.toSeq: _*)))
       .select(col("vec_id"), col("v"), col("nrm"),
         explode_outer(expr(s"slice(__supers, 1, $sprobe)")).as("__s"))
@@ -384,15 +400,106 @@ object Similarity {
     * construction (same candidates, same tie-break). */
   def cellRankTwoLevel(embeddings: DataFrame, codebook: DataFrame,
                        supercells: DataFrame, superMap: DataFrame,
-                       probes: Int, sprobe: Int = SuperProbe): DataFrame = {
+                       probes: Int, sprobe: Int = SuperProbe): DataFrame =
+    cellRankTwoLevelPrepared(prepared(embeddings), codebook, supercells,
+      superMap, probes, sprobe)
+
+  private def cellRankTwoLevelPrepared(e: DataFrame, codebook: DataFrame,
+                                       supercells: DataFrame, superMap: DataFrame,
+                                       probes: Int, sprobe: Int): DataFrame = {
     require(probes >= 1, "probes must be positive")
-    val cand = twoLevelCellCandidates(embeddings, codebook, supercells, superMap, sprobe)
+    val cand = twoLevelCellCandidates(e, codebook, supercells, superMap, sprobe)
     if (cand.isEmpty)
-      return embeddings.sparkSession.range(0).select(col("id").as("vec_id"),
+      return e.sparkSession.range(0).select(col("id").as("vec_id"),
         col("id").as("cell"), col("id").cast("int").as("rn"))
     topK(cand.get, probes)
       .select(col("qid").as("vec_id"), col("nid").as("cell"),
         col("rank").cast("int").as("rn"))
+  }
+
+  /** Codebook size at which the PRODUCTION assignment rule switches
+    * from flat literal ranking to the two-level super-cell path.
+    * Measured (BASELINE.md r13 stress): at 39 cells the super layer
+    * costs more than it saves (0.79 s vs 0.51 s flat); at 390 cells it
+    * is 2.7× faster (2.24 s vs 5.99 s) and the gap widens with ncells —
+    * the crossover sits in the 64–128 band, and the flat side of it is
+    * chosen so the test SFs (≤ 39 cells) keep the cheaper plan. The
+    * DuckDB oracles replay the SAME selector (branch on the codebook's
+    * row count), so the hash gate stays exact on either side. */
+  val IvfTwoLevelCrossover = 128
+
+  /** The PRODUCTION cell-ranking rule (one rule everywhere — warehouse
+    * build, incremental ANN batches, drift monitors, streaming
+    * maintenance): flat literal ranking while the codebook holds ≤
+    * `crossover` cells, two-level super-cell ranking above it (ncells
+    * dots/vector vs ~√ncells·(1 + sprobe) — the term that made flat
+    * assignment scale with the corpus). Output (vec_id, cell,
+    * rn ≤ probes) on both sides of the switch.
+    *
+    * `supercells`/`superMap`: pass the LANDED warehouse artifacts where
+    * they exist; when absent (streaming maintenance before first
+    * build), the driver-side [[trainSuperCells]] twin derivation is
+    * used — deterministic from the codebook, so it CANNOT fork from
+    * the landed tables ([[graft.warehouse.Warehouse.buildIvfSuperCells]]
+    * derives the same way). Derivation only runs when the two-level
+    * branch is actually selected. */
+  def cellRankAuto(embeddings: DataFrame, codebook: DataFrame, probes: Int,
+                   supercells: Option[DataFrame] = None,
+                   superMap: Option[DataFrame] = None,
+                   sprobe: Int = SuperProbe,
+                   crossover: Int = IvfTwoLevelCrossover): DataFrame =
+    cellRankAutoPrepared(prepared(embeddings), codebook, probes, supercells,
+      superMap, sprobe, crossover)
+
+  private def cellRankAutoPrepared(e: DataFrame, codebook: DataFrame, probes: Int,
+                                   supercells: Option[DataFrame],
+                                   superMap: Option[DataFrame],
+                                   sprobe: Int, crossover: Int): DataFrame = {
+    val cents = collectCodebook(codebook)
+    if (cents.length <= crossover) cellAssignmentsPrepared(e, codebook, maxRank = probes)
+    else {
+      val (sc, mp) = supersFor(e.sparkSession, cents, supercells, superMap)
+      cellRankTwoLevelPrepared(e, codebook, sc, mp, probes, sprobe)
+    }
+  }
+
+  /** The super-cell pair for the two-level branch: the landed artifacts
+    * when supplied, else the deterministic driver-side twin derivation
+    * from the collected codebook. */
+  private def supersFor(spark: SparkSession,
+                        cents: Array[(Long, Seq[Double], Double)],
+                        supercells: Option[DataFrame],
+                        superMap: Option[DataFrame]): (DataFrame, DataFrame) =
+    (supercells, superMap) match {
+      case (Some(sc), Some(mp)) => (sc, mp)
+      case _ =>
+        val (supers, m) = trainSuperCells(cents.toSeq)
+        superCellTables(spark, supers, m)
+    }
+
+  /** rn = 1 assignment under the selector rule WITH the prepared vector
+    * carried: (vec_id, label, v, nrm, cell). The flat branch stays MAP-ONLY
+    * (`__cells[0]` on the scored array — no rank explode, no join); the
+    * two-level branch pays its inherent top-1 aggregate plus a vec_id
+    * join back to the prepared frame (leased here — it feeds the
+    * ranking and the attach). */
+  private def cellAssignWithVec(e: DataFrame, codebook: DataFrame,
+                                supercells: Option[DataFrame],
+                                superMap: Option[DataFrame],
+                                sprobe: Int = SuperProbe,
+                                crossover: Int = IvfTwoLevelCrossover): DataFrame = {
+    val cents = collectCodebook(codebook)
+    if (cents.length <= crossover) withCells(e, cents)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        expr("__cells[0].cid").as("cell"))
+    else {
+      val (sc, mp) = supersFor(e.sparkSession, cents, supercells, superMap)
+      val el = e.leased
+      cellRankTwoLevelPrepared(el, codebook, sc, mp, probes = 1, sprobe = sprobe)
+        .select(col("vec_id"), col("cell"))
+        .join(el, Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
+    }
   }
 
   /** [[annIvfNewAgainstAssigned]] with the BATCH probe ranked through
@@ -413,15 +520,41 @@ object Similarity {
                                        k: Int = 3, nprobe: Int = 6,
                                        sprobe: Int = SuperProbe): DataFrame = {
     require(nprobe >= 1, "nprobe must be positive")
+    // ONE prepared pass: the leased frame feeds both the super-ranking
+    // and the probe-side vector attach (r13 ADVICE — the candidate
+    // stage used to re-prepare internally and persist a frame used once)
     val e = prepared(newVecs).leased
     val probeCells =
-      cellRankTwoLevel(newVecs, codebook, supercells, superMap, nprobe, sprobe)
+      cellRankTwoLevelPrepared(e, codebook, supercells, superMap, nprobe, sprobe)
     val q = probeCells.join(e, Seq("vec_id"))
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"), col("cell"))
     val n = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
       .join(prepared(corpus), Seq("vec_id"))
       .select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
     probeAgainstIndexed(q, n, k, excludeSelf = false)
+  }
+
+  /** Incremental ANN under the PRODUCTION selector ([[cellRankAuto]]'s
+    * rule applied to the batch probe): flat probe ranking while the
+    * codebook holds ≤ `crossover` cells, two-level above — one
+    * assignment rule everywhere, so the batch probes exactly the cells
+    * the landed `ivf_assign` artifact was built with. The corpus side
+    * reads the artifact's rn = 1 rows on both branches. */
+  def annIvfNewAgainstAssignedAuto(newVecs: DataFrame, corpus: DataFrame,
+                                   assign: DataFrame, codebook: DataFrame,
+                                   supercells: Option[DataFrame] = None,
+                                   superMap: Option[DataFrame] = None,
+                                   k: Int = 3, nprobe: Int = 6,
+                                   sprobe: Int = SuperProbe,
+                                   crossover: Int = IvfTwoLevelCrossover): DataFrame = {
+    val cents = collectCodebook(codebook)
+    if (cents.length <= crossover)
+      annIvfNewAgainstAssigned(newVecs, corpus, assign, codebook, k, nprobe)
+    else {
+      val (sc, mp) = supersFor(newVecs.sparkSession, cents, supercells, superMap)
+      annIvfNewAgainstAssignedTwoLevel(newVecs, corpus, assign, codebook, sc, mp,
+        k, nprobe, sprobe)
+    }
   }
 
   /** IVF search over a MATERIALIZED cell assignment ([[cellAssignments]]
@@ -733,9 +866,10 @@ object Similarity {
   /** SemDeDup — semantic deduplication via the trained coarse quantizer
     * (Abbas et al., arXiv:2303.09540: cluster the embedding space, drop
     * near-identical vectors WITHIN a cluster, keep one canonical per
-    * duplicate relation). Each vector is map-assigned to its single
-    * nearest codebook cell (same literal-centroid sort_array assignment
-    * as [[annIvfWithCodebook]] — no shuffle, no window); within a cell,
+    * duplicate relation). Each vector is assigned to its single nearest
+    * codebook cell under the PRODUCTION selector rule ([[cellRankAuto]]:
+    * map-only literal sort_array below [[IvfTwoLevelCrossover]] cells,
+    * two-level super-cell ranking above it); within a cell,
     * pairs with cosine ≥ `threshold` mark the HIGHER vec_id as dropped.
     * Output, one row per dropped vector: its lowest-id in-cell witness,
     * that witness pair's cosine, and the witness count.
@@ -747,20 +881,19 @@ object Similarity {
     * dups at the cell boundary are the accepted SemDeDup trade-off
     * (recall rises with finer codebooks, cost falls — the ncells knob). */
   def semanticDedup(embeddings: DataFrame, codebook: DataFrame,
-                    threshold: Double = 0.4): DataFrame = {
-    val cents = codebook.select(col("cid"), col("cv"), col("cnrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+                    threshold: Double = 0.4,
+                    supercells: Option[DataFrame] = None,
+                    superMap: Option[DataFrame] = None): DataFrame = {
+    val cents = collectCodebook(codebook)
     val e = prepared(embeddings)
     if (cents.isEmpty) // empty codebook (empty corpus) → nothing to drop
       return e.sparkSession.range(0).select(col("id").as("dropped"),
         col("id").as("witness"), col("id").cast("double").as("witness_cosine"),
         col("id").as("n_witnesses"))
-    val scored = cents.map { case (cid, cv, cn) =>
-      struct((-(dotCol(typedLit(cv.toSeq), col("v")) / (col("nrm") * lit(cn)))).as("nccos"),
-        lit(cid).as("cid"))
-    }
-    val cells = e.withColumn("__cells", sort_array(array(scored.toSeq: _*)))
-      .select(col("vec_id"), col("v"), col("nrm"), expr("__cells[0].cid").as("cell"))
+    // assignment under the PRODUCTION selector (flat ≤ crossover cells,
+    // two-level above — the one rule every consumer shares); the flat
+    // branch stays map-only ([[cellAssignWithVec]])
+    val cells = cellAssignWithVec(e, codebook, supercells, superMap)
       .leased // probed by both sides of the in-cell self-join
     val a = cells.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
@@ -1024,10 +1157,14 @@ object Similarity {
   def marginMiningBetween(newVecs: DataFrame, corpus: DataFrame,
                           corpusAssign: DataFrame, codebook: DataFrame,
                           k: Int = 3,
-                          corpusDenoms: Option[DataFrame] = None): DataFrame = {
-    val na = cellAssignments(newVecs, codebook).where(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
-    val eNew = prepared(newVecs).join(na, Seq("vec_id"))
+                          corpusDenoms: Option[DataFrame] = None,
+                          supercells: Option[DataFrame] = None,
+                          superMap: Option[DataFrame] = None): DataFrame = {
+    // batch assignment under the PRODUCTION selector — the same rule
+    // that built the corpus-side `corpusAssign` artifact, so batch and
+    // corpus vectors land in comparable cells on either side of the
+    // crossover
+    val eNew = cellAssignWithVec(prepared(newVecs), codebook, supercells, superMap)
     val ca = corpusAssign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
     val eCor = prepared(corpus).join(ca, Seq("vec_id"))
     val cand = crossLabelCand(xSide(eNew), ySide(eCor)).leased

@@ -149,19 +149,20 @@ object Warehouse {
     * embeddings table get an empty codebook (searches return no rows).
     *
     * ncells SCALES with the corpus (target cell width ~[[IvfCellWidth]]
-    * vectors, floor 16, cap 4096): every blocked consumer — in-cell ANN
-    * candidate scans, SemDeDup pairs, margin-mining fanout — costs
-    * cell_width² per cell, so a FIXED cell count turns them quadratic
-    * as the corpus grows (measured: 16 cells over a 10× corpus made
-    * q125 ~12× slower, not ~10×). At the test SFs (≤ 2k vectors) the
-    * formula resolves to the floor 16, the historical value. */
+    * vectors, floor 16, cap [[IvfCellCap]]): every blocked consumer —
+    * in-cell ANN candidate scans, SemDeDup pairs, margin-mining fanout —
+    * costs cell_width² per cell, so a FIXED cell count turns them
+    * quadratic as the corpus grows (measured: 16 cells over a 10×
+    * corpus made q125 ~12× slower, not ~10×). At the test SFs (≤ 2k
+    * vectors) the formula resolves to the floor 16, the historical
+    * value. */
   def buildIvfCodebook(spark: SparkSession, sfDir: String): DataFrame = {
     val p = new Path(s"$sfDir/embeddings.parquet")
     val cents =
       if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Seq.empty
       else {
         val e = Tables.embeddings(spark, sfDir)
-        val ncells = math.max(16L, math.min(4096L, e.count() / IvfCellWidth)).toInt
+        val ncells = math.max(16L, math.min(IvfCellCap, e.count() / IvfCellWidth)).toInt
         graft.vector.Similarity.trainIvfCentroids(
           e, ncells = ncells, iters = 3, sampleMod = 4)
       }
@@ -172,6 +173,30 @@ object Warehouse {
 
   /** Target vectors per IVF cell (see [[buildIvfCodebook]]). */
   val IvfCellWidth = 512L
+
+  /** Codebook size ceiling — lifted 4096 → 65536 (r14) now that the
+    * production assignment is two-level above the crossover: the 4096
+    * cap existed because FLAT assignment pays ncells dots/vector, and
+    * it silently expired the in-cell-quadratic bound at ~2M vectors
+    * (cell width grows linearly past the cap, pair mass quadratically —
+    * the r13 `weak`). With O(√ncells) assignment the binding constraint
+    * moves to the driver-side artifacts: at 65536 cells the codebook is
+    * 65536 × 64 doubles ≈ 33 MB (collected once per build, broadcast as
+    * the two-level join's small side — comfortably literal-sized) and
+    * the super layer is a √65536 = 256-point driver k-means over it
+    * (milliseconds). Cell width therefore stays ~[[IvfCellWidth]] up to
+    * ~33.5M vectors per corpus partition of the index; past THAT the
+    * same machinery stacks (a third level / distributed super training),
+    * but 65536 is where the collected-codebook contract stops being
+    * obviously cheap, so the cap states it. */
+  val IvfCellCap = 65536L
+
+  /** Rank depth materialized in the `ivf_assign` artifact. Consumers
+    * probe at most rn ≤ 6 (nprobe) and index on rn = 1; 8 leaves
+    * headroom. Bounding the depth matters at scale: the flat build used
+    * to land ALL ncells ranks per vector — ncells/8 × the artifact rows
+    * for ranks nothing reads (78M rows at sf10, 1.6M bounded). */
+  val IvfAssignMaxRank = 8
 
   /** Near-dup cluster assignment (doc_id, cluster_id) — LSH pairs →
     * connected components, computed ONCE per corpus build exactly like
@@ -272,20 +297,33 @@ object Warehouse {
     }.toDF("subspace", "code", "cv").repartition(1)
   }
 
-  /** Ranked IVF cell assignment (vec_id, cell, rn) under the trained
-    * codebook — the inverted-list index itself, the per-vector half of
-    * the FAISS artifact pair (codebook = literal-sized, assignment =
-    * per-vector). Materialized so retrieval queries pay two parquet
-    * joins instead of re-scoring ncells literal centroids per vector
-    * per query (the q29/q44 cold-path cost was exactly that codegen). */
-  def buildIvfAssign(spark: SparkSession, sfDir: String, codebook: DataFrame): DataFrame = {
+  /** Ranked IVF cell assignment (vec_id, cell, rn ≤ [[IvfAssignMaxRank]])
+    * under the trained codebook — the inverted-list index itself, the
+    * per-vector half of the FAISS artifact pair (codebook =
+    * literal-sized, assignment = per-vector). Materialized so retrieval
+    * queries pay two parquet joins instead of re-scoring ncells literal
+    * centroids per vector per query (the q29/q44 cold-path cost was
+    * exactly that codegen).
+    *
+    * Built under the PRODUCTION selector
+    * ([[graft.vector.Similarity.cellRankAuto]]): flat literal ranking
+    * while the codebook holds ≤ crossover cells (the test SFs),
+    * two-level super-cell ranking above it — O(√ncells) dots/vector,
+    * the change that let [[IvfCellCap]] lift off 4096. The super-cell
+    * artifacts are LANDED before this table (registry order) and passed
+    * in, so the assignment provably derives from the same super layer
+    * its probers read. */
+  def buildIvfAssign(spark: SparkSession, sfDir: String, codebook: DataFrame,
+                     supercells: DataFrame, superMap: DataFrame): DataFrame = {
     val p = new Path(s"$sfDir/embeddings.parquet")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       // repartition(1): see buildIvfCodebook — an empty write must still
       // land one part file or the read-back has no schema to infer
       return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
         col("id").cast("int").as("rn")).repartition(1)
-    graft.vector.Similarity.cellAssignments(Tables.embeddings(spark, sfDir), codebook)
+    graft.vector.Similarity.cellRankAuto(Tables.embeddings(spark, sfDir), codebook,
+      probes = IvfAssignMaxRank, supercells = Some(supercells),
+      superMap = Some(superMap))
   }
 
   /** PQ codes (vec_id, codes array<int>) under the trained codebooks —
@@ -677,8 +715,12 @@ object Warehouse {
     *   signature tables as corpus state — neardup_pairs self-joins the
     *   landed full-corpus table; q76 probes the base slice) +
     *   label_centroid_sums_base (the drift monitor's corpus side as
-    *   mergeable sum state — q156 probes it). */
-  private val CacheVersion = "v10"
+    *   mergeable sum state — q156 probes it).
+    * v11: ivf_assign built under the PRODUCTION selector (flat ≤ the
+    *   crossover, two-level above) and truncated at
+    *   [[IvfAssignMaxRank]] ranks; super layer lands before the
+    *   assignment; [[IvfCellCap]] lifted 4096 → 65536. */
+  private val CacheVersion = "v11"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -760,12 +802,17 @@ object Warehouse {
       // (ordered seq): re-training them here would fork the artifact.
       // A failed codebook propagates: the parquet read throws, so the
       // dependent table records its own Left — loud for its readers.
-      "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
-        spark.read.parquet(s"$dir/ivf_codebook"))),
+      // Super layer lands BEFORE the assignment (r14): the assignment
+      // build ranks through it above the crossover, so it must read the
+      // same landed super tables its probers will.
       "ivf_supercells" -> (() => buildIvfSuperCells(spark,
         spark.read.parquet(s"$dir/ivf_codebook"))),
       "ivf_super_map" -> (() => buildIvfSuperMap(spark,
         spark.read.parquet(s"$dir/ivf_codebook"))),
+      "ivf_assign" -> (() => buildIvfAssign(spark, sfDir,
+        spark.read.parquet(s"$dir/ivf_codebook"),
+        spark.read.parquet(s"$dir/ivf_supercells"),
+        spark.read.parquet(s"$dir/ivf_super_map"))),
       "margin_denoms" -> (() => buildMarginDenoms(spark, sfDir,
         spark.read.parquet(s"$dir/ivf_assign"))),
       // retrieval truth + searched-index lists: corpus state consumed

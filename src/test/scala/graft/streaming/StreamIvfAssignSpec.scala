@@ -25,9 +25,26 @@ class StreamIvfAssignSpec extends SparkSpec {
       StreamIvfAssign.mergeBatch(spark,
         emb.where(pmod(col("vec_id"), lit(3)) === b), b.toLong, codebook, path)
     val streamed = canon(spark.read.parquet(path))
-    val oneShot = canon(Similarity.cellAssignments(emb, codebook))
+    // the maintained table's law is the ARTIFACT rule (selector +
+    // IvfAssignMaxRank), not the unbounded flat ranking
+    val oneShot = canon(Similarity.cellRankAuto(emb, codebook,
+      probes = graft.warehouse.Warehouse.IvfAssignMaxRank))
     assert(streamed == oneShot)
     assert(streamed.nonEmpty)
+  }
+
+  test("rank depth is bounded at IvfAssignMaxRank even for wide codebooks") {
+    // 12-cell codebook > maxRank 8: the maintained table must truncate
+    // exactly like buildIvfAssign's cold rebuild (slice before explode)
+    val wide = Similarity.codebookDf(spark,
+      Similarity.trainIvfCentroids(emb, ncells = 12, iters = 1, sampleMod = 1))
+    val path = tmp("w") + "/assign"
+    StreamIvfAssign.mergeBatch(spark, emb, 0L, wide, path)
+    val got = spark.read.parquet(path)
+    val maxRank = graft.warehouse.Warehouse.IvfAssignMaxRank
+    assert(got.agg(max(col("rn"))).head.getInt(0) == maxRank)
+    assert(canon(got) ==
+      canon(Similarity.cellAssignments(emb, wide).where(col("rn") <= maxRank)))
   }
 
   test("redelivered batch is a no-op (no duplicate assignment rows)") {

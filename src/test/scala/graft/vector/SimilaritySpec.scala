@@ -198,9 +198,106 @@ class SimilaritySpec extends SparkSpec {
     val dflt = Similarity.annIvfNewAgainstAssignedTwoLevel(
         batch, corpus, assign, cb, sc, mp)
       .select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    // STRUCTURAL guarantee first (r13 ADVICE): every super in the landed
+    // map owns >= 1 member cell, so a batch vector's top-sprobe supers
+    // always yield a non-empty probe set — the completeness below is
+    // then a property of the artifact, not of this fixture's geometry
+    // (what remains fixture-dependent is only whether a probed CELL
+    // holds any corpus vector at rn = 1).
+    val supersWithCells = mp.select("sid").distinct().count()
+    assert(supersWithCells == sc.count(),
+      "every super-cell must own at least one member cell")
     assert(dflt.map(_._1) == flat.map(_._1), "default probe must still answer every query")
     val overlap = dflt.intersect(flat).size.toDouble / flat.size
     assert(overlap >= 0.8, f"default-sprobe overlap $overlap%.2f below 0.8")
+  }
+
+  test("auto selector: flat branch at/below the crossover, two-level branch above it") {
+    val cb = graft.warehouse.Warehouse.ivfCodebook(spark, sfDir) // 16 cells
+    val assign = graft.warehouse.Warehouse.ivfAssign(spark, sfDir)
+    val sc = graft.warehouse.Warehouse.ivfSuperCells(spark, sfDir)
+    val mp = graft.warehouse.Warehouse.ivfSuperMap(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("vec_id", "cell", "rn").as[(Long, Long, Int)].collect().toSet
+    // default crossover (128 >= 16 cells) → flat, truncated at probes
+    val auto = canon(Similarity.cellRankAuto(embeddings, cb, probes = 8))
+    val flat8 = canon(Similarity.cellAssignments(embeddings, cb).where(col("rn") <= 8))
+    assert(auto == flat8, "auto below the crossover must equal truncated flat")
+    // forced two-level (crossover 8 < 16 cells) → the landed-artifact
+    // two-level ranking, and the artifact-free call derives the SAME
+    // supers from the codebook (determinism = the no-fork claim)
+    val twoArt = canon(Similarity.cellRankAuto(embeddings, cb, probes = 8,
+      supercells = Some(sc), superMap = Some(mp), crossover = 8))
+    val twoDrv = canon(Similarity.cellRankAuto(embeddings, cb, probes = 8,
+      crossover = 8))
+    val twoRef = canon(Similarity.cellRankTwoLevel(embeddings, cb, sc, mp, probes = 8))
+    assert(twoArt == twoRef, "auto above the crossover must equal two-level ranking")
+    assert(twoDrv == twoArt, "derived supers must not fork from the landed artifacts")
+    // the search selector follows the same switch
+    val batch = embeddings.where(pmod(col("vec_id"), lit(10)) === 7)
+    val corpus = embeddings.where(pmod(col("vec_id"), lit(10)) =!= 7)
+    def srch(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      df.select("qid", "rank", "nid", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    val autoFlat = srch(Similarity.annIvfNewAgainstAssignedAuto(
+      batch, corpus, assign, cb, Some(sc), Some(mp)))
+    val refFlat = srch(Similarity.annIvfNewAgainstAssigned(batch, corpus, assign, cb))
+    assert(autoFlat == refFlat, "auto search below the crossover must be the flat search")
+    val autoTwo = srch(Similarity.annIvfNewAgainstAssignedAuto(
+      batch, corpus, assign, cb, Some(sc), Some(mp), crossover = 8))
+    val refTwo = srch(Similarity.annIvfNewAgainstAssignedTwoLevel(
+      batch, corpus, assign, cb, sc, mp))
+    assert(autoTwo == refTwo, "auto search above the crossover must be the two-level search")
+  }
+
+  test("cap-lift recall study: two-level probe-reachable recall at two SFs") {
+    // The evidence trail behind IvfTwoLevelCrossover / SuperProbe (r13
+    // verdict ask #8): at each SF, the fraction of true global top-3
+    // neighbors whose index cell lies inside the query's top-6 probe
+    // set — the recall CEILING the probe rule imposes on any in-cell
+    // search — measured for the flat rule and the two-level rule.
+    def study(dir: String, ncells: Int = 16): (Double, Double) = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, ncells = ncells, iters = 2)
+      val cb = Similarity.codebookDf(spark, cents)
+      val (supers, m) = Similarity.trainSuperCells(Similarity.collectCodebook(cb).toSeq)
+      val (sc, mp) = Similarity.superCellTables(spark, supers, m)
+      val truth = Similarity.knnBruteForce(emb.withColumn("label", lit(0)), k = 3)
+        .select("qid", "nid").as[(Long, Long)].collect()
+      val cell1 = Similarity.cellAssignments(emb, cb).where(col("rn") === 1)
+        .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+      def reach(probe: org.apache.spark.sql.DataFrame): Double = {
+        val pc = probe.select("vec_id", "cell").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        truth.count { case (q, n) => pc.getOrElse(q, Set.empty).contains(cell1(n)) }
+          .toDouble / truth.length
+      }
+      val flat = reach(Similarity.cellAssignments(emb, cb).where(col("rn") <= 6))
+      val two = reach(Similarity.cellRankTwoLevel(emb, cb, sc, mp, probes = 6))
+      (flat, two)
+    }
+    val (f1, t1) = study("/root/testdata/sf0.001")
+    val (f2, t2) = study("/root/testdata/sf0.01")
+    // a codebook wide enough that nsuper (8) > SuperProbe (4): the first
+    // geometry where the two-level probe can actually lose cells
+    val (f3, t3) = study("/root/testdata/sf0.01", ncells = 64)
+    info(f"probe-reachable recall@3, 16 cells x 6 probes: sf0.001 flat $f1%.3f " +
+      f"two-level $t1%.3f; sf0.01 flat $f2%.3f two-level $t2%.3f; " +
+      f"sf0.01 @64 cells flat $f3%.3f two-level $t3%.3f")
+    // floors pinned at measurement (r14): sf0.001 flat 0.708 / two-level
+    // 0.708, sf0.01 flat 0.713 / two-level 0.713 — at 16 cells the super
+    // layer has nsuper = 4 = SuperProbe, so the two-level probe set IS
+    // the flat one (exact by construction); divergence only begins when
+    // nsuper > sprobe, i.e. above ~21 cells. At 64 cells (nsuper 8 > 4):
+    // flat 0.465, two-level 0.417 — a 4.8 pt hierarchical trade at the
+    // same nprobe (the flat drop 0.713 → 0.465 is the probe-fraction
+    // effect, 6/64 vs 6/16). The band assertions keep an evidence trail
+    // for future ncells/sprobe retunes.
+    assert(f1 >= 0.65 && f2 >= 0.65, f"flat probe recall fell: $f1%.3f / $f2%.3f")
+    assert(t1 >= 0.65 && t2 >= 0.65, f"two-level probe recall fell: $t1%.3f / $t2%.3f")
+    assert(t1 >= f1 - 0.10 && t2 >= f2 - 0.10,
+      f"two-level trails flat by more than the pinned band: ($f1%.3f,$t1%.3f) ($f2%.3f,$t2%.3f)")
+    assert(t3 >= f3 - 0.20,
+      f"two-level @64 cells trails flat beyond the pinned band: flat $f3%.3f two-level $t3%.3f")
   }
 
   test("trained IVF survives inputs thinner than the codebook") {

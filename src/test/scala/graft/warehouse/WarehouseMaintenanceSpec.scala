@@ -126,7 +126,8 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     StreamIvfAssign.mergeBatch(spark, vecs(va), 0L, codebook, path)
     StreamIvfAssign.mergeBatch(spark, vecs(vb), 1L, codebook, path)
     assertEq(spark.read.parquet(path).select("vec_id", "cell", "rn"),
-      graft.vector.Similarity.cellAssignments(vecs(va ++ vb), codebook), "ivf_assign")
+      graft.vector.Similarity.cellRankAuto(vecs(va ++ vb), codebook,
+        probes = Warehouse.IvfAssignMaxRank), "ivf_assign")
   }
 
   test("gram index + fronting bloom: stream merge equals cold rebuild") {
