@@ -686,9 +686,15 @@ object SparkEntry {
     // bucket count, hottest bucket, EXACT candidate-pair mass the
     // self-join would generate, hot bucket's share in ppm. Audit
     // first, pair second.
-    "q162_lsh_bucket_audit" -> ((s, d) =>
+    "q162_lsh_bucket_audit" -> ((s, d) => {
+      // audits the PRODUCTION banding population — one rep per exact
+      // group (r14): dropped_ppm now measures the cap's loss on the
+      // genuinely-distinct tail, not on boilerplate copies exact dedup
+      // already owns
+      val dd = Tables.documents(s, d).select(col("doc_id"), col("text"))
       graft.text.TextDedup.bandOccupancyAudit(
-        Tables.documents(s, d).select(col("doc_id"), col("text")))),
+        graft.text.TextDedup.repDocs(dd, graft.warehouse.Warehouse.exactReps(s, d)))
+    }),
     // Malformed-payload quarantine: the synthesized media corpus
     // carries PLANTED corrupt blobs by deterministic rule (truncated
     // payload / flipped magic), the permissive decode turns them into
@@ -2074,18 +2080,23 @@ object SparkEntry {
         .orderBy("day")
     }),
     // Incremental near-dup: today's batch (doc_id % 10 = 7 plays the
-    // new crawl) against the rest of the corpus — candidates ONLY from
-    // the bipartite (new × old) band join, and the corpus side reads
-    // the LANDED band_signatures_base artifact (capped signature table
-    // as corpus state): per-batch work is the batch's banding + the
-    // bipartite join, history is never re-banded. The historical
+    // new crawl) against the rest of the corpus, under the EXACT-DEDUP-
+    // FIRST rule (r14): batch docs whose text hash matches a corpus
+    // group key to its rep by one narrow hash join (exact hits —
+    // jaccard 1); only unseen-text batch reps band and probe the LANDED
+    // corpus-REP band artifact. Per-batch work = one hash join + batch
+    // banding + the bipartite join; history is never re-banded and the
     // old×old pairing never re-runs. The daily shape at 100 TB.
     "q76_incremental_neardup" -> ((s, d) => {
       val dd = docs(s, d)
-      TextDedup.minhashLshPairsBetweenAgainstBands(
-        TextDedup.shingled(dd.where(pmod(col("doc_id"), lit(10)) === 7)).leased,
+      TextDedup.minhashLshPairsBetweenGrouped(
+        dd.where(pmod(col("doc_id"), lit(10)) === 7),
+        graft.warehouse.Warehouse.exactRepsBase(s, d)
+          .where(col("doc_id") === col("rep")),
         graft.warehouse.Warehouse.bandSignaturesBase(s, d),
-        TextDedup.shingled(dd.where(pmod(col("doc_id"), lit(10)) =!= 7)).leased)
+        TextDedup.shingled(TextDedup.repDocs(
+          dd.where(pmod(col("doc_id"), lit(10)) =!= 7),
+          graft.warehouse.Warehouse.exactRepsBase(s, d))).leased)
     }),
     // Incremental ANN: today's embedding batch (vec_id % 10 = 7)
     // searched against the existing corpus index under the trained
@@ -2436,18 +2447,19 @@ object SparkEntry {
       |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))""".stripMargin
 
   /** Shared oracle CTE chain: MinHash+LSH near-dup pairs over `sh`
-    * (mirrors TextDedup.minhashLshPairsFromShingles) — ends in
-    * `pairs(doc_a, doc_b, jaccard)`. */
+    * under the EXACT-DEDUP-FIRST rule (r14 — mirrors
+    * TextDedup.minhashLshPairs / the neardup_pairs artifact): one rep
+    * per identical-text group bands (md5-h60 group key, cap over the
+    * rep population); `pairs(doc_a, doc_b, jaccard)` = rep-level
+    * verified pairs ∪ intra-group star edges (rep → member, 1.0). */
   private val LshPairsCtes: String = lshPairsCtes("0.5")
 
-  /** [[LshPairsCtes]] with a caller-chosen jaccard threshold (q109's
-    * calibration wants ALL candidates, threshold 0). `bands` mirrors
-    * the engine's enforced [[graft.text.TextDedup.LshMaxBucket]]
-    * occupancy cap: per (band, band_key) bucket, only the 256 smallest
-    * doc_ids participate in candidate generation (row_number rule —
-    * identical on both engines; never fires on the hash-uniform
-    * corpora through sf1 where max bucket is 97). */
-  private def lshPairsCtes(threshold: String): String =
+  /** RAW (ungrouped) LSH pair chain — every document bands, no star
+    * edges: the estimator-calibration path (q109 samples candidate
+    * pairs across the full similarity range, where the production rule
+    * would hide the identical-text decile behind group membership).
+    * Ends in `pairs`; also exposes `sig` for per-doc signatures. */
+  private def rawLshPairsCtes(threshold: String): String =
     s"""hs AS (SELECT doc_id, shingles,
       |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
       |  FROM sh),
@@ -2473,6 +2485,46 @@ object SparkEntry {
       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
       |pairs AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM jac
       |  WHERE jaccard >= CAST($threshold AS DOUBLE))""".stripMargin
+
+  /** [[LshPairsCtes]] with a caller-chosen jaccard threshold (q109's
+    * calibration wants ALL candidates, threshold 0). `bands` mirrors
+    * the engine's enforced [[graft.text.TextDedup.LshMaxBucket]]
+    * occupancy cap: per (band, band_key) bucket, only the 256 smallest
+    * doc_ids participate in candidate generation (row_number rule —
+    * identical on both engines; never fires on the hash-uniform
+    * corpora through sf1 where max bucket is 97). */
+  private def lshPairsCtes(threshold: String): String =
+    s"""grp AS MATERIALIZED (SELECT doc_id,
+      |    min(doc_id) OVER (PARTITION BY
+      |      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS rep
+      |  FROM documents),
+      |hs AS (SELECT sh.doc_id, shingles,
+      |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
+      |  FROM sh JOIN grp ON grp.doc_id = sh.doc_id AND grp.doc_id = grp.rep),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 15), j ->
+      |    coalesce(list_min(list_transform(h28s,
+      |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
+      |  FROM hs),
+      |bands AS (SELECT doc_id, b, band_key FROM (
+      |  SELECT doc_id, b, band_key,
+      |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
+      |  FROM (SELECT doc_id,
+      |    b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+      |    FROM sig, generate_series(0, 7) t(b))) WHERE bkrn <= 256),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |jac AS (SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |  nullif(CAST(len(sa.shingles) + len(sb.shingles)
+      |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
+      |         CAST(0.0 AS DOUBLE)) AS jaccard
+      |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b),
+      |pairs AS MATERIALIZED (SELECT doc_a, doc_b, jaccard FROM jac
+      |  WHERE jaccard >= CAST($threshold AS DOUBLE)
+      |  UNION ALL SELECT rep AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM grp WHERE doc_id <> rep)""".stripMargin
 
   /** Shared oracle CTE: per-document 32-bit simhash over shingles
     * (mirrors TextDedup.simhashExpr). */
@@ -2517,12 +2569,19 @@ object SparkEntry {
          |sup AS (SELECT sid, sv, snrm FROM '$oracleWhDir/ivf_supercells/*.parquet'),
          |smp AS (SELECT cid, sid FROM '$oracleWhDir/ivf_super_map/*.parquet'),
          |""".stripMargin
+    // the selector guard sits INSIDE each branch's vector source (not
+    // on the final union): the dead branch's window/join pipelines then
+    // run over ZERO rows — an outer WHERE would still materialize the
+    // flat branch's ncells-per-vector ranking at sf10 (measured: DuckDB
+    // spilled past 60 GB computing the never-selected flat branch)
     (if (withBooks) books else "") +
       s"""${r}_srk AS (SELECT vec_id, sid FROM (
          |  SELECT e.vec_id, s.sid,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_dot_product(e.v, s.sv) / (e.nrm * s.snrm) DESC, s.sid) AS srn
-         |  FROM $src e CROSS JOIN sup s) WHERE srn <= $sprobe),
+         |  FROM (SELECT vec_id, v, nrm FROM $src
+         |        WHERE (SELECT count(*) FROM cent) > $xover) e
+         |  CROSS JOIN sup s) WHERE srn <= $sprobe),
          |${r}_two AS (SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
          |  FROM (SELECT e.vec_id, c.cid AS cell,
@@ -2532,11 +2591,11 @@ object SparkEntry {
          |${r}_flat AS (SELECT e.vec_id, c.cid AS cell,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC, c.cid) AS rn
-         |  FROM $src e CROSS JOIN cent c),
+         |  FROM (SELECT vec_id, v, nrm FROM $src
+         |        WHERE (SELECT count(*) FROM cent) <= $xover) e
+         |  CROSS JOIN cent c),
          |$r AS (SELECT vec_id, cell, rn FROM ${r}_flat
-         |    WHERE (SELECT count(*) FROM cent) <= $xover
-         |  UNION ALL SELECT vec_id, cell, rn FROM ${r}_two
-         |    WHERE (SELECT count(*) FROM cent) > $xover)""".stripMargin
+         |  UNION ALL SELECT vec_id, cell, rn FROM ${r}_two)""".stripMargin
   }
 
   /** Shared oracle CTE chain: the recursive-CTE near-dup closure (the
@@ -2935,31 +2994,8 @@ object SparkEntry {
         |ORDER BY order_id, start_time, status""".stripMargin,
     "q28_curation_pipeline" ->
       s"""WITH $ShinglesCte,
-         |hs AS (SELECT doc_id, shingles,
-         |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
-         |  FROM sh),
-         |sig AS (SELECT doc_id,
-         |  list_transform(generate_series(0, 15), j ->
-         |    coalesce(list_min(list_transform(h28s,
-         |      h -> ((2*j + 1) * h + 104729*j + 7919) % 268435399)), 268435399)) AS sig
-         |  FROM hs),
-         |bands AS (SELECT doc_id, b, band_key FROM (
-         |  SELECT doc_id, b, band_key,
-         |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
-         |  FROM (SELECT doc_id,
-         |    b, CAST(sig[2*b + 1] AS VARCHAR) || '_' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-         |    FROM sig, generate_series(0, 7) t(b))) WHERE bkrn <= 256),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key
-         |    AND a.doc_id < b.doc_id),
-         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    nullif(CAST(len(sa.shingles) + len(sb.shingles)
-         |         - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
-         |           CAST(0.0 AS DOUBLE)) AS jaccard
-         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-         |  WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+         |$LshPairsCtes,
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
          |keepers AS (SELECT min(doc_id) AS doc_id FROM (
          |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
          |                        ' +', ' ', 'g'))) AS nh FROM documents) GROUP BY nh),
@@ -3365,9 +3401,13 @@ object SparkEntry {
     // chain up to `bands`), per-bucket counts, per-band rollup.
     "q162_lsh_bucket_audit" ->
       s"""WITH $ShinglesCte,
-         |hs AS (SELECT doc_id, shingles,
+         |grp AS (SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY
+         |      CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS rep
+         |  FROM documents),
+         |hs AS (SELECT sh.doc_id, shingles,
          |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
-         |  FROM sh),
+         |  FROM sh JOIN grp ON grp.doc_id = sh.doc_id AND grp.doc_id = grp.rep),
          |sig AS (SELECT doc_id,
          |  list_transform(generate_series(0, 15), j ->
          |    coalesce(list_min(list_transform(h28s,
@@ -4959,7 +4999,7 @@ object SparkEntry {
     // signature match count, and the ppm decile rollup.
     "q109_minhash_calibration" ->
       s"""WITH $ShinglesCte,
-         |${lshPairsCtes("0.0")},
+         |${rawLshPairsCtes("0.0")},
          |ps AS (SELECT p.jaccard, sa.sig AS sig_a, sb.sig AS sig_b
          |  FROM pairs p
          |  JOIN sig sa ON sa.doc_id = p.doc_a
@@ -5854,13 +5894,31 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
          |  FROM p)
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
-    // Same bands over the whole corpus, candidate join restricted to
-    // new × old (never old × old), same exact-jaccard verify.
+    // EXACT-DEDUP-FIRST replay (r14): batch docs with a corpus-known
+    // text hash key to that group's rep (jaccard 1); only unseen-text
+    // batch reps band (per-side caps over the REP populations) and
+    // verify against corpus-rep shingles.
     "q76_incremental_neardup" ->
       s"""WITH $ShinglesCte,
+         |th AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS th
+         |  FROM documents),
+         |grpo AS MATERIALIZED (SELECT doc_id, th,
+         |    min(doc_id) OVER (PARTITION BY th) AS rep
+         |  FROM th WHERE doc_id % 10 <> 7),
+         |grpn AS MATERIALIZED (SELECT doc_id, th,
+         |    min(doc_id) OVER (PARTITION BY th) AS rep
+         |  FROM th WHERE doc_id % 10 = 7),
+         |cro AS (SELECT DISTINCT th, rep FROM grpo),
+         |hits AS (SELECT n.doc_id AS new_id, cro.rep AS old_id,
+         |    CAST(1.0 AS DOUBLE) AS jaccard
+         |  FROM grpn n JOIN cro ON cro.th = n.th),
+         |repn AS (SELECT doc_id FROM grpn
+         |  WHERE doc_id = rep AND th NOT IN (SELECT th FROM cro)),
          |hs AS (SELECT doc_id, shingles,
          |  list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS h28s
-         |  FROM sh),
+         |  FROM sh WHERE doc_id IN (SELECT doc_id FROM repn)
+         |    OR doc_id IN (SELECT doc_id FROM grpo WHERE doc_id = rep)),
          |sig AS (SELECT doc_id,
          |  list_transform(generate_series(0, 15), j ->
          |    coalesce(list_min(list_transform(h28s,
@@ -5872,7 +5930,7 @@ object SparkEntry {
          |bandsn AS (SELECT doc_id, b, band_key FROM (
          |  SELECT doc_id, b, band_key,
          |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
-         |  FROM bands0 WHERE doc_id % 10 = 7) WHERE bkrn <= 256),
+         |  FROM bands0 WHERE doc_id IN (SELECT doc_id FROM repn)) WHERE bkrn <= 256),
          |bandso AS (SELECT doc_id, b, band_key FROM (
          |  SELECT doc_id, b, band_key,
          |    row_number() OVER (PARTITION BY b, band_key ORDER BY doc_id) AS bkrn
@@ -5885,8 +5943,10 @@ object SparkEntry {
          |       - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE),
          |         CAST(0.0 AS DOUBLE)) AS jaccard
          |  FROM candx JOIN sh sa ON sa.doc_id = new_id JOIN sh sb ON sb.doc_id = old_id)
-         |SELECT new_id, old_id, jaccard FROM px
-         |WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |SELECT new_id, old_id, jaccard FROM (
+         |  SELECT new_id, old_id, jaccard FROM px
+         |  WHERE jaccard >= CAST(0.5 AS DOUBLE)
+         |  UNION ALL SELECT new_id, old_id, jaccard FROM hits)
          |ORDER BY new_id, old_id""".stripMargin,
     // Same stage flags (exact-dedup keeper, near-dup loser via the
     // shared LSH pair CTEs, quality floor, language pick), same

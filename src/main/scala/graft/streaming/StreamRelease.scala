@@ -55,10 +55,18 @@ import graft.text.{SegmentDedup, TextAnalysis, TextDedup}
   *  - `gram_index`  (h, last_batch)        — all ingested docs' grams;
   *                                           carries the ledger and is
   *                                           written LAST (commit point)
-  *  - `shingles/batch=N`  (doc_id, shingles) — exact-jaccard verify
-  *                                           side of the near-dup join
+  *  - `reps/batch=N`  (doc_id, th, rep)    — exact-duplicate groups
+  *                                           with rep resolved against
+  *                                           history (r14: exact dedup
+  *                                           BEFORE near-dup; the union
+  *                                           over batches ≡ cold
+  *                                           [[TextDedup.exactGroups]])
+  *  - `shingles/batch=N`  (doc_id, shingles) — REP shingles only; the
+  *                                           exact-jaccard verify side
+  *                                           of the near-dup join
   *  - `bands/batch=N`  (doc_id, band, band_key) — the CAPPED band-
-  *                                           signature artifact, append-
+  *                                           signature artifact over
+  *                                           new-text REPS, append-
   *                                           only under the
   *                                           [[TextDedup.bandRowsAdmitted]]
   *                                           law; the bipartite candidate
@@ -118,12 +126,37 @@ object StreamRelease {
     if (batchId > lastMerged) graft.Graft.leaseScope {
       val docs = graft.Graft.lease(
         batch.select(col("doc_id"), col("source"), col("text")))
-      val shNew = graft.Graft.lease(
-        TextDedup.shingled(docs.select(col("doc_id"), col("text"))))
 
-      // ---- near-dup pairs: within-batch + batch×corpus bipartite ----
+      // ---- exact groups FIRST (r14 — the rep-banded artifact rule):
+      // batch docs whose text hash matches a maintained corpus group
+      // key to its rep by one narrow hash join; only unseen-text batch
+      // reps shingle, band, and probe ----
+      val g = graft.Graft.lease(
+        TextDedup.exactGroups(docs.select(col("doc_id"), col("text"))))
+      val repsPath = s"$statePath/reps"
+      val oldReps =
+        if (Ingest.readyRecovering(spark, repsPath))
+          Some(graft.Graft.lease(spark.read.parquet(repsPath)
+            .where(col("batch") < batchId)
+            .where(col("doc_id") === col("rep"))
+            .select(col("th"), col("rep"))))
+        else None
+      val corpusRepOf = oldReps.getOrElse(
+        spark.range(0).select(col("id").as("th"), col("id").as("rep")))
+      val seen = g.join(corpusRepOf.withColumnRenamed("rep", "corpus_rep"), Seq("th"))
+      val gNew = graft.Graft.lease(
+        g.join(corpusRepOf.select(col("th")), Seq("th"), "left_anti"))
+      val shNew = graft.Graft.lease(TextDedup.shingled(
+        docs.select(col("doc_id"), col("text"))
+          .join(gNew.where(col("doc_id") === col("rep")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")))
+
+      // ---- near-dup edges: within-batch rep pairs + intra-group stars
+      // + exact hits to corpus groups + batch×corpus bipartite ----
       val within = TextDedup.minhashLshPairsFromShingles(shNew, threshold)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(TextDedup.exactStarEdges(gNew)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       val shinglesPath = s"$statePath/shingles"
       val bandsPath = s"$statePath/bands"
       val clustersPath = s"$statePath/clusters"
@@ -131,6 +164,12 @@ object StreamRelease {
         if (Ingest.readyRecovering(spark, clustersPath))
           spark.read.parquet(clustersPath).select(col("doc_id"), col("cluster_id"))
         else spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+      // exact hits: batch members of an existing corpus group join that
+      // group's CLUSTER (via the corpus rep's current label) — the path
+      // that makes byte-identical arrivals exact instead of cap-lossy
+      val crossExact = seen
+        .join(oldClusters.withColumnRenamed("doc_id", "corpus_rep"), Seq("corpus_rep"))
+        .select(col("doc_id").as("src"), col("cluster_id").as("dst"))
       // both per-batch state dirs are read STRICTLY below the current
       // batchId: a crash after this batch's own subdir landed but
       // before the ledger commit must re-run against the same history
@@ -142,23 +181,24 @@ object StreamRelease {
             .where(col("batch") < batchId)
             .select(col("doc_id"), col("band"), col("band_key"))))
         else None
-      val crossRep = oldBands match {
+      val crossRep = (oldBands match {
         case Some(bands) =>
           val shOld = spark.read.parquet(shinglesPath)
             .where(col("batch") < batchId)
             .select(col("doc_id"), col("shingles"))
-          // the corpus side is the MAINTAINED capped band artifact —
+          // the corpus side is the MAINTAINED capped REP band artifact —
           // per-batch work is the batch's banding + the bipartite
-          // join; history is never re-banded (shOld feeds only the
-          // exact-jaccard attach of surviving candidates). Edges go to
-          // the corpus doc's CLUSTER REP (its component min), so the
-          // tiny rep-graph below merges whole clusters
+          // join; history is never re-banded (shOld holds rep shingles
+          // and feeds only the exact-jaccard attach of surviving
+          // candidates). Edges go to the corpus doc's CLUSTER REP (its
+          // component min), so the tiny rep-graph below merges whole
+          // clusters
           TextDedup.minhashLshPairsBetweenAgainstBands(
               shNew, bands, shOld, threshold)
             .join(oldClusters.withColumnRenamed("doc_id", "old_id"), Seq("old_id"))
             .select(col("new_id").as("src"), col("cluster_id").as("dst"))
         case None => within.limit(0)
-      }
+      }).unionByName(crossExact)
 
       // ---- incremental closure on the batch-induced rep graph ----
       // nodes = batch docs + touched cluster reps: batch-bounded, so
@@ -203,6 +243,13 @@ object StreamRelease {
 
       // ---- land state; every write before the ledger is idempotent ----
       Ingest.overwriteSwap(spark, poolRows, s"$statePath/pool/batch=$batchId")
+      // group rows with rep RESOLVED against history (corpus rep for
+      // seen texts, batch rep for new) — the union over batches equals
+      // a cold exactGroups over the whole corpus under monotonic ids
+      Ingest.overwriteSwap(spark,
+        seen.select(col("doc_id"), col("th"), col("corpus_rep").as("rep"))
+          .unionByName(gNew.select(col("doc_id"), col("th"), col("rep"))),
+        s"$repsPath/batch=$batchId")
       Ingest.overwriteSwap(spark, shNew, s"$shinglesPath/batch=$batchId")
       // the batch's ADMITTED band rows under the global occupancy cap
       // ([[TextDedup.bandRowsAdmitted]] — append-only: landed batches

@@ -41,9 +41,15 @@ object Curation {
     // and cost ~2.5× the sum of its stages (round-2 verdict). The
     // normalized-dedup / quality / language stages are cheap map scans
     // of the raw docs and share the parquet scan via codegen fusion.
-    val sh = TextDedup.shingled(docs).leased
+    // exact-dedup-first (r14): band one rep per identical-text group;
+    // losers = rep-level pair losers + every non-rep member (the star
+    // edges' doc_b side) — identical keep/drop decisions below the
+    // bucket cap, and no mega-group can flood a band bucket above it
+    val g = TextDedup.exactGroups(docs).leased
+    val sh = TextDedup.shingled(TextDedup.repDocs(docs, g)).leased
     val keepers = TextDedup.normalized(docs).select(col("doc_id"))
     val nearDupLosers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
+      .unionByName(TextDedup.exactStarEdges(g))
       .select(col("doc_b").as("doc_id")).distinct()
     val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
     val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))
@@ -68,9 +74,12 @@ object Curation {
              jaccardThreshold: Double = 0.5,
              minQuality: Double = 0.5,
              lang: String = "en"): DataFrame = {
-    val sh = TextDedup.shingled(docs).leased
+    // rep-banded near-dup, exactly the [[curate]] rule
+    val g = TextDedup.exactGroups(docs).leased
+    val sh = TextDedup.shingled(TextDedup.repDocs(docs, g)).leased
     val keepers = TextDedup.normalized(docs).select(col("doc_id")).withColumn("kf", lit(1))
     val losers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
+      .unionByName(TextDedup.exactStarEdges(g))
       .select(col("doc_b").as("doc_id")).distinct().withColumn("lzf", lit(1))
     val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
     val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))

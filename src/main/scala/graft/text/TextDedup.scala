@@ -99,6 +99,39 @@ object TextDedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Exact-duplicate groups keyed by the md5-derived 60-bit text hash
+    * (doc_id, th, rep) with rep = min doc_id per group — the stage-1
+    * state of the production dedup ORDERING (RefinedWeb: exact dedup
+    * BEFORE near-dup): the banding stages run on one REPRESENTATIVE
+    * per group, so a boilerplate mega-group occupies ONE band slot
+    * instead of flooding its buckets past the [[LshMaxBucket]] cap and
+    * silently dropping the distinct near-dup relations behind it
+    * (q162 measured 54–68%% of sf10 candidate mass dropped under raw
+    * banding on boilerplate-dense corpora). Hash-keyed (not raw text)
+    * so the group shuffle carries 8 bytes per doc; an h60 collision
+    * merges two groups — deterministic and replayed verbatim by the
+    * DuckDB oracles, and at 500k docs the birthday term is ~1e-7. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    graft.Par.fanOut(docs)
+      .select(col("doc_id"), PortableHash.h60(col("text")).as("th"))
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("th"))))
+      .select(col("doc_id"), col("th"), col("rep"))
+
+  /** One document per exact group (the rep rows of `groups`). */
+  def repDocs(docs: DataFrame, groups: DataFrame): DataFrame =
+    docs.join(groups.where(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** The intra-group STAR edges (rep → member, jaccard 1.0) that,
+    * unioned with the rep-level verified pairs, span the same
+    * duplicate components as all-pairs banding — linear in the corpus
+    * where member×member expansion is quadratic in group size. */
+  def exactStarEdges(groups: DataFrame): DataFrame =
+    groups.where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+
   /** Normalization used by [[normalized]]: lower, strip non-alnum,
     * collapse runs of spaces, trim. Literal-space patterns only — `\s`
     * classes differ subtly across regex engines. */
@@ -167,8 +200,18 @@ object TextDedup {
     * (clearCache / unpersist) — see [[graft.text.Curation.curate]]'s
     * lifecycle note. */
   def minhashLshPairs(docs: DataFrame, threshold: Double = 0.5,
-                      maxBucket: Int = LshMaxBucket): DataFrame =
-    minhashLshPairsFromShingles(shingled(docs).leased, threshold, maxBucket)
+                      maxBucket: Int = LshMaxBucket): DataFrame = {
+    // EXACT DEDUP FIRST (r14, the RefinedWeb ordering): band one rep
+    // per identical-text group, recover intra-group relations as star
+    // edges — byte-identical boilerplate can no longer flood a band
+    // bucket past the cap, so the cap's dropped mass falls to the
+    // genuinely-distinct near-dup tail (q162 audits the rep build).
+    val g = exactGroups(docs).leased
+    minhashLshPairsFromShingles(shingled(repDocs(docs, g)).leased,
+        threshold, maxBucket)
+      .unionByName(exactStarEdges(g))
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** LSH band-bucket OCCUPANCY audit — the "is my LSH degenerating"
     * monitor: per band, the bucket count, the hottest bucket, the
@@ -335,6 +378,44 @@ object TextDedup {
         when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double")))
       .where(col("jaccard") >= threshold)
       .select(col("new_id"), col("old_id"), col("jaccard"))
+      .orderBy("new_id", "old_id")
+  }
+
+  /** The incremental near-dup under the EXACT-DEDUP-FIRST rule (r14 —
+    * the production form beside the rep-banded [[minhashLshPairs]]):
+    *
+    *  - ''exact hits'': every batch doc whose text hash matches a
+    *    corpus group keys to that group's rep by ONE narrow hash join —
+    *    (new_id, corpus_rep, 1.0). At ingestion scale most arriving
+    *    duplicates ARE byte-identical, and this path finds them exactly
+    *    where raw banding lost them to the bucket cap.
+    *  - ''near-dup probe'': only batch docs with UNSEEN text form
+    *    within-batch groups; their reps band and probe the maintained
+    *    corpus-rep band artifact — (new_rep, old_rep, jaccard ≥ t).
+    *    Members of a new-text batch group are the within-batch
+    *    operator's job ([[minhashLshPairs]] over the batch), not this
+    *    bipartite table's.
+    *
+    * `corpusReps` = the maintained (th, rep) group table of the corpus
+    * (warehouse `exact_reps_base`); `oldBands` = the corpus-REP band
+    * artifact; `shOldReps` = corpus-rep shingles for the verify attach. */
+  def minhashLshPairsBetweenGrouped(newDocs: DataFrame, corpusReps: DataFrame,
+                                    oldBands: DataFrame, shOldReps: DataFrame,
+                                    threshold: Double = 0.5,
+                                    maxBucket: Int = LshMaxBucket): DataFrame = {
+    val g = exactGroups(newDocs).leased
+    val cr = corpusReps.select(col("th"), col("rep").as("old_id")).leased
+    val exactHits = g.join(cr, Seq("th"))
+      .select(col("doc_id").as("new_id"), col("old_id"),
+        lit(1.0).as("jaccard"))
+    val newTextReps = g.where(col("doc_id") === col("rep"))
+      .join(cr.select(col("th")), Seq("th"), "left_anti")
+      .select(col("doc_id"))
+    val shNewReps = shingled(
+      newDocs.join(newTextReps, Seq("doc_id"), "left_semi")).leased
+    minhashLshPairsBetweenAgainstBands(shNewReps, oldBands, shOldReps,
+        threshold, maxBucket)
+      .unionByName(exactHits)
       .orderBy("new_id", "old_id")
   }
 

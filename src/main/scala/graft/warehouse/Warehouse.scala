@@ -222,6 +222,39 @@ object Warehouse {
     spark.range(0).select(col("id").as("doc_id"), col("id").cast("int").as("band"),
       col("id").cast("string").as("band_key")).repartition(1)
 
+  private def emptyGroups(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("th"),
+      col("id").as("rep")).repartition(1)
+
+  /** Exact-duplicate group table (doc_id, th, rep) over the FULL corpus
+    * ([[graft.text.TextDedup.exactGroups]]) — the stage-1 dedup state
+    * the banding artifacts derive from (r14: exact dedup BEFORE
+    * near-dup, the RefinedWeb ordering): `band_signatures` bands one
+    * rep per group, `neardup_pairs` recovers intra-group relations as
+    * star edges through this table. */
+  def buildExactReps(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return emptyGroups(spark)
+    graft.text.TextDedup.exactGroups(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+  }
+
+  /** [[buildExactReps]] over the BASE slice (doc_id % 10 !=
+    * [[HoldoutMod]]) — the corpus-side group table the incremental
+    * near-dup (q76) and [[graft.streaming.StreamRelease]] probe for
+    * exact hits (built from the base slice directly: a group's rep is
+    * the min id WITHIN the population the probe claims to know). */
+  def buildExactRepsBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new Path(s"$sfDir/documents.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return emptyGroups(spark)
+    graft.text.TextDedup.exactGroups(
+      Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(10)) =!= HoldoutMod)
+        .select(col("doc_id"), col("text")))
+  }
+
   /** Capped MinHash-LSH band-signature table (doc_id, band, band_key)
     * over the FULL corpus — the parquet twin of what the pair build
     * computes ([[graft.text.TextDedup.bandSignatures]]'s own design
@@ -232,13 +265,18 @@ object Warehouse {
     * [[graft.text.TextDedup.bandRowsAdmitted]] append law
     * ([[graft.streaming.StreamRelease]] applies it per micro-batch;
     * WarehouseMaintenanceSpec pins append ≡ cold rebuild). */
-  def buildBandSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def buildBandSignatures(spark: SparkSession, sfDir: String,
+                          groups: DataFrame): DataFrame = {
     val p = new Path(s"$sfDir/documents.parquet")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return emptyBands(spark)
+    // one REP per exact group bands (r14 — the landed `exact_reps`
+    // table passed in, the registry dependency pattern): a boilerplate
+    // mega-group holds one band slot, so the occupancy cap stops
+    // discarding the distinct near-dup tail behind it
     graft.text.TextDedup.bandSignatures(
-      graft.text.TextDedup.shingled(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))),
+      graft.text.TextDedup.shingled(graft.text.TextDedup.repDocs(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")), groups)),
       graft.text.TextDedup.LshMaxBucket)
   }
 
@@ -248,15 +286,16 @@ object Warehouse {
     * the substring scrub. Built from the base slice directly (NOT a
     * filter of the full table: the occupancy cap is a window over the
     * banded population, so cap-then-filter ≠ filter-then-cap). */
-  def buildBandSignaturesBase(spark: SparkSession, sfDir: String): DataFrame = {
+  def buildBandSignaturesBase(spark: SparkSession, sfDir: String,
+                              groups: DataFrame): DataFrame = {
     val p = new Path(s"$sfDir/documents.parquet")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return emptyBands(spark)
     graft.text.TextDedup.bandSignatures(
-      graft.text.TextDedup.shingled(
+      graft.text.TextDedup.shingled(graft.text.TextDedup.repDocs(
         Tables.documents(spark, sfDir)
           .where(pmod(col("doc_id"), lit(10)) =!= HoldoutMod)
-          .select(col("doc_id"), col("text"))),
+          .select(col("doc_id"), col("text")), groups)),
       graft.text.TextDedup.LshMaxBucket)
   }
 
@@ -270,14 +309,22 @@ object Warehouse {
     * only the exact-jaccard verify re-shingles, and only surviving
     * candidates are intersected. */
   def buildNearDupPairs(spark: SparkSession, sfDir: String,
-                        bands: DataFrame): DataFrame = {
+                        bands: DataFrame, groups: DataFrame): DataFrame = {
     val p = new Path(s"$sfDir/documents.parquet")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
         col("id").cast("double").as("jaccard")).repartition(1)
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // rep-level verified pairs (bands hold reps only since r14) UNION
+    // the intra-group star edges — the duplicate graph's spanning edge
+    // set, linear in the corpus where member×member expansion is
+    // quadratic in group size
     graft.text.TextDedup.minhashLshPairsFromBands(
-      bands, graft.text.TextDedup.shingled(docs).leased)
+        bands,
+        graft.text.TextDedup.shingled(
+          graft.text.TextDedup.repDocs(docs, groups)).leased)
+      .unionByName(graft.text.TextDedup.exactStarEdges(groups))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** PQ codebooks (subspace, code, cv) — the trained product-quantizer
@@ -719,8 +766,11 @@ object Warehouse {
     * v11: ivf_assign built under the PRODUCTION selector (flat ≤ the
     *   crossover, two-level above) and truncated at
     *   [[IvfAssignMaxRank]] ranks; super layer lands before the
-    *   assignment; [[IvfCellCap]] lifted 4096 → 65536. */
-  private val CacheVersion = "v11"
+    *   assignment; [[IvfCellCap]] lifted 4096 → 65536.
+    * v12: exact dedup BEFORE near-dup — + exact_reps/exact_reps_base;
+    *   band_signatures* band one rep per exact group; neardup_pairs =
+    *   rep-level verified pairs ∪ intra-group star edges. */
+  private val CacheVersion = "v12"
 
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
@@ -828,15 +878,22 @@ object Warehouse {
       "pq_codes" -> (() => buildPqCodes(spark, sfDir,
         decodeBooks(spark.read.parquet(s"$dir/pq_codebooks")))),
       "bpe_merges" -> (() => buildBpeMerges(spark, sfDir)),
-      // the signature table lands first; the pair build self-joins it
-      // and the cluster closure reads the pairs (single source of
-      // truth for the duplicate graph — q14's operator demo still
+      // exact groups land first (r14: exact dedup BEFORE near-dup);
+      // the signature tables band their reps, the pair build self-joins
+      // the signatures and expands intra-group relations through the
+      // group table, the cluster closure reads the pairs (single source
+      // of truth for the duplicate graph — q14's operator demo still
       // derives pairs fresh, but the graph analytics q35/q105/q107
       // read corpus state, as production would)
-      "band_signatures" -> (() => buildBandSignatures(spark, sfDir)),
-      "band_signatures_base" -> (() => buildBandSignaturesBase(spark, sfDir)),
+      "exact_reps" -> (() => buildExactReps(spark, sfDir)),
+      "exact_reps_base" -> (() => buildExactRepsBase(spark, sfDir)),
+      "band_signatures" -> (() => buildBandSignatures(spark, sfDir,
+        spark.read.parquet(s"$dir/exact_reps"))),
+      "band_signatures_base" -> (() => buildBandSignaturesBase(spark, sfDir,
+        spark.read.parquet(s"$dir/exact_reps_base"))),
       "neardup_pairs" -> (() => buildNearDupPairs(spark, sfDir,
-        spark.read.parquet(s"$dir/band_signatures"))),
+        spark.read.parquet(s"$dir/band_signatures"),
+        spark.read.parquet(s"$dir/exact_reps"))),
       "neardup_clusters" -> (() => buildNearDupClusters(spark, sfDir,
         spark.read.parquet(s"$dir/neardup_pairs"))),
       "gram_occurrences" -> (() => buildGramOccurrences(spark, sfDir)),
@@ -1001,6 +1058,16 @@ object Warehouse {
     * [[buildBandSignaturesBase]]). */
   def bandSignaturesBase(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "band_signatures_base")
+
+  /** Full-corpus exact-duplicate groups, materialized-once (see
+    * [[buildExactReps]]). */
+  def exactReps(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "exact_reps")
+
+  /** Base-corpus exact-duplicate groups, materialized-once (see
+    * [[buildExactRepsBase]]). */
+  def exactRepsBase(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "exact_reps_base")
 
   /** Co-occurrence edges, materialized-once (see [[buildCooccurEdges]]). */
   def cooccurEdges(spark: SparkSession, sfDir: String): DataFrame =

@@ -176,18 +176,26 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("band-bucket cap keeps only the cap smallest ids per bucket") {
-    // five byte-identical docs share EVERY band bucket (the boilerplate
-    // degeneracy); cap=2 keeps ids {1, 2} in each bucket, so the only
-    // candidate — and the only pair — is (1, 2)
+    // five byte-identical docs are ONE exact group since r14 (exact
+    // dedup BEFORE near-dup): the rep bands alone and the duplicate
+    // relations surface as star edges — no cap can drop them, where
+    // raw banding used to lose (1,3),(1,5),(1,9),(2,3)… to a cap of 2
     val docs = Seq(1L, 2L, 3L, 5L, 9L)
       .map(id => (id, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val stars = Set((1L, 2L), (1L, 3L), (1L, 5L), (1L, 9L))
     val capped = TextDedup.minhashLshPairs(docs, threshold = 0.5, maxBucket = 2)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(capped == Set((1L, 2L)))
-    // the default cap (256) never fires here: all 10 pairs emerge
+    assert(capped == stars, "group stars must be cap-invariant")
     val full = TextDedup.minhashLshPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(full.size == 10)
+    assert(full == stars)
+    // the cap itself still binds the RAW banding primitive (the capped
+    // signature artifact's mechanics): cap=2 keeps ids {1, 2} in every
+    // bucket, so the only raw candidate — and pair — is (1, 2)
+    val raw = TextDedup.minhashLshPairsFromShingles(
+        TextDedup.shingled(docs).cache(), threshold = 0.5, maxBucket = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(raw == Set((1L, 2L)))
   }
 
   test("default cap never fires on the sf0.001 corpus (capped == uncapped)") {

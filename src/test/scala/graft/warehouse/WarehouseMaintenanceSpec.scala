@@ -39,6 +39,8 @@ class WarehouseMaintenanceSpec extends SparkSpec {
     "gram_occurrences" -> "per-doc append law",
     "band_signatures" -> "TextDedup.bandRowsAdmitted append law (StreamRelease.mergeBatch)",
     "band_signatures_base" -> "TextDedup.bandRowsAdmitted append law (base-slice instance)",
+    "exact_reps" -> "group append law (StreamRelease reps state: corpus rep for seen th, batch rep for new)",
+    "exact_reps_base" -> "group append law (base-slice instance)",
     "neardup_pairs" -> "within ∪ between append law (q76 shape)",
     "neardup_clusters" -> "StreamRelease.mergeBatch",
     "doc_quality" -> "per-doc append law",
@@ -111,6 +113,24 @@ class WarehouseMaintenanceSpec extends SparkSpec {
       TextAnalysis.bm25Postings(dfAB), "bm25_postings")
     assertEq(spark.read.parquet(d),
       Warehouse.buildBm25DocLens(TextAnalysis.bm25Postings(dfAB)), "bm25_doclens")
+  }
+
+  test("exact_reps: group append law equals cold rebuild under monotonic ids") {
+    // StreamRelease's reps landing rule: a batch doc whose text hash is
+    // corpus-known joins that group (corpus rep); unseen texts form new
+    // groups keyed by the batch's own min id — under monotonic ids the
+    // union over batches equals a cold exactGroups of the whole corpus
+    val d1 = Seq((1L, "aa bb cc"), (2L, "dd ee ff"), (3L, "aa bb cc")).toDF("doc_id", "text")
+    val d2 = Seq((10L, "dd ee ff"), (11L, "gg hh ii"), (12L, "gg hh ii")).toDF("doc_id", "text")
+    val g1 = TextDedup.exactGroups(d1)
+    val reps1 = g1.where(col("doc_id") === col("rep")).select(col("th"), col("rep"))
+    val g2 = TextDedup.exactGroups(d2)
+    val seen = g2.join(reps1.withColumnRenamed("rep", "corpus_rep"), Seq("th"))
+      .select(col("doc_id"), col("th"), col("corpus_rep").as("rep"))
+    val gNew = g2.join(reps1.select(col("th")), Seq("th"), "left_anti")
+      .select(col("doc_id"), col("th"), col("rep"))
+    assertEq(g1.unionByName(seen).unionByName(gNew),
+      TextDedup.exactGroups(d1.unionByName(d2)), "exact_reps")
   }
 
   test("ivf_assign: stream merge under a frozen codebook equals cold rebuild") {
