@@ -68,7 +68,8 @@ object Catalog {
       "q61_zorder_layout", "q66_table_stats", "q71_skew_audit", "q78_props_extract",
       "q83_lang_mix", "q87_status_pivot", "q88_cube_revenue", "q91_zscore_outliers",
       "q92_bpe_fertility", "q139_gram_skew_audit", "q144_tokenizer_drift",
-      "q148_pack_efficiency", "q152_model_calibration", "q155_split_leakage"),
+      "q148_pack_efficiency", "q152_model_calibration", "q155_split_leakage",
+      "q165_props_quarantine"),
     "corpus-linear" -> Seq("q12_dedup_exact", "q13_dedup_normalized",
       "q15_simhash_fingerprints", "q19_media_stats", "q20_text_stats",
       "q21_lang_guess", "q22_doc_fingerprint", "q27_winnow_fingerprints",

@@ -705,6 +705,38 @@ object SparkEntry {
     // the healthy payloads' header arithmetic.
     "q163_media_quarantine" -> ((s, d) => Multimodal.quarantineAudit(
       Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")))),
+    // Semi-structured QUARANTINE variant of q78 (r13 judge ask #6): the
+    // props JSON column with PLANTED malformed payloads by
+    // deterministic rule (truncated object / leading garbage / NULL),
+    // parsed permissively so bad rows become dead-letter rows instead
+    // of a stage abort, audited per (event_type, err_kind) beside the
+    // healthy-row stats. The corrupt channel is Spark's native
+    // columnNameOfCorruptRecord (codegen'd JSON path, no UDF); the
+    // oracle replays the plant rule and classifies with DuckDB's own
+    // json_valid — two INDEPENDENT parsers must agree on the
+    // dead-letter set for the hash to match.
+    "q165_props_quarantine" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"), col("props"))
+      val faulted = ev.withColumn("p",
+        when(pmod(col("event_id"), lit(101)) === 5,
+          expr("substring(props, 1, length(props) - 1)"))
+          .when(pmod(col("event_id"), lit(101)) === 17,
+            concat(lit("garbage<<"), col("props")))
+          .when(pmod(col("event_id"), lit(101)) === 29, lit(null).cast("string"))
+          .otherwise(col("props")))
+      val parsed = faulted.withColumn("j",
+          from_json(col("p"), "k BIGINT, _corrupt STRING",
+            Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .withColumn("err_kind",
+          when(col("p").isNull, lit("null_props"))
+            .when(col("j._corrupt").isNotNull, lit("malformed"))
+            .otherwise(lit("ok")))
+        .withColumn("k", when(col("err_kind") === "ok", col("j.k")))
+      parsed.groupBy(col("event_type"), col("err_kind"))
+        .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("event_type", "err_kind")
+    }),
     // Two-level coarse assignment: rank √ncells super-cells (landed
     // artifact trained over the codebook's own centroids), then score
     // only the probed supers' member cells — O(√ncells) dots/vector
@@ -5876,6 +5908,27 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Plant rule replayed verbatim; classification by DuckDB's own
+    // json_valid (independent of Spark's Jackson corrupt-record
+    // channel), k extraction only on valid rows.
+    "q165_props_quarantine" ->
+      """WITH f AS (SELECT event_type,
+        |    CASE WHEN event_id % 101 = 5 THEN substr(props, 1, length(props) - 1)
+        |         WHEN event_id % 101 = 17 THEN 'garbage<<' || props
+        |         WHEN event_id % 101 = 29 THEN NULL
+        |         ELSE props END AS p
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    CASE WHEN p IS NULL THEN 'null_props'
+        |         WHEN NOT json_valid(p) THEN 'malformed'
+        |         ELSE 'ok' END AS err_kind,
+        |    CASE WHEN p IS NOT NULL AND json_valid(p)
+        |         THEN CAST(json_extract(p, '$.k') AS BIGINT) END AS k
+        |  FROM f)
+        |SELECT event_type, err_kind, count(*) AS n_events,
+        |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM c GROUP BY event_type, err_kind
+        |ORDER BY event_type, err_kind""".stripMargin,
     // Same codebook assignment, probe side restricted to the new
     // batch, index side to the corpus — no self-exclusion needed
     // (the sets are disjoint).
