@@ -3206,20 +3206,20 @@ object SparkEntry {
     "q125_margin_mining" ->
       s"""WITH $VecCte,
          |${assignSelectorCtes("en", "rsel")},
-         |asn1 AS (SELECT vec_id, cell FROM rsel WHERE rn = 1),
-         |ec AS (SELECT en.vec_id, en.label, en.v, en.nrm, asn1.cell
+         |asn1 AS MATERIALIZED (SELECT vec_id, cell FROM rsel WHERE rn = 1),
+         |ec AS MATERIALIZED (SELECT en.vec_id, en.label, en.v, en.nrm, asn1.cell
          |  FROM en JOIN asn1 USING (vec_id)),
-         |cpos AS (SELECT * FROM (
+         |cpos AS MATERIALIZED (SELECT * FROM (
          |  SELECT a.vec_id AS xid, a.label AS xlab, b.vec_id AS yid, b.label AS ylab,
          |    CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000.0)
          |         AS BIGINT) AS cos_micro
          |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.label <> b.label)
          |  WHERE cos_micro > 0),
-         |den AS (SELECT xid AS id, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den
+         |den AS MATERIALIZED (SELECT xid AS id, CAST(sum(cos_micro) AS BIGINT) // count(*) AS den
          |  FROM (SELECT xid, yid, cos_micro,
          |      row_number() OVER (PARTITION BY xid ORDER BY cos_micro DESC, yid) AS rk
          |    FROM cpos) WHERE rk <= 3 GROUP BY xid),
-         |sc AS (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
+         |sc AS MATERIALIZED (SELECT c.xid, c.xlab, c.yid, c.ylab, c.cos_micro,
          |    (2 * c.cos_micro * 1000000) // (dx.den + dy.den) AS margin_ppm
          |  FROM cpos c JOIN den dx ON dx.id = c.xid JOIN den dy ON dy.id = c.yid),
          |bs AS (SELECT xid, yid FROM (
