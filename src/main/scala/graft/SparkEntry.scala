@@ -724,9 +724,20 @@ object SparkEntry {
             concat(lit("garbage<<"), col("props")))
           .when(pmod(col("event_id"), lit(101)) === 29, lit(null).cast("string"))
           .otherwise(col("props")))
+      // Parser contract (r14 ADVICE): the engine/oracle parity is
+      // narrower than "any two parsers agree" — Spark's corrupt channel
+      // also fires on schema/type mismatch while DuckDB's json_valid
+      // checks syntax only. Options pin the overlap: PERMISSIVE is the
+      // dead-letter mode by definition, and allowSingleQuotes=false
+      // drops Jackson's lenient {'k':1} extension so "valid JSON" means
+      // the same thing to both engines. The remaining reliance — props
+      // are strict JSON objects with INTEGER k (so no non-object roots
+      // or k=1.5 type mismatches reach the corrupt channel) — is the
+      // datagen's schema, asserted by Q165ContractSpec.
       val parsed = faulted.withColumn("j",
           from_json(col("p"), "k BIGINT, _corrupt STRING",
-            Map("columnNameOfCorruptRecord" -> "_corrupt")))
+            Map("columnNameOfCorruptRecord" -> "_corrupt",
+                "mode" -> "PERMISSIVE", "allowSingleQuotes" -> "false")))
         .withColumn("err_kind",
           when(col("p").isNull, lit("null_props"))
             .when(col("j._corrupt").isNotNull, lit("malformed"))

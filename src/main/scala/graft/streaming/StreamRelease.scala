@@ -167,9 +167,18 @@ object StreamRelease {
       // exact hits: batch members of an existing corpus group join that
       // group's CLUSTER (via the corpus rep's current label) — the path
       // that makes byte-identical arrivals exact instead of cap-lossy
+      // LEFT join + raise on a null label (r14 ADVICE): the maintained
+      // invariant is "every previously ingested doc has a clusters
+      // row" — an inner join would silently degrade an exact hit to a
+      // singleton cluster if that state were ever compacted or
+      // half-swapped, so a missing row fails the batch loudly instead
       val crossExact = seen
-        .join(oldClusters.withColumnRenamed("doc_id", "corpus_rep"), Seq("corpus_rep"))
-        .select(col("doc_id").as("src"), col("cluster_id").as("dst"))
+        .join(oldClusters.withColumnRenamed("doc_id", "corpus_rep"), Seq("corpus_rep"), "left")
+        .select(col("doc_id").as("src"),
+          coalesce(col("cluster_id"), raise_error(concat(
+            lit("StreamRelease state invariant broken: corpus rep "),
+            col("corpus_rep").cast("string"),
+            lit(" has no clusters row")))).as("dst"))
       // both per-batch state dirs are read STRICTLY below the current
       // batchId: a crash after this batch's own subdir landed but
       // before the ledger commit must re-run against the same history

@@ -229,7 +229,7 @@ object Similarity {
     * Tie-break matches [[ivfSearchCore]]: (−ccos, cid) struct sort. */
   def cellAssignments(embeddings: DataFrame, codebook: DataFrame,
                       maxRank: Int = Int.MaxValue): DataFrame =
-    cellAssignmentsPrepared(prepared(embeddings), codebook, maxRank)
+    cellAssignmentsPrepared(prepared(embeddings), collectCodebook(codebook), maxRank)
 
   /** [[cellAssignments]] over an already-[[prepared]] frame — callers
     * that probe the same prepared vectors again (search sides, in-cell
@@ -237,11 +237,11 @@ object Similarity {
     * `maxRank` truncates the emitted ranking (slice BEFORE the explode,
     * so a bounded artifact never generates the ncells-deep tail it
     * won't keep — at the lifted cell cap that tail is the artifact). */
-  private def cellAssignmentsPrepared(e: DataFrame, codebook: DataFrame,
+  private def cellAssignmentsPrepared(e: DataFrame,
+                                      cents: Array[(Long, Seq[Double], Double)],
                                       maxRank: Int = Int.MaxValue): DataFrame = {
     require(maxRank >= 1, "maxRank must be positive")
     val spark = e.sparkSession
-    val cents = collectCodebook(codebook)
     if (cents.isEmpty)
       return spark.range(0).select(col("id").as("vec_id"), col("id").as("cell"),
         col("id").cast("int").as("rn"))
@@ -455,8 +455,12 @@ object Similarity {
                                    supercells: Option[DataFrame],
                                    superMap: Option[DataFrame],
                                    sprobe: Int, crossover: Int): DataFrame = {
+    // ONE codebook collect per call (r14 ADVICE): the selector's cents
+    // array threads into whichever branch runs instead of the flat
+    // branch re-collecting — at the 65536-cell cap a second collect is
+    // a second ~33 MB driver pull per query.
     val cents = collectCodebook(codebook)
-    if (cents.length <= crossover) cellAssignmentsPrepared(e, codebook, maxRank = probes)
+    if (cents.length <= crossover) cellAssignmentsPrepared(e, cents, maxRank = probes)
     else {
       val (sc, mp) = supersFor(e.sparkSession, cents, supercells, superMap)
       cellRankTwoLevelPrepared(e, codebook, sc, mp, probes, sprobe)
@@ -469,13 +473,21 @@ object Similarity {
   private def supersFor(spark: SparkSession,
                         cents: Array[(Long, Seq[Double], Double)],
                         supercells: Option[DataFrame],
-                        superMap: Option[DataFrame]): (DataFrame, DataFrame) =
+                        superMap: Option[DataFrame]): (DataFrame, DataFrame) = {
+    // a half-supplied artifact pair is a caller wiring bug (wrong slot,
+    // one artifact dropped) — fail loudly instead of silently deriving
+    // both and masking it (derivation is deterministic, so results
+    // would stay correct today and the bug would never surface)
+    require(supercells.isDefined == superMap.isDefined,
+      s"supercells and superMap must be supplied together: " +
+        s"supercells=${supercells.isDefined}, superMap=${superMap.isDefined}")
     (supercells, superMap) match {
       case (Some(sc), Some(mp)) => (sc, mp)
       case _ =>
         val (supers, m) = trainSuperCells(cents.toSeq)
         superCellTables(spark, supers, m)
     }
+  }
 
   /** rn = 1 assignment under the selector rule WITH the prepared vector
     * carried: (vec_id, label, v, nrm, cell). The flat branch stays MAP-ONLY
@@ -547,9 +559,11 @@ object Similarity {
                                    k: Int = 3, nprobe: Int = 6,
                                    sprobe: Int = SuperProbe,
                                    crossover: Int = IvfTwoLevelCrossover): DataFrame = {
+    // selector collects the codebook ONCE; both branches consume the
+    // same cents array (r14 ADVICE — the flat branch used to re-collect)
     val cents = collectCodebook(codebook)
     if (cents.length <= crossover)
-      annIvfNewAgainstAssigned(newVecs, corpus, assign, codebook, k, nprobe)
+      annIvfNewAgainstAssignedFlat(newVecs, corpus, assign, cents, k, nprobe)
     else {
       val (sc, mp) = supersFor(newVecs.sparkSession, cents, supercells, superMap)
       annIvfNewAgainstAssignedTwoLevel(newVecs, corpus, assign, codebook, sc, mp,
@@ -769,9 +783,15 @@ object Similarity {
     * corpus side. */
   def annIvfNewAgainstAssigned(newVecs: DataFrame, corpus: DataFrame,
                                assign: DataFrame, codebook: DataFrame,
-                               k: Int = 3, nprobe: Int = 6): DataFrame = {
+                               k: Int = 3, nprobe: Int = 6): DataFrame =
+    annIvfNewAgainstAssignedFlat(newVecs, corpus, assign,
+      collectCodebook(codebook), k, nprobe)
+
+  private def annIvfNewAgainstAssignedFlat(
+      newVecs: DataFrame, corpus: DataFrame, assign: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)],
+      k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be positive")
-    val cents = collectCodebook(codebook)
     if (cents.isEmpty)
       return emptyRanked(newVecs.sparkSession)
     val n = assign.where(col("rn") === 1).select(col("vec_id"), col("cell"))

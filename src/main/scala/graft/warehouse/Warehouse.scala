@@ -772,6 +772,76 @@ object Warehouse {
     *   rep-level verified pairs ∪ intra-group star edges. */
   private val CacheVersion = "v12"
 
+  /** Per-artifact build-recipe versions — bump ONE entry when that
+    * artifact's build semantics change, instead of bumping
+    * [[CacheVersion]] and re-landing the whole warehouse (r14: the
+    * selector/banding changes re-built all ~40 artifacts, 46 s at
+    * sf0.1 and hours at sf10, when only 3 had changed). Downstream
+    * artifacts re-land automatically: an artifact's on-disk stamp
+    * ([[artifactStamps]]) hashes its own version AND its dependencies'
+    * stamps, so a bump propagates through [[artifactDeps]] exactly as
+    * far as the build graph requires. Artifacts absent here are at
+    * version 1. [[CacheVersion]] remains the LAYOUT version (dir
+    * naming, marker scheme) — bump it only when the cache format
+    * itself changes. */
+  private val artifactVersions: Map[String, Int] = Map.empty
+
+  /** The build-graph edges: artifact → the landed artifacts its build
+    * thunk reads (the `$dir/<name>` parquet reads in [[registry]]).
+    * Used ONLY for stamp propagation — build ORDER is still the
+    * registry's ordered Seq. A name listed here but missing from the
+    * registry fails [[ensureMaterialized]] loudly (typo guard); the
+    * spec additionally pins that every dep precedes its dependent in
+    * registry order. */
+  private[graft] val artifactDeps: Map[String, Seq[String]] = Map(
+    "ivf_supercells" -> Seq("ivf_codebook"),
+    "ivf_super_map" -> Seq("ivf_codebook"),
+    "ivf_assign" -> Seq("ivf_codebook", "ivf_supercells", "ivf_super_map"),
+    "margin_denoms" -> Seq("ivf_assign"),
+    "ann_ivf_topk" -> Seq("ivf_assign"),
+    "pq_codes" -> Seq("pq_codebooks"),
+    "band_signatures" -> Seq("exact_reps"),
+    "band_signatures_base" -> Seq("exact_reps_base"),
+    "neardup_pairs" -> Seq("band_signatures", "exact_reps"),
+    "neardup_clusters" -> Seq("neardup_pairs"),
+    "gram_index_base" -> Seq("gram_occurrences"),
+    "gram_bloom_base" -> Seq("gram_index_base"),
+    "bm25_doclens" -> Seq("bm25_postings"),
+    "release_survivors" -> Seq("gram_occurrences", "neardup_clusters", "doc_quality"))
+
+  /** Recipe version for one artifact: the static table, overridable at
+    * launch via `-Dgraft.wh.vbump=name:ver,...` (or SPARK_GRAFT_WH_VBUMP)
+    * — the operational force-rebuild knob: bump one artifact and its
+    * dependents re-land on next touch, nothing else does. */
+  private def versionOf(name: String): Int = {
+    val bumps = sys.props.get("graft.wh.vbump")
+      .orElse(sys.env.get("SPARK_GRAFT_WH_VBUMP"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val parts = kv.split(":")
+        require(parts.length == 2, s"graft.wh.vbump entry '$kv' is not name:version")
+        (parts(0).trim, parts(1).trim.toInt)
+      }.toMap).getOrElse(Map.empty)
+    bumps.getOrElse(name, artifactVersions.getOrElse(name, 1))
+  }
+
+  /** Effective per-artifact stamp: md5 of (name, own version, dep
+    * stamps) — pure, so the propagation law is spec-testable without a
+    * Spark session. A dependency's bump changes every transitive
+    * dependent's stamp and ONLY those. */
+  private[graft] def artifactStamps(version: String => Int,
+                                    deps: Map[String, Seq[String]],
+                                    names: Seq[String]): Map[String, String] = {
+    val memo = scala.collection.mutable.Map.empty[String, String]
+    def stamp(n: String): String = memo.getOrElseUpdate(n, {
+      val d = deps.getOrElse(n, Seq.empty).map(stamp)
+      val raw = s"$n:${version(n)}|${d.mkString(",")}"
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    })
+    names.foreach(stamp)
+    memo.toMap
+  }
+
   private def cacheRoot: String =
     sys.props.get("graft.wh.cache")
       .orElse(sys.env.get("SPARK_GRAFT_WH_CACHE"))
@@ -930,18 +1000,36 @@ object Warehouse {
   private val partitionedArtifacts: Map[String, String] =
     Map("events_by_day" -> "day")
 
-  /** Build one table if not yet landed; memoize ITS OWN outcome. Each
-    * table lands atomically via [[Ingest.overwriteSwap]] (write beside,
-    * rename over), so a killed build never leaves a half-written table
-    * with a `_SUCCESS` marker. */
+  /** Build one table if not yet landed AT THE CURRENT RECIPE STAMP;
+    * memoize ITS OWN outcome. Each table lands atomically via
+    * [[Ingest.overwriteSwap]] (write beside, rename over), so a killed
+    * build never leaves a half-written table with a `_SUCCESS` marker.
+    * Freshness = `_SUCCESS` present AND the `_GRAFT_V` marker equals
+    * `want` ([[artifactStamps]]) — a version bump re-lands exactly this
+    * artifact and its dependents, nothing else. A landed table with NO
+    * marker (pre-r15 cache) is adopted: stamped at `want` without a
+    * rebuild, since those caches were built by the code that introduced
+    * the markers. The marker is written AFTER the swap, so a crash
+    * between them re-runs the (idempotent) build, never serves a
+    * half-landed table. */
   private def ensureTable(spark: SparkSession, dir: String, name: String,
-                          build: () => DataFrame): Either[Throwable, Unit] =
+                          build: () => DataFrame, want: String): Either[Throwable, Unit] =
     tableState.getOrElseUpdate(s"$dir/$name", buildLock.synchronized {
       // re-check under the lock: a racing thread may have landed it
       tableState.get(s"$dir/$name").getOrElse {
         try {
           val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(new Path(s"$dir/$name/_SUCCESS")))
+          val marker = new Path(s"$dir/$name/_GRAFT_V")
+          val landed = fs.exists(new Path(s"$dir/$name/_SUCCESS"))
+          val fresh = landed && {
+            if (fs.exists(marker)) {
+              val in = fs.open(marker)
+              val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                        finally in.close()
+              got == want
+            } else { writeMarker(fs, marker, want); true } // adopt pre-marker cache
+          }
+          if (!fresh)
             // leaseScope: intermediates the build operators lease are
             // provably consumed once the artifact lands on parquet —
             // release them here instead of letting a 30-artifact
@@ -959,11 +1047,18 @@ object Warehouse {
                   else Ingest.overwriteSwapPartitioned(spark, df, s"$dir/$name", pc)
                 case None => Ingest.overwriteSwap(spark, build(), s"$dir/$name")
               }
+              writeMarker(fs, marker, want)
             }
           Right(())
         } catch { case e: Throwable => Left(e) }
       }
     })
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                          stamp: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(stamp.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Artifacts excluded from materialization — comma-separated registry
     * names via `-Dgraft.wh.skip` or `SPARK_GRAFT_WH_SKIP`. This is the
@@ -994,9 +1089,14 @@ object Warehouse {
   def ensureMaterialized(spark: SparkSession, sfDir: String): String = {
     val dir = resolveDir(spark, sfDir)
     val reg = registry(spark, sfDir, dir)
-    val skip = skipSet(reg.map(_._1))
+    val names = reg.map(_._1)
+    val badDeps = (artifactDeps.keySet ++ artifactDeps.values.flatten) -- names.toSet
+    require(badDeps.isEmpty,
+      s"artifactDeps names not in the warehouse registry: ${badDeps.mkString(",")}")
+    val skip = skipSet(names)
+    val stamps = artifactStamps(versionOf, artifactDeps, names)
     reg.foreach { case (name, build) =>
-      if (!skip.contains(name)) ensureTable(spark, dir, name, build)
+      if (!skip.contains(name)) ensureTable(spark, dir, name, build, stamps(name))
     }
     dir
   }

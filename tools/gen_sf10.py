@@ -61,4 +61,19 @@ pq.write_table(pa.table({"vec_id": pa.array(vid, pa.int64()),
                          "embedding": pa.array(emb, pa.list_(pa.float32())),
                          "label": pa.array(lab, pa.int32())}),
                os.path.join(OUT, "embeddings.parquet"))
-print(f"wrote {N_DOCS} docs / {N_VECS} vecs to {OUT}")
+
+# ---- events at 100x sf0.1 (key-offset replication, gen_sf1's rule) ----
+# r14 verdict task 3: the sessionize/attribution family had no sf10
+# gate because this table didn't exist here. Each of the 100 copies
+# preserves sf0.1's per-user event orderings exactly (user_id stride
+# 1e6 > max sf0.1 user_id), so window/session semantics are
+# self-consistent per copy and the union only meets in global
+# aggregates — the same argument as gen_sf1.py's star replication.
+SRC = "/root/testdata/sf0.1"
+duckdb.sql(f"""COPY (SELECT event_id + k*10000000 AS event_id, ts,
+    user_id + k*1000000 AS user_id, event_type, value, props
+  FROM read_parquet('{SRC}/events.parquet'),
+       (SELECT unnest(range(100)) AS k) ks
+  ORDER BY event_id)
+  TO '{os.path.join(OUT, "events.parquet")}' (FORMAT PARQUET)""")
+print(f"wrote {N_DOCS} docs / {N_VECS} vecs / 100x events to {OUT}")
