@@ -44,7 +44,10 @@ object BenchGuard {
     // feature instead of two) — a trip means the second chain is back
     "q106_model_filter" -> 1.9,
     "q125_margin_mining" -> 2.6,
-    "q137_margin_mining_incr" -> 3.8,
+    // r15: re-pinned from the interleaved same-host A/B (BASELINE.md
+    // "r15 root-cause") — the r14 'regression' was host drift; these
+    // pins are today's measured medians, not the calmer r13 host's
+    "q137_margin_mining_incr" -> 5.2,
     "q102_rrf_ensemble" -> 0.8,
     "q99_ann_recall" -> 1.4,
     "q61_zorder_layout" -> 2.5,
@@ -79,7 +82,7 @@ object BenchGuard {
     "q152_model_calibration" -> 2.9,
     "q151_dsir_weights" -> 1.8,
     "q154_dsir_resample" -> 2.8,
-    "q141_index_erasure" -> 5.0,
+    "q141_index_erasure" -> 5.5, // r15 re-pin, see q137 note
     "q142_curriculum_pack" -> 2.4,
     "q143_index_drift" -> 2.0,
     "q144_tokenizer_drift" -> 1.8,

@@ -112,6 +112,17 @@ object SparkEntry {
     // hash-match proves the prefix filter dropped nothing.
     "q32_ngram_jaccard" -> ((s, d) => TextDedup.ngramJaccardPairsFromHashsets(
       graft.warehouse.Warehouse.docHashsets(s, d))),
+    // q32's BOUNDED at-scale form (r14 verdict task 2): the identical
+    // PPJoin candidate/verify chain run as `passes` disjoint
+    // tok-hash slices, each its own action, so the live candidate
+    // shuffle is ~1/passes of the single-pass footprint — the knob that
+    // lets exact all-pairs Jaccard complete when one stage's candidate
+    // mass exceeds available (local or fleet) shuffle disk. Same oracle
+    // as q32: the hash gate proves the decomposition drops nothing.
+    "q166_jaccard_salted" -> ((s, d) => TextDedup.ngramJaccardPairsSalted(
+      graft.warehouse.Warehouse.docHashsets(s, d),
+      s"target/graft-tmp/q166-${d.replaceAll("[^A-Za-z0-9.]+", "_")}",
+      passes = 8)),
     // Near-dup cluster assignment: LSH pairs → connected components
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
@@ -2701,7 +2712,15 @@ object SparkEntry {
     * codebook parquet), fused by reciprocal rank. Ends in
     * `fu(qid, nid, rrf_micro)`; q102 ranks it, q114 reranks it. */
   private def rrfFusedCtes: String =
-    s"""bk AS (SELECT vec_id, v, nrm,
+    // lr/ir AS MATERIALIZED (r15): each retriever's pair stream is
+    // 600M+ rows at sf10 and its rank window spills ~25-30 GB — plain
+    // CTEs let DuckDB keep both retrievers' sorts alive inside one
+    // pipeline tree (q102 at sf10 blew past local disk); materializing
+    // the (tiny, rank ≤ 3) lists serializes the two spills so the peak
+    // is ONE retriever's, and frees lp/ip temp blocks before fusion.
+    // bk likewise: it is referenced twice (both join sides) and a plain
+    // CTE re-inlines the bucket computation per use.
+    s"""bk AS MATERIALIZED (SELECT vec_id, v, nrm,
        |  CAST(list_sum(list_transform(generate_series(0, 5), j ->
        |    CASE WHEN list_dot_product(
        |        list_transform(generate_series(1, 64), i ->
@@ -2713,7 +2732,7 @@ object SparkEntry {
        |lp AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-       |lr AS (SELECT qid, nid, rank FROM (
+       |lr AS MATERIALIZED (SELECT qid, nid, rank FROM (
        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
        |  FROM lp) WHERE rank <= 3),
        |${assignSelectorCtes("en", "asn")},
@@ -2723,7 +2742,7 @@ object SparkEntry {
        |  FROM en JOIN asn ON en.vec_id = asn.vec_id AND asn.rn = 1),
        |ip AS (SELECT qid, nid, list_dot_product(va, vb) / (na * nb) AS cosine
        |  FROM iq JOIN ix ON iq.cell = ix.cell AND qid <> nid),
-       |ir AS (SELECT qid, nid, rank FROM (
+       |ir AS MATERIALIZED (SELECT qid, nid, rank FROM (
        |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
        |  FROM ip) WHERE rank <= 3),
        |fu AS (SELECT qid, nid, CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
@@ -5433,6 +5452,26 @@ object SparkEntry {
     // way down, so DuckDB parallelizes and spills it at sf1 instead of
     // thrashing on hundreds of millions of list intersections.
     "q32_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs
+         |  FROM sh),
+         |sz AS (SELECT doc_id, len(hs) AS n FROM hsq),
+         |tok AS (SELECT doc_id, unnest(hs) AS tok FROM hsq),
+         |ints AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*) AS n_shared
+         |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |jac AS (SELECT doc_a, doc_b,
+         |  CAST(n_shared AS DOUBLE) /
+         |  nullif(CAST(sa.n + sb.n - n_shared AS DOUBLE),
+         |         CAST(0.0 AS DOUBLE)) AS jaccard
+         |  FROM ints JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b""".stripMargin,
+    // identical to q32's oracle: the salted decomposition must produce
+    // the same pair set and jaccard values as brute-force ground truth
+    "q166_jaccard_salted" ->
       s"""WITH $ShinglesCte,
          |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
          |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs

@@ -564,11 +564,24 @@ object TextDedup {
     // would recompute the shingle pipeline per partition (measured 17–62 s
     // vs ~4 s warm in round 4). One cheap count serializes the fill.
     hs.count()
-    val prefix = hs.select(col("doc_id"), size(col("hs")).as("len"),
+    jaccardCandVerify(hs, jaccardPrefix(hs, threshold), threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The PPJoin prefix projection of a hashed-set table: (tok, doc_id,
+    * len, pos) — each doc's ⌊|s| − ⌈t·|s|⌉⌋ + 1 smallest hashes. */
+  private def jaccardPrefix(hs: DataFrame, threshold: Double): DataFrame =
+    hs.select(col("doc_id"), size(col("hs")).as("len"),
         posexplode(expr(
           s"slice(hs, 1, cast(size(hs) - ceil(size(hs) * $threshold) + 1 as int))"))
           .as(Seq("pos0", "tok")))
       .select(col("tok"), col("doc_id"), col("len"), (col("pos0") + 1).as("pos"))
+
+  /** Candidate join + exact verification over a (possibly tok-sliced)
+    * prefix table — the shared core of the single-pass operator and the
+    * salted multi-pass variant. Emits UNSORTED verified pairs. */
+  private def jaccardCandVerify(hs: DataFrame, prefix: DataFrame,
+                                threshold: Double): DataFrame = {
     // shuffle_hash everywhere below: at 100 TB neither the prefix table
     // nor the corpus is broadcast-small, and locally the hint removes
     // the racing broadcast-build futures that made this query's wall
@@ -612,6 +625,61 @@ object TextDedup {
       .withColumn("jaccard",
         when(col("uni") > 0, col("inter").cast("double") / col("uni").cast("double")))
       .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** [[ngramJaccardPairsFromHashsets]] as a SALTED MULTI-PASS join — the
+    * r14 verdict's bounded at-scale form for exact all-pairs Jaccard.
+    *
+    * Why: exact prefix-filtered all-pairs is intrinsically
+    * candidate-mass-bound — the candidate dedup shuffles Σ_tok df(tok)²
+    * pair rows, and on a dense corpus (sf10: 500k docs over a ~30k
+    * trigram space) that is ~10⁹–10¹⁰ rows, past one host's local disk
+    * even though the per-pair arithmetic is trivial. The fix is the
+    * classic salted decomposition: candidates partition DISJOINTLY by
+    * the matched prefix token, so slicing the prefix table into
+    * `passes` hash-of-tok groups and running the identical
+    * candidate/verify chain per slice bounds the LIVE shuffle footprint
+    * to ~candidate-mass/passes, while the union of pass outputs is a
+    * superset of the single-pass output that the final
+    * `dropDuplicates` collapses exactly (a true pair that shares prefix
+    * tokens in k slices verifies identically k times — same jaccard,
+    * same pair). Each pass is its own ACTION landing its (small,
+    * post-verify) survivors to `outDir/pass=<p>`; pass-local shuffle
+    * state is released between passes (ref drop + GC → ContextCleaner),
+    * so peak disk is one pass's, not the sum. On a cluster the same
+    * operator runs with passes=1 (aggregate executor disk absorbs the
+    * full candidate shuffle) or passes>1 when a single stage's shuffle
+    * would exceed the fleet's disk — the knob trades wall-clock for
+    * footprint with NO recall loss (SaltedJaccardSpec pins equality
+    * with the single-pass operator).
+    *
+    * Perfect recall is per-pass: the prefix-filter lemma guarantees a
+    * true pair shares its globally-smallest common prefix token t*, and
+    * the pass containing t* generates the pair (other shared prefix
+    * toks may regenerate it in other passes — duplicates, never
+    * misses). */
+  def ngramJaccardPairsSalted(hashsets: DataFrame, outDir: String,
+                              threshold: Double = 0.5,
+                              passes: Int = 8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(passes >= 1, "passes must be positive")
+    val spark = hashsets.sparkSession
+    val hs = hashsets.leased
+    hs.count() // eager fill — see ngramJaccardPairsFromHashsets
+    val prefix = jaccardPrefix(hs, threshold)
+    (0 until passes).foreach { p =>
+      jaccardCandVerify(hs, prefix.where(pmod(col("tok"), lit(passes)) === p),
+          threshold)
+        .write.mode("overwrite").parquet(s"$outDir/pass=$p")
+      // drop this pass's shuffle files before the next pass starts:
+      // the refs are gone, one GC lets ContextCleaner reclaim them —
+      // the step that turns `passes` into a live-disk bound instead of
+      // a mere re-ordering of the same spill
+      System.gc()
+    }
+    spark.read.parquet((0 until passes).map(p => s"$outDir/pass=$p"): _*)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }

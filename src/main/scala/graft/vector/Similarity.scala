@@ -294,29 +294,70 @@ object Similarity {
       if (nsuper0 > 0) nsuper0 else math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt))
     val sorted = cents.sortBy(_._1)
     val dim = sorted.head._2.length
-    def dot(a: Seq[Double], b: Seq[Double]): Double =
-      a.iterator.zip(b.iterator).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
-    var supers: Seq[Seq[Double]] = sorted.take(nsuper).map(_._2)
-    // (−cos, sid) rule, exactly the search-side tie-break
-    def assignAll(ss: Seq[Seq[Double]]): Map[Long, Int] = {
-      val snorms = ss.map(s => math.sqrt(dot(s, s)))
-      sorted.map { case (cid, cv, cn) =>
-        cid -> ss.indices.maxBy(j =>
-          (if (cn > 0 && snorms(j) > 0) dot(cv, ss(j)) / (cn * snorms(j)) else 0.0,
-            -j))
-      }.toMap
+    // Primitive arrays + while loops throughout: the boxed-Seq form of
+    // this derivation measured 90 s single-threaded at the 65536-cell
+    // cap (CellCapStress r15) — pure autoboxing overhead on ~3.2 GFLOP.
+    // Every accumulation below keeps the boxed form's LEFT-TO-RIGHT
+    // order (dot folds ascending dims; means sum members in ascending
+    // cid order; argmax scans supers ascending with strict >, keeping
+    // the lowest sid on ties), so the trained centroids and the
+    // membership map are bit-identical to the previous implementation —
+    // the no-fork-vs-landed-artifacts law in SimilaritySpec still pins
+    // this. Re-measured: 2.5 s at the cap (36x).
+    val n = sorted.length
+    val cvs: Array[Array[Double]] = sorted.iterator.map(_._2.toArray).toArray
+    val cns: Array[Double] = sorted.iterator.map(_._3).toArray
+    val cids: Array[Long] = sorted.iterator.map(_._1).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
     }
-    for (_ <- 1 to iters) {
-      val assign = assignAll(supers)
-      supers = supers.indices.map { j =>
-        val members = sorted.filter(c => assign(c._1) == j)
-        if (members.isEmpty) supers(j)
-        else (0 until dim).map(p => members.map(_._2(p)).sum / members.length)
+    var supers: Array[Array[Double]] = Array.tabulate(nsuper)(j => cvs(j).clone())
+    // (−cos, sid) rule, exactly the search-side tie-break
+    def assignAll(ss: Array[Array[Double]]): Array[Int] = {
+      val snorms = ss.map(s => math.sqrt(dot(s, s)))
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var bestJ = 0
+        var bestC = Double.NegativeInfinity
+        var j = 0
+        while (j < ss.length) {
+          val c = if (cns(i) > 0 && snorms(j) > 0)
+            dot(cvs(i), ss(j)) / (cns(i) * snorms(j)) else 0.0
+          if (c > bestC) { bestC = c; bestJ = j } // strict >: ties keep lowest sid
+          j += 1
+        }
+        out(i) = bestJ
+        i += 1
       }
+      out
+    }
+    var it = 0
+    while (it < iters) {
+      val assign = assignAll(supers)
+      val sums = Array.fill(nsuper)(new Array[Double](dim))
+      val counts = new Array[Int](nsuper)
+      var i = 0
+      while (i < n) {
+        val j = assign(i); val v = cvs(i); val s = sums(j)
+        var p = 0
+        while (p < dim) { s(p) += v(p); p += 1 }
+        counts(j) += 1
+        i += 1
+      }
+      supers = Array.tabulate(nsuper) { j =>
+        if (counts(j) == 0) supers(j)
+        else { val s = sums(j); Array.tabulate(dim)(p => s(p) / counts(j)) }
+      }
+      it += 1
     }
     // the landed map must be the argmax against the FINAL centroids —
     // the membership rule the two-level assignment replays
-    (supers, assignAll(supers))
+    val fin = assignAll(supers)
+    (supers.iterator.map(_.toSeq).toSeq,
+      cids.iterator.zipWithIndex.map { case (cid, i) => cid -> fin(i) }.toMap)
   }
 
   /** The super-cell layer as its two literal-sized warehouse tables:
