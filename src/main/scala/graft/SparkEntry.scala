@@ -121,8 +121,7 @@ object SparkEntry {
     // as q32: the hash gate proves the decomposition drops nothing.
     "q166_jaccard_salted" -> ((s, d) => TextDedup.ngramJaccardPairsSalted(
       graft.warehouse.Warehouse.docHashsets(s, d),
-      s"target/graft-tmp/q166-${d.replaceAll("[^A-Za-z0-9.]+", "_")}",
-      passes = 8)),
+      s"target/graft-tmp/q166-${d.replaceAll("[^A-Za-z0-9.]+", "_")}")),
     // Near-dup cluster assignment: LSH pairs → connected components
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match

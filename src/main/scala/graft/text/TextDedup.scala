@@ -60,6 +60,13 @@ object TextDedup {
     * collapse to one band representative and the cap never fires. */
   val LshMaxBucket = 256
 
+  /** AUTO pass sizing for [[ngramJaccardPairsSalted]]: one pass per
+    * this many corpus docs (clamped to [2, 16]) — the per-pass
+    * candidate mass then stays near one bench-scale corpus's worth
+    * regardless of corpus size, and the between-pass GC only fires
+    * when the corpus is at least this large. */
+  val SaltedSliceDocs = 65536L
+
   /** Distinct word 3-gram shingles of a text column (`c` must be a
     * column NAME, resolvable in scope). Native codegen'd expression
     * ([[graft.functions.WordShingles]]) — the SQL `transform(...,
@@ -661,24 +668,35 @@ object TextDedup {
     * misses). */
   def ngramJaccardPairsSalted(hashsets: DataFrame, outDir: String,
                               threshold: Double = 0.5,
-                              passes: Int = 8): DataFrame = {
+                              passes: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    require(passes >= 1, "passes must be positive")
+    require(passes >= 0, "passes must be non-negative (0 = auto)")
     val spark = hashsets.sparkSession
     val hs = hashsets.leased
-    hs.count() // eager fill — see ngramJaccardPairsFromHashsets
+    val nDocs = hs.count() // eager fill — see ngramJaccardPairsFromHashsets
+    // AUTO (passes = 0): scale the slice count with the corpus so the
+    // per-pass candidate mass stays roughly one [[SaltedSliceDocs]]
+    // corpus's worth — bench-scale corpora run 2 thin passes (the
+    // decomposition path stays live, its overhead doesn't), sf10 runs 8.
+    // Any explicit count produces the identical pair set (spec-pinned),
+    // so the knob is purely a footprint/wall trade.
+    val nPasses = if (passes > 0) passes
+      else math.max(2, math.min(16,
+        ((nDocs + SaltedSliceDocs - 1) / SaltedSliceDocs).toInt))
+    // the between-pass GC (ref drop → ContextCleaner reclaims the dead
+    // pass's shuffle files — the step that turns `passes` into a
+    // LIVE-disk bound instead of a mere re-ordering of the same spill)
+    // only earns its pause when a pass's footprint is material; below
+    // one slice's worth of docs the whole run's shuffle is trivial
+    val gcBetween = nDocs >= SaltedSliceDocs
     val prefix = jaccardPrefix(hs, threshold)
-    (0 until passes).foreach { p =>
-      jaccardCandVerify(hs, prefix.where(pmod(col("tok"), lit(passes)) === p),
+    (0 until nPasses).foreach { p =>
+      jaccardCandVerify(hs, prefix.where(pmod(col("tok"), lit(nPasses)) === p),
           threshold)
         .write.mode("overwrite").parquet(s"$outDir/pass=$p")
-      // drop this pass's shuffle files before the next pass starts:
-      // the refs are gone, one GC lets ContextCleaner reclaim them —
-      // the step that turns `passes` into a live-disk bound instead of
-      // a mere re-ordering of the same spill
-      System.gc()
+      if (gcBetween) System.gc()
     }
-    spark.read.parquet((0 until passes).map(p => s"$outDir/pass=$p"): _*)
+    spark.read.parquet((0 until nPasses).map(p => s"$outDir/pass=$p"): _*)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")

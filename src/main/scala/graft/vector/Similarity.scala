@@ -646,6 +646,14 @@ object Similarity {
     * Correctness is salt-invariant (SkewJoinSpec pins row equality). */
   val CellSalt = 8
 
+  /** [[annLsh]]'s salt — wider than [[CellSalt]] because hyperplane
+    * bucket occupancy has no width bound (IVF cells are ~512-wide by
+    * construction; an LSH mega-bucket on a clustered corpus held ~25%
+    * of sf10's vectors): the hottest bucket's pair mass splits n_b²/64
+    * per task, and the replicated side stays one row per corpus
+    * vector. Salt-invariance is the same SkewJoinSpec law. */
+  val LshSalt = 64
+
   /** Deterministic spherical k-means for IVF coarse quantization.
     * Init = first `ncells` vectors by id; each Lloyd iteration assigns
     * every vector to its max-cosine centroid (ties → lowest cell id) and
@@ -1100,7 +1108,20 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val n = e.select(col("vec_id").as("nid"), col("bucket"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val pairs = q.join(n, Seq("bucket")).where(col("qid") =!= col("nid"))
+    // 2^planes buckets is the JOIN KEY cardinality: unsalted, the pair
+    // evaluation runs at most 64 tasks and a clustered corpus (the
+    // realistic one — hyperplane signatures collapse near-center
+    // vectors into few buckets) serializes onto a handful of cores
+    // (measured at sf10: ~4 of 32 live, then ONE straggler carrying the
+    // hottest signature's full n_b² pair mass). Salt like
+    // [[annIvfWithAssign]]'s cell join, but wider: IVF cells are
+    // ~512-wide by construction so [[CellSalt]] = 8 suffices there;
+    // LSH bucket occupancy is UNBOUNDED (tens of thousands of
+    // near-center vectors share a signature), so the salt must bound
+    // the worst bucket's per-task share — [[LshSalt]] caps it at
+    // n_b²/64 while replicating only the one-row-per-vector index.
+    val pairs = graft.operators.SkewJoin.salted(q, n, Seq("bucket"), LshSalt)
+      .where(col("qid") =!= col("nid"))
       .withColumn("cosine", dotExpr("va", "vb") / (col("na") * col("nb")))
     topK(pairs, k)
   }

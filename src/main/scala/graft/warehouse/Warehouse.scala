@@ -784,7 +784,10 @@ object Warehouse {
     * version 1. [[CacheVersion]] remains the LAYOUT version (dir
     * naming, marker scheme) — bump it only when the cache format
     * itself changes. */
-  private val artifactVersions: Map[String, Int] = Map.empty
+  private val artifactVersions: Map[String, Int] = Map(
+    // v2: annLsh's bucket join salted (SkewJoin ×LshSalt — same rows,
+    // same top-k; re-land so the cache reflects the shipped plan)
+    "ann_lsh_topk" -> 2)
 
   /** The build-graph edges: artifact → the landed artifacts its build
     * thunk reads (the `$dir/<name>` parquet reads in [[registry]]).
