@@ -36,6 +36,11 @@ object Catalog {
       "bucket cap (256), IVF ~512-vector cell width, SimHash hamming chunks, prefix/" +
       "length filters: never all-pairs, and the bound is enforced in the operator, " +
       "not assumed of the data."),
+    "salted-multipass" -> ("exact candidate/verify chains run as disjoint token-" +
+      "hash slices, one ACTION per slice landing post-verify survivors: live " +
+      "shuffle footprint ≈ candidate-mass/passes, pass union collapses exactly " +
+      "(spec-pinned) — the disk-bounding form of the candidate-mass-bound exact " +
+      "tools (q32/q40) whose single-pass shuffle exceeds one host at sf10."),
     "decision-layer" -> ("arithmetic over source-cardinality or survivor artifacts " +
       "(thresholds, quotas, mixtures, diffs): no corpus scan; scales with the " +
       "number of sources, not documents."),
@@ -99,6 +104,7 @@ object Catalog {
       "q81_semantic_dedup", "q85_label_outliers", "q96_fuzzy_match",
       "q109_minhash_calibration", "q111_jl_distortion", "q116_source_overlap",
       "q125_margin_mining"),
+    "salted-multipass" -> Seq("q166_jaccard_salted", "q167_containment_salted"),
     "decision-layer" -> Seq("q86_source_quota", "q126_soft_dedup_weights",
       "q127_domain_mixture", "q128_quality_percentile_gate", "q132_mixture_realize",
       "q134_data_card", "q138_token_budget", "q140_release_card",

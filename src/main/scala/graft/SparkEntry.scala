@@ -122,6 +122,19 @@ object SparkEntry {
     "q166_jaccard_salted" -> ((s, d) => TextDedup.ngramJaccardPairsSalted(
       graft.warehouse.Warehouse.docHashsets(s, d),
       s"target/graft-tmp/q166-${d.replaceAll("[^A-Za-z0-9.]+", "_")}")),
+    // q40's BOUNDED at-scale form (the containment twin of q166): the
+    // identical prefix/index candidate chain run as disjoint tok-hash
+    // slices, each its own action — exact decontamination whose live
+    // candidate shuffle is ~1/passes of the single-pass footprint. Same
+    // oracle as q40: the hash gate proves the decomposition drops
+    // nothing.
+    "q167_containment_salted" -> ((s, d) => {
+      val hs = graft.warehouse.Warehouse.docHashsets(s, d)
+      TextDedup.containmentPairsSalted(
+        hs.where(col("doc_id") % 10 === 0),
+        hs.where(col("doc_id") % 10 =!= 0),
+        s"target/graft-tmp/q167-${d.replaceAll("[^A-Za-z0-9.]+", "_")}")
+    }),
     // Near-dup cluster assignment: LSH pairs → connected components
     // (iterative min-label propagation) → one keeper per cluster. The
     // oracle is a recursive-CTE transitive closure, so the hash-match
@@ -4803,6 +4816,26 @@ object SparkEntry {
     // Brute-force containment: any shared shingle is a candidate; the
     // Spark side's prefix filter must reproduce this exactly.
     "q40_contamination" ->
+      s"""WITH $ShinglesCte,
+         |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
+         |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs
+         |  FROM sh),
+         |te AS (SELECT doc_id AS test_id, hs AS sh_t FROM hsq WHERE doc_id % 10 = 0),
+         |tr AS (SELECT doc_id AS train_id, hs AS sh_r FROM hsq WHERE doc_id % 10 <> 0),
+         |tt AS (SELECT test_id, unnest(sh_t) AS tok FROM te),
+         |rt AS (SELECT train_id, unnest(sh_r) AS tok FROM tr),
+         |cand AS (SELECT DISTINCT test_id, train_id FROM tt JOIN rt USING (tok)),
+         |c AS (SELECT test_id, train_id,
+         |  CAST(len(list_intersect(sh_t, sh_r)) AS DOUBLE) /
+         |    nullif(CAST(len(sh_t) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS containment
+         |  FROM cand JOIN te USING (test_id) JOIN tr USING (train_id))
+         |SELECT test_id, train_id, containment FROM c
+         |WHERE containment >= CAST(0.5 AS DOUBLE)
+         |ORDER BY test_id, train_id""".stripMargin,
+    // identical to q40's oracle: the salted decomposition must produce
+    // the same pair set and containment values as brute-force ground
+    // truth
+    "q167_containment_salted" ->
       s"""WITH $ShinglesCte,
          |hsq AS (SELECT doc_id, list_sort(list_distinct(list_transform(shingles,
          |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS hs

