@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Generate a deterministic sf10-scale corpus (100x the bench sf0.1:
-500,000 docs / 200,000 x 64 vecs) under target/sf10 — documents and
-embeddings ONLY. This feeds graft.ScaleStress (the linear text/vector
-family measured across sf0.1 -> sf1 -> sf10); the quadratic eval-truth
-artifacts (knn_exact etc.) are deliberately not built at this scale, so
-no star schema and no full warehouse.
+500,000 docs / 200,000 x 64 vecs, plus events replicated at 100x — the
+r15 addition that lets the sessionize/attribution family gate here)
+under target/sf10. This feeds graft.ScaleStress (the linear text/vector
+family measured across sf0.1 -> sf1 -> sf10) and the sf10 oracle gates;
+the quadratic eval-truth artifacts (knn_exact etc.) are deliberately not
+built at this scale, so no star schema and no full warehouse.
 
 Same shape rules as gen_sf1.py (31-token vocabulary, 10-100 tokens/doc,
 20 sources, 5 langs, ~6% boilerplate splices; label-paired embedding
