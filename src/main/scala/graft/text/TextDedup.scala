@@ -67,6 +67,29 @@ object TextDedup {
     * when the corpus is at least this large. */
   val SaltedSliceDocs = 65536L
 
+  /** Hashset-table size (estimated bytes) below which the exact-join
+    * VERIFY stage attaches the shingle arrays by BROADCAST instead of
+    * shuffle_hash. Why this matters (measured, r15 sf10): the verify
+    * attach is pair-keyed, so a shuffled attach moves every surviving
+    * candidate row WITH a ~700 B hashset array through the second
+    * exchange — ~310 GB at sf10's 1.13e10 prefix-candidate mass, the
+    * stage that actually exceeded local disk (the 16 B/row candidate
+    * dedup exchange is two orders smaller). Broadcasting the (bounded,
+    * corpus-linear) hashset table instead moves it once per executor
+    * and the pair stream never re-shuffles. Above the threshold (huge
+    * corpora where the table itself is no longer broadcastable) the
+    * shuffled attach returns and the pass count is the footprint knob,
+    * as before — on a cluster that shuffle is aggregate disk. */
+  val BroadcastVerifyBytes = 1L << 30
+
+  /** Estimated in-flight bytes of a (doc_id, hs) table: 8 B per hash +
+    * fixed per-row overhead. One linear agg over the (cached) frame. */
+  private def hashsetBytes(hs: DataFrame): Long = {
+    val r = hs.agg(coalesce(sum(size(col("hs"))), lit(0L)).as("n"),
+      count(lit(1)).as("rows")).head()
+    r.getLong(0) * 8L + r.getLong(1) * 32L
+  }
+
   /** Distinct word 3-gram shingles of a text column (`c` must be a
     * column NAME, resolvable in scope). Native codegen'd expression
     * ([[graft.functions.WordShingles]]) — the SQL `transform(...,
@@ -571,7 +594,8 @@ object TextDedup {
     // would recompute the shingle pipeline per partition (measured 17–62 s
     // vs ~4 s warm in round 4). One cheap count serializes the fill.
     hs.count()
-    jaccardCandVerify(hs, jaccardPrefix(hs, threshold), threshold)
+    jaccardCandVerify(hs, jaccardPrefix(hs, threshold), threshold,
+        broadcastVerify = hashsetBytes(hs) <= BroadcastVerifyBytes)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -586,9 +610,13 @@ object TextDedup {
 
   /** Candidate join + exact verification over a (possibly tok-sliced)
     * prefix table — the shared core of the single-pass operator and the
-    * salted multi-pass variant. Emits UNSORTED verified pairs. */
+    * salted multi-pass variant. Emits UNSORTED verified pairs.
+    * `broadcastVerify` picks the attach-join strategy for the verify
+    * stage (see [[BroadcastVerifyBytes]]): callers measure the hashset
+    * table once and thread the decision in. */
   private def jaccardCandVerify(hs: DataFrame, prefix: DataFrame,
-                                threshold: Double): DataFrame = {
+                                threshold: Double,
+                                broadcastVerify: Boolean): DataFrame = {
     // shuffle_hash everywhere below: at 100 TB neither the prefix table
     // nor the corpus is broadcast-small, and locally the hint removes
     // the racing broadcast-build futures that made this query's wall
@@ -618,11 +646,17 @@ object TextDedup {
         lit(threshold / (1.0 + threshold)) * (col("len_a") + col("len_b")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // verify attach: broadcast keeps the pair stream in place (the
+    // shuffled form re-exchanges every candidate WITH the first side's
+    // array — the measured sf10 disk killer); shuffle_hash above the
+    // broadcast bound
+    def attach(side: DataFrame): DataFrame =
+      if (broadcastVerify) broadcast(side) else side.hint("shuffle_hash")
     cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"))
-        .hint("shuffle_hash"), Seq("doc_b"))
+      .join(attach(hs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a"))),
+        Seq("doc_a"))
+      .join(attach(hs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b"))),
+        Seq("doc_b"))
       .withColumn("inter",
         // hashed sets are sorted+distinct by construction: the native
         // two-pointer count replaces the per-pair hash-set build +
@@ -689,10 +723,11 @@ object TextDedup {
     // only earns its pause when a pass's footprint is material; below
     // one slice's worth of docs the whole run's shuffle is trivial
     val gcBetween = nDocs >= SaltedSliceDocs
+    val bcast = hashsetBytes(hs) <= BroadcastVerifyBytes
     val prefix = jaccardPrefix(hs, threshold)
     (0 until nPasses).foreach { p =>
       jaccardCandVerify(hs, prefix.where(pmod(col("tok"), lit(nPasses)) === p),
-          threshold)
+          threshold, broadcastVerify = bcast)
         .write.mode("overwrite").parquet(s"$outDir/pass=$p")
       if (gcBetween) System.gc()
     }
@@ -790,7 +825,9 @@ object TextDedup {
     // these inside one action; lazy fill races across build futures
     hsTest.count(); hsTrain.count()
     containmentCandVerify(hsTest, hsTrain, containmentPrefix(hsTest, threshold),
-        containmentIndex(hsTrain), threshold)
+        containmentIndex(hsTrain), threshold,
+        broadcastVerify =
+          hashsetBytes(hsTest) + hashsetBytes(hsTrain) <= BroadcastVerifyBytes)
       .orderBy("test_id", "train_id")
   }
 
@@ -813,16 +850,22 @@ object TextDedup {
     * verified pairs. */
   private def containmentCandVerify(hsTest: DataFrame, hsTrain: DataFrame,
                                     prefix: DataFrame, index: DataFrame,
-                                    threshold: Double): DataFrame = {
+                                    threshold: Double,
+                                    broadcastVerify: Boolean): DataFrame = {
     val cand = prefix.hint("shuffle_hash")
       .join(index.hint("shuffle_hash"), Seq("tok"))
       .select(col("test_id"), col("train_id"))
       .dropDuplicates("test_id", "train_id")
+    // same attach-strategy rule as [[jaccardCandVerify]]: a shuffled
+    // second attach re-exchanges every candidate with the test side's
+    // array — broadcast while the hashset tables stay bounded
+    def attach(side: DataFrame): DataFrame =
+      if (broadcastVerify) broadcast(side) else side.hint("shuffle_hash")
     cand
-      .join(hsTest.select(col("doc_id").as("test_id"), col("hs").as("sh_t")),
+      .join(attach(hsTest.select(col("doc_id").as("test_id"), col("hs").as("sh_t"))),
         Seq("test_id"))
-      .join(hsTrain.select(col("doc_id").as("train_id"), col("hs").as("sh_r"))
-        .hint("shuffle_hash"), Seq("train_id"))
+      .join(attach(hsTrain.select(col("doc_id").as("train_id"), col("hs").as("sh_r"))),
+        Seq("train_id"))
       .withColumn("inter", expr("sorted_intersect_count(sh_t, sh_r)"))
       .withColumn("containment",
         when(size(col("sh_t")) > 0,
@@ -869,12 +912,15 @@ object TextDedup {
       else math.max(2, math.min(16,
         ((nDocs + SaltedSliceDocs - 1) / SaltedSliceDocs).toInt))
     val gcBetween = nDocs >= SaltedSliceDocs
+    val bcast =
+      hashsetBytes(hsTest) + hashsetBytes(hsTrain) <= BroadcastVerifyBytes
     val prefix = containmentPrefix(hsTest, threshold)
     val index = containmentIndex(hsTrain)
     (0 until nPasses).foreach { p =>
       containmentCandVerify(hsTest, hsTrain,
           prefix.where(pmod(col("tok"), lit(nPasses)) === p),
-          index.where(pmod(col("tok"), lit(nPasses)) === p), threshold)
+          index.where(pmod(col("tok"), lit(nPasses)) === p), threshold,
+          broadcastVerify = bcast)
         .write.mode("overwrite").parquet(s"$outDir/pass=$p")
       if (gcBetween) System.gc()
     }
