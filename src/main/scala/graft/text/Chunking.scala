@@ -32,13 +32,24 @@ object Chunking {
     graft.Par.fanOut(docs)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      // n_ws precomputed BEFORE the explode: every window-arithmetic
+      // column downstream references the scalar, not `ws`, so a
+      // consumer that prunes chunk_text (the pack family — q45/q115/
+      // q140/q142/q148 keep only chunk counts/sizes) lets Catalyst drop
+      // `ws` from the Generate entirely. Pre-r15 the explode output
+      // carried the FULL token array on every chunk row just to take
+      // size(ws) — ~window/stride copies of each document's array
+      // materialized per doc (measured: the majority of the pack
+      // family's per-query cost at sf0.1; guide §2.3 "project before
+      // the exchange" applied to a Generate).
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_ws"))
       // chunk starts: 0, stride, …, first start with start + window >= len
-      .select(col("doc_id"), col("ws"),
+      .select(col("doc_id"), col("ws"), col("n_ws"),
         explode(expr(
-          s"sequence(0L, (greatest(size(ws) - $window, 0) + ${stride - 1}) div $stride)"))
+          s"sequence(0L, (greatest(n_ws - $window, 0) + ${stride - 1}) div $stride)"))
           .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
-        greatest(least(size(col("ws")) - col("chunk_id") * stride, lit(window)), lit(0))
+        greatest(least(col("n_ws") - col("chunk_id") * stride, lit(window)), lit(0))
           .cast("long").as("n_chunk_tokens"),
         concat_ws(" ",
           expr(s"slice(ws, cast(chunk_id * $stride + 1 as int), $window)")).as("chunk_text"))
