@@ -29,22 +29,52 @@ object Par {
     // fanOut call site feeds a single-relation scan projection; any
     // other shape falls back to the exact RDD probe.
     val conf = spark.sessionState.conf
+    def splitEstimate(totalBytes: Long, nFiles: Long): Long = {
+      // mirrors FilePartition.maxSplitBytes: splits of size
+      // min(maxPartitionBytes, max(openCost, bytesPerCore))
+      val openCost = conf.filesOpenCostInBytes
+      val charged = math.max(1L, totalBytes) + nFiles * openCost
+      val minPartitionNum = conf.filesMinPartitionNum.getOrElse(target)
+      val bytesPerCore = charged / math.max(1, minPartitionNum)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, bytesPerCore))
+      (charged + maxSplit - 1) / maxSplit
+    }
     val analyzed = df.queryExecution.analyzed
-    val leaves = analyzed.collectLeaves()
-    val est: Option[Long] = leaves match {
+    val est: Option[Long] = analyzed.collectLeaves() match {
       case Seq(l: LogicalRelation) if l.relation.isInstanceOf[HadoopFsRelation] =>
         val r = l.relation.asInstanceOf[HadoopFsRelation]
-        val openCost = conf.filesOpenCostInBytes
-        val nFiles = math.max(1L, r.location.inputFiles.length.toLong)
-        val totalBytes = math.max(1L, r.location.sizeInBytes) + nFiles * openCost
-        val minPartitionNum = conf.filesMinPartitionNum.getOrElse(target)
-        val bytesPerCore = totalBytes / math.max(1, minPartitionNum)
-        val maxSplit = math.min(conf.filesMaxPartitionBytes,
-          math.max(openCost, bytesPerCore))
-        Some((totalBytes + maxSplit - 1) / maxSplit)
-      case _ => None
+        Some(splitEstimate(r.location.sizeInBytes,
+          math.max(1L, r.location.inputFiles.length.toLong)))
+      case _ =>
+        // Derived shape (joins/projections over caches and scans): the
+        // pre-r15 fallback was `df.rdd.getNumPartitions` — an EXACT
+        // probe, but it runs full physical planning AND materializes
+        // the RDD DAG, which eagerly fires every broadcast-exchange
+        // build job in the subtree during query CONSTRUCTION; the real
+        // execution then re-plans and re-builds them inside the final
+        // query, so the probe's work is pure double-pay (measured: the
+        // q140 release chain spent ~2-3 s/run here at sf0.1). Estimate
+        // instead from the optimized plan's LEAF sizes with the same
+        // split arithmetic — leaf stats never inflate through join
+        // estimates, the probe stays driver-side with no jobs, and the
+        // decision is identical in both regimes: bench-scale MBs →
+        // repartition, 100 TB leaf sets (thousands of splits) → no-op.
+        val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        val capped = BigInt(Long.MaxValue / 4)
+        val (bytes, files) = leaves.foldLeft((0L, 0L)) { case ((b, f), leaf) =>
+          leaf match {
+            case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+              val r = l.relation.asInstanceOf[HadoopFsRelation]
+              (b + math.max(1L, r.location.sizeInBytes),
+                f + math.max(1L, r.location.inputFiles.length.toLong))
+            case other =>
+              (b + other.stats.sizeInBytes.min(capped).toLong, f + 1L)
+          }
+        }
+        Some(splitEstimate(bytes, files))
     }
-    val parts = est.getOrElse(df.rdd.getNumPartitions.toLong)
+    val parts = est.getOrElse(target.toLong)
     if (parts < target) df.repartition(target) else df
   }
 }

@@ -28,6 +28,13 @@ object R15Probe {
 
     // --- q140 subtrees ---
     time("q140 surv-scan-only")(wh.releaseSurvivors(spark, sfDir))
+    (1 to 3).foreach { i =>
+      Graft.releaseLeases(); spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val surv = graft.Graft.lease(wh.releaseSurvivors(spark, sfDir))
+      surv.count()
+      println(f"[r15probe] q140 lease+count run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     time("q140 raw-counts")(Tables.documents(spark, sfDir)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs_raw")))
     def mixDf = SparkEntry.queries("q127_domain_mixture")(spark, sfDir)

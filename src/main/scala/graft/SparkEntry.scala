@@ -2439,21 +2439,35 @@ object SparkEntry {
   private def domainMixture(s: SparkSession, d: String): DataFrame = {
     val perDoc = Tables.documents(s, d).select(col("doc_id"), col("source"))
       .join(graft.warehouse.Warehouse.docQuality(s, d), Seq("doc_id"))
-    val perSrc = perDoc.groupBy(col("source"))
+    // ONE corpus scan+join (pre-r15 the perDoc subtree was re-evaluated
+    // 4× across glob/tot/final — 8 scans per mixture consumer), and the
+    // global average / weight total attach as UNPARTITIONED WINDOW sums
+    // over the per-source frame instead of agg→crossJoin(broadcast):
+    // perSrc is source-cardinality (bounded ~20 rows forever), so the
+    // single-partition window is scale-free, while each broadcast
+    // scalar attach cost 2 extra jobs under AQE (agg stage + broadcast
+    // build) — q127 ran 17 sequential jobs for 20 rows of output, and
+    // every mixture consumer (q140/q147/q132/q153/q154/q160) paid the
+    // same tail. Integer arithmetic is unchanged: window sums fold the
+    // identical longs the broadcast aggregates did.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val base = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("sum_q"))
       .withColumn("avg_q", expr("sum_q div n_docs"))
-    val glob = perDoc.agg(count(lit(1)).as("n_all"), sum(col("quality")).as("q_all"))
-      .select(expr("q_all div n_all").as("gavg"))
-    val base = perSrc.crossJoin(broadcast(glob))
+      .withColumn("__n_all", sum(col("n_docs")).over(all))
+      .withColumn("__q_all", sum(col("sum_q")).over(all))
+      .withColumn("gavg", expr("__q_all div __n_all"))
       .withColumn("deficit_ppm",
         greatest(lit(0L), expr("((gavg - avg_q) * 1000000) div gavg")))
       .withColumn("factor", expr("1000000 + (200000 * deficit_ppm) div 1000000"))
     val iterated = (1 to 5).foldLeft(base.withColumn("w", lit(1000000L))) {
       (df, _) => df.withColumn("w", expr("(w * factor) div 1000000"))
     }
-    val tot = iterated.agg(sum(col("w")).as("w_tot"))
-    iterated.crossJoin(broadcast(tot))
-      .withColumn("mix_ppm", expr("(w * 1000000) div w_tot"))
+    iterated
+      .withColumn("mix_ppm", expr(s"(w * 1000000) div (sum(w) over ())"))
       .select(col("source"), col("n_docs"), col("avg_q"), col("deficit_ppm"),
         col("factor"), col("w"), col("mix_ppm"))
   }
