@@ -395,18 +395,25 @@ object SparkEntry {
       // iff its every occurrence was a victim's; leaked is the
       // measured count of survivors with no surviving occurrence
       val go = wh.gramOccurrences(s, d)
-      val perH = go
+      // leased (r15): perH is probed three times below (the 3-count
+      // aggregate, the victim-only leak set, and the repair's index
+      // input) — unleased, each probe re-ran the gram-wide groupBy
+      val perH = graft.Graft.lease(go
         .join(broadcast(victims.select(col("key").as("doc_id"))
           .withColumn("__v", lit(1))), Seq("doc_id"), "left")
         .groupBy(col("h"))
-        .agg(count(lit(1)).as("n_total"), count(col("__v")).as("n_victim"))
+        .agg(count(lit(1)).as("n_total"), count(col("__v")).as("n_victim")))
       // n_leaked is MEASURED from the repair operator's actual output:
       // run [[Erasure.repairDistinctIndex]] over the erased base and
       // probe it against the victim-only hash set derived by the
       // INDEPENDENT grouped pass above — a broken repair (wrong key,
-      // stale base) shows as n_leaked > 0 instead of being defined away
+      // stale base) shows as n_leaked > 0 instead of being defined away.
+      // The index input is perH's key set (== the distinct gram index,
+      // same rows as the pre-r15 go.select(h).dropDuplicates — that
+      // spelling paid a second gram-wide dedup exchange for the
+      // identical set); the repair's own erased-base dedup still runs.
       val repaired = graft.operators.Erasure.repairDistinctIndex(
-        go.select(col("h")).dropDuplicates("h"), "h",
+        perH.select(col("h")), "h",
         graft.operators.Erasure.erase(go, "doc_id", victims))
       val idxRow = perH.agg(
           count(lit(1)).as("n_before"),
@@ -420,7 +427,10 @@ object SparkEntry {
           col("n_deleted"), col("n_after"), col("n_leaked"),
           lit(0L).as("n_repaired"))
       val cl = wh.nearDupClusters(s, d)
-      val rel = graft.operators.Erasure.relabelClusters(cl, victims)
+      // leased (r15): three of the four crossJoined counts below probe
+      // rel — unleased, the erase+relabel subtree re-executed per probe
+      val rel = graft.Graft.lease(
+        graft.operators.Erasure.relabelClusters(cl, victims))
       val clRow = cl.agg(count(lit(1)).as("n_before"))
         .crossJoin(rel.agg(count(lit(1)).as("n_after")))
         .crossJoin(rel

@@ -104,16 +104,23 @@ object Erasure {
   def auditAny(name: String, df: DataFrame, keyCols: Seq[String],
                victims: DataFrame): DataFrame = {
     val v = victims.select(col("key")).dropDuplicates("key")
-    def pass(d: DataFrame, total: String, hits: String) = {
+    // both passes fold into ONE aggregation over a pass-tagged union
+    // (same shape as [[audit]], r15): the pre-r15 form ran two 1-row
+    // aggregate jobs plus a crossJoin broadcast build — pure job-count
+    // overhead at any scale, since the counts are the same union scan
+    def mark(d: DataFrame, pass: Int) = {
       val marked = keyCols.zipWithIndex.foldLeft(d) { case (acc, (k, i)) =>
         acc.join(broadcast(v.select(col("key").as(s"__vk$i"))),
           acc(k) === col(s"__vk$i"), "left")
       }
       val hit = keyCols.indices.map(i => col(s"__vk$i").isNotNull).reduce(_ || _)
-      marked.agg(count(lit(1)).as(total), count(when(hit, 1)).as(hits))
+      marked.select(lit(pass).as("__pass"), when(hit, lit(1)).as("__v"))
     }
-    pass(df, "n_before", "n_deleted")
-      .crossJoin(pass(eraseAny(df, keyCols, v), "n_after", "n_leaked"))
+    mark(df, 0).unionByName(mark(eraseAny(df, keyCols, v), 1))
+      .agg(count(when(col("__pass") === 0, 1)).as("n_before"),
+        count(when(col("__pass") === 0, col("__v"))).as("n_deleted"),
+        count(when(col("__pass") === 1, 1)).as("n_after"),
+        count(when(col("__pass") === 1, col("__v"))).as("n_leaked"))
       .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
         col("n_after"), col("n_leaked"))
   }
@@ -139,16 +146,37 @@ object Erasure {
     * the victim list to parquet beside the erasure manifest anyway). */
   def audit(tables: Seq[(String, DataFrame, String)], victims: DataFrame): DataFrame = {
     require(tables.nonEmpty, "audit needs at least one table")
+    val spark = victims.sparkSession
     val v = victims.select(col("key")).dropDuplicates("key").leased
-    tables.map { case (name, df, keyCol) =>
+    // ALL per-table 1-row aggregates fold into ONE pass-tagged union
+    // and ONE groupBy(table_name) aggregation (r15): the pre-r15 shape
+    // ran 2 single-row aggregate jobs + 1 crossJoin broadcast build PER
+    // TABLE (a 6-table audit = ~18 serial AQE jobs of driver latency
+    // for table-name-cardinality output). The measured semantics are
+    // unchanged: pass 0 scans the original (n_before/n_deleted), pass 1
+    // re-probes the ACTUAL erased output (n_after/n_leaked — still
+    // measured, never derived). The 1-row seed per table keeps a fully
+    // empty table's audit row present (count() over an empty group
+    // would otherwise drop it), contributing to no count: its pass -1
+    // matches neither condition.
+    val seeds = tables.map { case (name, _, _) =>
+      spark.range(1).select(lit(name).as("table_name"),
+        lit(-1).as("__pass"), lit(null).cast("int").as("__v"))
+    }
+    val marked = tables.flatMap { case (name, df, keyCol) =>
       val vk = broadcast(v.withColumnRenamed("key", keyCol).withColumn("__v", lit(1)))
-      def pass(d: DataFrame, total: String, hits: String) =
+      def tag(d: DataFrame, pass: Int) =
         d.join(vk, Seq(keyCol), "left_outer")
-          .agg(count(lit(1)).as(total), count(col("__v")).as(hits))
-      pass(df, "n_before", "n_deleted")
-        .crossJoin(pass(erase(df, keyCol, v), "n_after", "n_leaked"))
-        .select(lit(name).as("table_name"), col("n_before"), col("n_deleted"),
-          col("n_after"), col("n_leaked"))
-    }.reduce(_ union _)
+          .select(lit(name).as("table_name"), lit(pass).as("__pass"), col("__v"))
+      Seq(tag(df, 0), tag(erase(df, keyCol, v), 1))
+    } ++ seeds
+    marked.reduce(_ unionByName _)
+      .groupBy(col("table_name"))
+      .agg(count(when(col("__pass") === 0, 1)).as("n_before"),
+        count(when(col("__pass") === 0, col("__v"))).as("n_deleted"),
+        count(when(col("__pass") === 1, 1)).as("n_after"),
+        count(when(col("__pass") === 1, col("__v"))).as("n_leaked"))
+      .select(col("table_name"), col("n_before"), col("n_deleted"),
+        col("n_after"), col("n_leaked"))
   }
 }
