@@ -1207,11 +1207,14 @@ object Similarity {
     // supplied (it is THIS aggregate, landed per corpus build), else
     // computed from the candidate set
     val denom = denoms.getOrElse(neighborhoodDenoms(cand, "xid", "yid", k))
-    val scored = cand
+    // leased (r15): scored is probed by the best-partner aggregate AND
+    // the final mutual-best chain — unleased, the denominator joins
+    // re-executed per probe (bounded like cand: one row per candidate)
+    val scored = graft.Graft.lease(cand
       .join(denom.select(col("id").as("xid"), col("den").as("den_x")), Seq("xid"))
       .join(denom.select(col("id").as("yid"), col("den").as("den_y")), Seq("yid"))
       .withColumn("margin_ppm",
-        expr("(2 * cos_micro * 1000000L) div (den_x + den_y)"))
+        expr("(2 * cos_micro * 1000000L) div (den_x + den_y)")))
     // per-vector best partner by margin (tie → lowest partner id)
     val best = scored.groupBy(col("xid"))
       .agg(max(struct(col("margin_ppm"), (-col("yid")).as("neg"))).as("b"))
@@ -1277,9 +1280,13 @@ object Similarity {
     }
     val denX = denoms("xid", "yid").select(col("id").as("xid"), col("den").as("den_x"))
     val denY = denoms("yid", "xid").select(col("id").as("yid"), col("den").as("den_y"))
-    val scored = cand.join(denX, Seq("xid")).join(denY, Seq("yid"))
+    // leased (r15): probed by BOTH best-partner aggregates and the
+    // final mutual-best chain — unleased, the whole denominator
+    // semi/anti/fallback subtree re-executed 3× per run (the r15 stage
+    // profile showed the duplicate ~8 s scoring stages side by side)
+    val scored = graft.Graft.lease(cand.join(denX, Seq("xid")).join(denY, Seq("yid"))
       .withColumn("margin_ppm",
-        expr("(2 * cos_micro * 1000000L) div (den_x + den_y)"))
+        expr("(2 * cos_micro * 1000000L) div (den_x + den_y)")))
     val bestX = scored.groupBy(col("xid"))
       .agg(max(struct(col("margin_ppm"), (-col("yid")).as("neg"))).as("b"))
       .select(col("xid"), (-col("b.neg")).as("best_y"))
