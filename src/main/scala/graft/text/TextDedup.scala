@@ -714,8 +714,15 @@ object TextDedup {
     // decomposition path stays live, its overhead doesn't), sf10 runs 8.
     // Any explicit count produces the identical pair set (spec-pinned),
     // so the knob is purely a footprint/wall trade.
+    // r15: one pass per slice, floor 1 (was floor 2) — below one
+    // slice's worth of docs the whole run's candidate mass fits one
+    // pass trivially, and the decomposition's parquet round-trip +
+    // extra actions were pure overhead (~1.2 s of q166's sf0.1 cost).
+    // The decomposition path itself stays exercised by the P≥2 specs
+    // and the sf10 gate (8 passes); any pass count yields the
+    // identical pair set (SaltedJaccardSpec).
     val nPasses = if (passes > 0) passes
-      else math.max(2, math.min(16,
+      else math.max(1, math.min(16,
         ((nDocs + SaltedSliceDocs - 1) / SaltedSliceDocs).toInt))
     // the between-pass GC (ref drop → ContextCleaner reclaims the dead
     // pass's shuffle files — the step that turns `passes` into a
@@ -725,6 +732,13 @@ object TextDedup {
     val gcBetween = nDocs >= SaltedSliceDocs
     val bcast = hashsetBytes(hs) <= BroadcastVerifyBytes
     val prefix = jaccardPrefix(hs, threshold)
+    // single pass ≡ the whole chain with no tok restriction: skip the
+    // pass landing + re-read entirely (in-pass candidates are already
+    // deduped, so the cross-pass dropDuplicates is vacuous at P=1)
+    if (nPasses == 1)
+      return jaccardCandVerify(hs, prefix, threshold, broadcastVerify = bcast)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
     (0 until nPasses).foreach { p =>
       jaccardCandVerify(hs, prefix.where(pmod(col("tok"), lit(nPasses)) === p),
           threshold, broadcastVerify = bcast)
@@ -908,14 +922,22 @@ object TextDedup {
     // AUTO sizing: same rule as [[ngramJaccardPairsSalted]] over the
     // combined corpus — the candidate mass Σ df_test(tok)·df_train(tok)
     // scales with the same token-frequency profile
+    // r15: floor 1, single-pass fast path — same rationale and spec
+    // pins as [[ngramJaccardPairsSalted]]
     val nPasses = if (passes > 0) passes
-      else math.max(2, math.min(16,
+      else math.max(1, math.min(16,
         ((nDocs + SaltedSliceDocs - 1) / SaltedSliceDocs).toInt))
     val gcBetween = nDocs >= SaltedSliceDocs
     val bcast =
       hashsetBytes(hsTest) + hashsetBytes(hsTrain) <= BroadcastVerifyBytes
     val prefix = containmentPrefix(hsTest, threshold)
     val index = containmentIndex(hsTrain)
+    if (nPasses == 1)
+      return containmentCandVerify(hsTest, hsTrain, prefix, index, threshold,
+          broadcastVerify = bcast)
+        .dropDuplicates("test_id", "train_id")
+        .select(col("test_id"), col("train_id"), col("containment"))
+        .orderBy("test_id", "train_id")
     (0 until nPasses).foreach { p =>
       containmentCandVerify(hsTest, hsTrain,
           prefix.where(pmod(col("tok"), lit(nPasses)) === p),

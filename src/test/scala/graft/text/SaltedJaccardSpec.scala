@@ -49,19 +49,20 @@ class SaltedJaccardSpec extends SparkSpec {
     assert(run(0) === single) // AUTO: corpus-sized pass count, same law
   }
 
-  test("auto pass count scales with the corpus and clamps to [2, 16]") {
-    // below one slice: the floor of 2 keeps the decomposition path live
+  test("auto pass count scales with the corpus and clamps to [1, 16]") {
+    // below one slice (r15): auto runs the SINGLE-PASS fast path — no
+    // pass directories land at all (the decomposition's parquet
+    // round-trip is skipped; P ≥ 2 stays pinned by the equality test
+    // above and the sf10 gate's 8-pass run)
     val out = Files.createTempDirectory("salted-jac-auto").toString
     TextDedup.ngramJaccardPairsSalted(
       TextDedup.hashedShingleSets(docs), out, threshold = 0.5).count()
-    assert((0 until 2).forall(p =>
-        Files.isDirectory(java.nio.file.Paths.get(s"$out/pass=$p"))),
-      "auto at 8 docs must run exactly the 2-pass floor")
-    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$out/pass=2")))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(s"$out/pass=0")),
+      "auto below one slice must skip the pass landing entirely")
     // the sizing rule itself (pure arithmetic of the operator's clamp)
-    def auto(n: Long): Int = math.max(2, math.min(16,
+    def auto(n: Long): Int = math.max(1, math.min(16,
       ((n + TextDedup.SaltedSliceDocs - 1) / TextDedup.SaltedSliceDocs).toInt))
-    assert(auto(5000) === 2)      // bench scale: thin
+    assert(auto(5000) === 1)      // bench scale: single-pass fast path
     assert(auto(500000) === 8)    // sf10: the measured 8-pass form
     assert(auto(5000000) === 16)  // clamp: wall-clock stays bounded
   }
