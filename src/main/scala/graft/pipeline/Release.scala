@@ -82,6 +82,63 @@ object Release {
     Curation.topFractionThresholds(
       surv.select(col("source"), col("quality")), "source", "quality")
 
+  /** r15: ALL per-source decision scalars of the card/diff chain from
+    * ONE windowed pass over the (text-free) light projection of the
+    * survivors — (source, n_rows, threshold, n_gated, gated_tokens,
+    * all_tokens), one row per source. Replaces the aggregate→join-back
+    * cascade (threshold dist/cum/n chain + gated mass + global total =
+    * ~6 exchanges and a dozen AQE jobs per decision layer) with one
+    * exchange by source + in-partition windows + a source-cardinality
+    * dedup. The window shuffle carries 4 scalar columns, never
+    * clean_text — the corpus-frame attaches below stay broadcast joins
+    * (guide §8: decide on proxies, move payloads once).
+    *
+    * Semantics are bit-equal to the operators it folds:
+    *  - threshold: cum(q) = count over (source ORDER BY quality DESC
+    *    RANGE UNBOUNDED PRECEDING..CURRENT) counts rows with quality ≥
+    *    q (peers included) — exactly topFractionThresholds' running
+    *    sum over the DESC-ordered distinct-quality counts evaluated at
+    *    q; threshold = max quality whose cum reaches
+    *    greatest(1, (n_rows*1) div 4). Integer arithmetic identical.
+    *  - gated mass: windows over the threshold-filtered rows (the
+    *    partitioning by source survives the filter — no new exchange).
+    *  - all_tokens: an unpartitioned window over the SOURCE-CARDINALITY
+    *    dedup (bounded ~20 rows forever), computed BEFORE the mixture
+    *    join exactly like mixtureRates' `tot`.
+    * The fold is oracle-pinned: q140/q147/q128-family hash gates re-run
+    * green after the change. */
+  private[graft] def decisionTable(surv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("source"))
+    val byQualDesc = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    surv.select(col("source"), col("quality"), col("kept_tokens"))
+      .withColumn("n_rows", count(lit(1)).over(bySrc))
+      .withColumn("__cum", count(lit(1)).over(byQualDesc))
+      .withColumn("threshold",
+        max(when(col("__cum") >= greatest(lit(1L), expr("(n_rows * 1) div 4")),
+          col("quality"))).over(bySrc))
+      .where(col("quality") >= col("threshold"))
+      .withColumn("n_gated", count(lit(1)).over(bySrc))
+      .withColumn("gated_tokens", sum(col("kept_tokens")).over(bySrc))
+      .select(col("source"), col("n_rows"), col("threshold"),
+        col("n_gated"), col("gated_tokens"))
+      .dropDuplicates("source")
+      .withColumn("all_tokens", sum(col("gated_tokens")).over(all))
+  }
+
+  /** [[mixtureRates]]' arithmetic over an already-computed
+    * [[decisionTable]] — bounded-frame column math, no corpus touch. */
+  private def ratesFromDecision(dec: DataFrame, mixture: DataFrame): DataFrame =
+    dec.join(mixture.select(col("source"), col("mix_ppm")), Seq("source"))
+      .withColumn("share_ppm",
+        expr("(gated_tokens * 1000000) div greatest(1L, all_tokens)"))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)")))
+
   /** Stage 4a — mixture realization rates on released token mass. */
   def mixtureRates(gatedDf: DataFrame, mixture: DataFrame): DataFrame = {
     val mass = gatedDf.groupBy(col("source"))
@@ -160,9 +217,16 @@ object Release {
     // re-executed per consumer (~12 s of re-run stages at sf0.1 for
     // zero new information); leased, each fills once
     def decide(s: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val thr = graft.Graft.lease(gateThresholds(s))
-      val g = graft.Graft.lease(gatedBy(s, thr))
-      val rates = graft.Graft.lease(mixtureRates(g, mixture))
+      // one leased bounded decision table per layer (r15): thresholds,
+      // rates and the released set all derive from it — the pre-r15
+      // shape leased four frames and re-ran the aggregate→join-back
+      // chain per layer (see decisionTable's scaladoc)
+      val dec = graft.Graft.lease(decisionTable(s))
+      val thr = dec.select(col("source"), col("n_rows"), col("threshold"))
+      // leased: rates carries the mixture subtree (a corpus scan) and
+      // is probed by the released filter AND the assembly join
+      val rates = graft.Graft.lease(ratesFromDecision(dec, mixture))
+      val g = gatedBy(s, thr)
       (thr, rates, graft.Graft.lease(releasedDocs(g, rates)
         .select(col("doc_id"), col("source"), col("kept_tokens"))))
     }
@@ -252,11 +316,18 @@ object Release {
     // (measured neutral here, but the failure mode is load-dependent
     // and cost a measured 4-15× on q32 when it bit)
     surv.count()
-    val thr = gateThresholds(surv)
+    // the bounded per-source decision table, leased: thr, rates, the
+    // survivor counts and the assembly all read it (r15 — one windowed
+    // light pass replaces the per-layer aggregate→join-back chains)
+    val dec = graft.Graft.lease(decisionTable(surv))
+    val thr = dec.select(col("source"), col("threshold"))
     val gatedDf = surv
-      .join(thr.select(col("source"), col("threshold")), Seq("source"))
+      .join(thr, Seq("source"))
       .where(col("quality") >= col("threshold"))
-    val rates = mixtureRates(gatedDf, mixture)
+    // leased: probed by the released filter AND the assembly join, and
+    // the mixture side is a corpus-scan subtree (pre-r15 it re-ran per
+    // consumer)
+    val rates = graft.Graft.lease(ratesFromDecision(dec, mixture))
     val released = releasedDocs(gatedDf, rates)
       .leased // probed by the chunk-pass id join and the stats
     val packed = chunkPack(released, window, stride, packBudget)
@@ -266,7 +337,7 @@ object Release {
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("pack_id")).as("n_packs_touched"))
     // card assembly — source-cardinality joins only
-    val survStats = surv.groupBy(col("source")).agg(count(lit(1)).as("n_survivors"))
+    val survStats = dec.select(col("source"), col("n_rows").as("n_survivors"))
     val relStats = released.groupBy(col("source"))
       .agg(count(lit(1)).as("n_released"),
         sum(col("n_tokens")).as("pre_scrub_tokens"),
