@@ -242,8 +242,8 @@ object Multimodal {
       .select(col("doc_id"), expr(
         """simhash32(array_distinct(transform(
           |  sequence(1, length(text) - 7),
-          |  i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10)
-          |       AS BIGINT))))""".stripMargin).as("simhash"))
+          |  i -> md5_prefix(substring(text, i, 8), 15))))""".stripMargin)
+        .as("simhash"))
     graft.text.TextDedup.simhashPairs(fp, maxHam)
   }
 }

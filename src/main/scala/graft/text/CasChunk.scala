@@ -56,8 +56,7 @@ object CasChunk {
         expr(
           s"""transform(filter(sequence(1, length(text)),
              |    i -> i + 7 <= length(text) AND
-             |      CAST(conv(substring(md5(substring(text, i, 8)), 1, 7), 16, 10)
-             |        AS BIGINT) % $modulus = 0),
+             |      md5_prefix(substring(text, i, 8), 7) % $modulus = 0),
              |  i -> CAST(i + 7 AS BIGINT))""".stripMargin).as("cand"))
       // greedy clamp fold: acc = accepted cuts so far (sentinel 0 =
       // payload start; element_at(acc, -1) = last accepted). Per
@@ -105,15 +104,21 @@ object CasChunk {
   def stats(docs: DataFrame, modulus: Int = 64): DataFrame = {
     val per = chunks(docs, modulus)
       .groupBy(col("source"), col("block_md5")).agg(count(lit(1)).as("n"))
-    val bySrc = per.groupBy(col("source"))
-      .agg(sum(col("n")).as("n_chunks"), count(lit(1)).as("n_distinct"))
-    val crossShared = per
+    // r16: ONE pass over `per`. The pre-r16 shape computed bySrc and
+    // crossShared as two separate consumers of the UNLEASED `per` —
+    // Spark re-ran the whole md5-heavy chunk pipeline per consumer (the
+    // two ~10 s-run twin stages in the q98 profile) and paid a
+    // join-back. `nsrc` rides a window over the (source, block) rows —
+    // partitioned by block hash, bounded per partition by the source
+    // cardinality — and both aggregates fold into one groupBy(source);
+    // a source with no cross-shared block counts 0 via the conditional
+    // count, exactly the old left-join + na.fill.
+    per
       .withColumn("nsrc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("block_md5"))))
-      .where(col("nsrc") > 1)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_cross_shared"))
-    bySrc.join(crossShared, Seq("source"), "left")
-      .na.fill(0L, Seq("n_cross_shared"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_chunks"), count(lit(1)).as("n_distinct"),
+        count(when(col("nsrc") > 1, 1)).as("n_cross_shared"))
       .select(col("source"), col("n_chunks"), col("n_distinct"),
         expr("((n_chunks - n_distinct) * 1000000L) div n_chunks").as("dup_ppm"),
         col("n_cross_shared"))

@@ -28,8 +28,12 @@ object HashedLinearModel {
   /** Milli-weight span: weights are integers in [-1000, 1000]. */
   val WSpan = 2001L
 
-  private def h28(x: String): String =
-    s"CAST(conv(substring(md5($x), 1, 7), 16, 10) AS BIGINT)"
+  // r16: the native [[graft.functions.Md5Prefix]] expression — value-
+  // identical to conv(substring(md5(x), 1, 7), 16, 10) but computed
+  // straight from the digest bytes. The built-in chain paid a 32-char
+  // hex render + substring + base-16 re-parse PER FEATURE OCCURRENCE
+  // (every token and bigram of the corpus) in the scoring fold below.
+  private def h28(x: String): String = s"md5_prefix($x, 7)"
 
   /** The full weight table, computed ONCE at plan-build time on the JVM
     * ([[graft.functions.PortableHash.h28jvm]] is the bit-exact twin of
