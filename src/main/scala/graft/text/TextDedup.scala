@@ -695,6 +695,13 @@ object TextDedup {
     * footprint with NO recall loss (SaltedJaccardSpec pins equality
     * with the single-pass operator).
     *
+    * '''P=1 contract note''': at an effective pass count of 1 (explicit
+    * or auto) `outDir` is UNUSED — no `pass=0` parquet is landed and
+    * the verify chain returns directly (in-pass candidates are already
+    * deduped, so the cross-pass collapse is vacuous). Callers that
+    * inspect the landing directory should treat it as present only for
+    * P ≥ 2.
+    *
     * Perfect recall is per-pass: the prefix-filter lemma guarantees a
     * true pair shares its globally-smallest common prefix token t*, and
     * the pass containing t* generates the pair (other shared prefix
@@ -818,9 +825,11 @@ object TextDedup {
   }
 
   private def hashedSets(sh: DataFrame): DataFrame =
+    // md5_prefix(s, 15): native twin of conv(substring(md5(s),1,15),16,10)
+    // — same value, no hex render/substring/base-16 re-parse per shingle
     sh.select(col("doc_id"), expr(
       """array_sort(array_distinct(transform(shingles,
-        |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))))"""
+        |  s -> md5_prefix(s, 15))))"""
         .stripMargin).as("hs"))
 
   def containmentPairs(test: DataFrame, train: DataFrame,
@@ -909,7 +918,10 @@ object TextDedup {
     * t*'s slice generates the pair (other shared prefix shingles may
     * regenerate it elsewhere — duplicates with the SAME containment
     * value, never misses). ContainmentSaltedSpec pins pass-count
-    * invariance vs the single-pass operator. */
+    * invariance vs the single-pass operator.
+    *
+    * '''P=1 contract note''': same as [[ngramJaccardPairsSalted]] — at
+    * an effective pass count of 1, `outDir` is unused (no landing). */
   def containmentPairsSalted(testSets: DataFrame, trainSets: DataFrame,
                              outDir: String, threshold: Double = 0.5,
                              passes: Int = 0): DataFrame = {
@@ -932,10 +944,12 @@ object TextDedup {
       hashsetBytes(hsTest) + hashsetBytes(hsTrain) <= BroadcastVerifyBytes
     val prefix = containmentPrefix(hsTest, threshold)
     val index = containmentIndex(hsTrain)
+    // r16: no dropDuplicates here — containmentCandVerify already
+    // dedups candidates before verify, so at P=1 the pair stream is
+    // unique by construction and the extra exchange was pure overhead
     if (nPasses == 1)
       return containmentCandVerify(hsTest, hsTrain, prefix, index, threshold,
           broadcastVerify = bcast)
-        .dropDuplicates("test_id", "train_id")
         .select(col("test_id"), col("train_id"), col("containment"))
         .orderBy("test_id", "train_id")
     (0 until nPasses).foreach { p =>
