@@ -94,14 +94,17 @@ object Release {
     * (guide §8: decide on proxies, move payloads once).
     *
     * Semantics are bit-equal to the operators it folds:
-    *  - threshold: cum(q) = count over (source ORDER BY quality DESC
-    *    RANGE UNBOUNDED PRECEDING..CURRENT) counts rows with quality ≥
-    *    q (peers included) — exactly topFractionThresholds' running
-    *    sum over the DESC-ordered distinct-quality counts evaluated at
-    *    q; threshold = max quality whose cum reaches
-    *    greatest(1, (n_rows*1) div 4). Integer arithmetic identical.
-    *  - gated mass: windows over the threshold-filtered rows (the
-    *    partitioning by source survives the filter — no new exchange).
+    *  - threshold: over the per-source DISTINCT-quality counts (the
+    *    group-then-window discipline — see the r16 note in the body),
+    *    cum(q) = sum of counts over (source ORDER BY quality DESC)
+    *    counts rows with quality ≥ q — exactly topFractionThresholds'
+    *    running sum evaluated at q; threshold = max quality whose cum
+    *    reaches greatest(1, (n_rows*num) div den) at the shared
+    *    [[graft.text.Curation.TopFractionNum]]/`Den` fraction. Integer
+    *    arithmetic identical.
+    *  - gated mass: windows over the threshold-filtered distinct-quality
+    *    rows (the partitioning by source survives the filter — no new
+    *    exchange).
     *  - all_tokens: an unpartitioned window over the SOURCE-CARDINALITY
     *    dedup (bounded ~20 rows forever), computed BEFORE the mixture
     *    join exactly like mixtureRates' `tot`.
@@ -110,20 +113,37 @@ object Release {
   private[graft] def decisionTable(surv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy(col("source"))
+    // r16 (the r15 verdict's skew fix): pre-aggregate to the per-source
+    // DISTINCT-QUALITY table BEFORE any window — exactly
+    // [[graft.text.Curation.topFractionThresholds]]' group-then-window
+    // discipline. The r15 shape ran the cumulative window over RAW
+    // survivor rows partitioned only by source: one reducer sorts a
+    // source's entire document set — a multi-TB per-source serialization
+    // at 100 TB. The hash aggregate below is map-side combinable and
+    // value-compresses the window input to score cardinality; every
+    // window then runs over the bounded distinct-quality frame.
+    // Equivalence is row-arithmetic identical: with distinct quality per
+    // source, ROWS framing ≡ the old RANGE framing (no peers), and
+    // sum(__c) over quality ≥ q ≡ the old count of raw rows with
+    // quality ≥ q; the gated sums fold the identical longs.
     val byQualDesc = Window.partitionBy(col("source"))
       .orderBy(col("quality").desc)
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     surv.select(col("source"), col("quality"), col("kept_tokens"))
-      .withColumn("n_rows", count(lit(1)).over(bySrc))
-      .withColumn("__cum", count(lit(1)).over(byQualDesc))
+      .groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("__c"), sum(col("kept_tokens")).as("__t"))
+      .withColumn("n_rows", sum(col("__c")).over(bySrc))
+      .withColumn("__cum", sum(col("__c")).over(byQualDesc))
       .withColumn("threshold",
-        max(when(col("__cum") >= greatest(lit(1L), expr("(n_rows * 1) div 4")),
+        max(when(col("__cum") >= greatest(lit(1L), expr(
+          s"(n_rows * ${graft.text.Curation.TopFractionNum}) " +
+            s"div ${graft.text.Curation.TopFractionDen}")),
           col("quality"))).over(bySrc))
       .where(col("quality") >= col("threshold"))
-      .withColumn("n_gated", count(lit(1)).over(bySrc))
-      .withColumn("gated_tokens", sum(col("kept_tokens")).over(bySrc))
+      .withColumn("n_gated", sum(col("__c")).over(bySrc))
+      .withColumn("gated_tokens", sum(col("__t")).over(bySrc))
       .select(col("source"), col("n_rows"), col("threshold"),
         col("n_gated"), col("gated_tokens"))
       .dropDuplicates("source")
@@ -131,13 +151,46 @@ object Release {
   }
 
   /** [[mixtureRates]]' arithmetic over an already-computed
-    * [[decisionTable]] — bounded-frame column math, no corpus touch. */
-  private def ratesFromDecision(dec: DataFrame, mixture: DataFrame): DataFrame =
-    dec.join(mixture.select(col("source"), col("mix_ppm")), Seq("source"))
+    * [[decisionTable]] — bounded-frame column math, no corpus touch.
+    * r16: LEFT join — every decision-table source stays present, with
+    * share/keep/mix NULL for a source the mixture table does not know
+    * (exactly the rows the pre-r16 inner join dropped: the released
+    * filter treats a NULL keep_ppm as "not released" just as it treated
+    * the missing row, and the card/diff assemblies coalesce the NULLs
+    * to the same zeros). One frame now serves gate, sample and
+    * assembly, so the card's survivor stats no longer need a second
+    * dec-derived join. */
+  private[graft] def ratesFromDecision(dec: DataFrame, mixture: DataFrame): DataFrame =
+    dec.join(mixture.select(col("source"), col("mix_ppm")), Seq("source"), "left")
       .withColumn("share_ppm",
-        expr("(gated_tokens * 1000000) div greatest(1L, all_tokens)"))
-      .withColumn("keep_ppm", least(lit(1000000L),
-        expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)")))
+        when(col("mix_ppm").isNotNull,
+          expr("(gated_tokens * 1000000) div greatest(1L, all_tokens)")))
+      .withColumn("keep_ppm", when(col("mix_ppm").isNotNull, least(lit(1000000L),
+        expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)"))))
+
+  /** r16 — the card/diff ASSEMBLY pivot: the pre-r16 assemblies left-
+    * joined 5–8 bounded per-source frames (one BroadcastExchange build
+    * + join stage each — the dominant AQE job count of q140/q147 after
+    * the r15 decision-table fold). Each input frame carries ≤1 row per
+    * source, so the joins are equivalently ONE union of null-padded
+    * projections + ONE per-source max aggregate: a single exchange over
+    * a few dozen bounded rows replaces the broadcast-join cascade.
+    * `max` over a ≤1-row group IS the value (or NULL when the frame
+    * lacks the source — exactly the left-join NULL the callers coalesce
+    * away). Missing columns are null-padded; all card scalars are
+    * BIGINT (the callers' coalesce(x, 0L) pinned that schema long
+    * before r16, so the cast is a no-op on present values). */
+  private def pivotBySource(frames: Seq[DataFrame], cols: Seq[String]): DataFrame = {
+    val branches = frames.map { f =>
+      val have = f.columns.toSet
+      f.select(col("source") +: cols.map(c =>
+        (if (have(c)) col(c).cast("long") else lit(null).cast("long")).as(c)): _*)
+    }
+    val aggs = cols.map(c => max(col(c)).as(c))
+    branches.reduce(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Stage 4a — mixture realization rates on released token mass. */
   def mixtureRates(gatedDf: DataFrame, mixture: DataFrame): DataFrame = {
@@ -245,31 +298,25 @@ object Release {
       rel.groupBy(col("source"))
         .agg(count(lit(1)).as(s"n_released_$suffix"),
           sum(col("kept_tokens")).as(s"released_tokens_$suffix"))
-    // LEFT joins from the full source dim (the card-completeness rule):
-    // a source absent from one release still appears, zeroed
-    sourceDim
-      .join(relStats(relP, "prev"), Seq("source"), "left")
-      .join(relStats(relC, "cur"), Seq("source"), "left")
-      .join(churn, Seq("source"), "left")
-      .join(thrP.select(col("source"), col("threshold").as("threshold_prev")),
-        Seq("source"), "left")
-      .join(thrC.select(col("source"), col("threshold").as("threshold_cur")),
-        Seq("source"), "left")
-      .join(ratesP.select(col("source"), col("keep_ppm").as("keep_ppm_prev")),
-        Seq("source"), "left")
-      .join(ratesC.select(col("source"), col("keep_ppm").as("keep_ppm_cur")),
-        Seq("source"), "left")
-      .select(col("source"),
-        coalesce(col("n_released_prev"), lit(0L)).as("n_released_prev"),
-        coalesce(col("n_released_cur"), lit(0L)).as("n_released_cur"),
-        coalesce(col("n_added"), lit(0L)).as("n_added"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        coalesce(col("released_tokens_prev"), lit(0L)).as("released_tokens_prev"),
-        coalesce(col("released_tokens_cur"), lit(0L)).as("released_tokens_cur"),
-        coalesce(col("threshold_prev"), lit(0L)).as("threshold_prev"),
-        coalesce(col("threshold_cur"), lit(0L)).as("threshold_cur"),
-        coalesce(col("keep_ppm_prev"), lit(0L)).as("keep_ppm_prev"),
-        coalesce(col("keep_ppm_cur"), lit(0L)).as("keep_ppm_cur"))
+    // diff assembly (r16): the 7-way LEFT-join cascade from the source
+    // dim folds into one [[pivotBySource]] exchange — the
+    // card-completeness rule is kept by the `__dim` marker: a source
+    // absent from one release still appears zeroed, a source outside
+    // the dim never appears.
+    val diffCols = Seq("n_released_prev", "n_released_cur", "n_added",
+      "n_removed", "released_tokens_prev", "released_tokens_cur",
+      "threshold_prev", "threshold_cur", "keep_ppm_prev", "keep_ppm_cur")
+    pivotBySource(Seq(
+        sourceDim.withColumn("__dim", lit(1L)),
+        relStats(relP, "prev"), relStats(relC, "cur"), churn,
+        thrP.select(col("source"), col("threshold").as("threshold_prev")),
+        thrC.select(col("source"), col("threshold").as("threshold_cur")),
+        ratesP.select(col("source"), col("keep_ppm").as("keep_ppm_prev")),
+        ratesC.select(col("source"), col("keep_ppm").as("keep_ppm_cur"))),
+      "__dim" +: diffCols)
+      .where(col("__dim").isNotNull)
+      .select(col("source") +: diffCols.map(c =>
+        coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy("source")
   }
 
@@ -324,7 +371,7 @@ object Release {
     val gatedDf = surv
       .join(thr, Seq("source"))
       .where(col("quality") >= col("threshold"))
-    // leased: probed by the released filter AND the assembly join, and
+    // leased: probed by the released filter AND the assembly pivot, and
     // the mixture side is a corpus-scan subtree (pre-r15 it re-ran per
     // consumer)
     val rates = graft.Graft.lease(ratesFromDecision(dec, mixture))
@@ -336,8 +383,6 @@ object Release {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("pack_id")).as("n_packs_touched"))
-    // card assembly — source-cardinality joins only
-    val survStats = dec.select(col("source"), col("n_rows").as("n_survivors"))
     val relStats = released.groupBy(col("source"))
       .agg(count(lit(1)).as("n_released"),
         sum(col("n_tokens")).as("pre_scrub_tokens"),
@@ -347,31 +392,28 @@ object Release {
         expr("((pre_scrub_tokens - released_tokens) * 1000000) div " +
           "greatest(1L, pre_scrub_tokens)").as("scrub_removed_ppm"),
         expr("sq div n_released").as("avg_quality_released"))
-    // LEFT joins from the raw per-source counts: a source whose docs
-    // are all removed by a stage (or that is missing from the mixture
-    // table) must still appear in the card with its n_docs_raw and
-    // zeroed stage columns — a card that silently omits a fully-
-    // filtered source misrepresents the release
-    raw
-      .join(survStats, Seq("source"), "left")
-      .join(thr.select(col("source"), col("threshold")), Seq("source"), "left")
-      .join(rates.select(col("source"), col("n_gated"), col("share_ppm"),
-        col("mix_ppm"), col("keep_ppm")), Seq("source"), "left")
-      .join(relStats, Seq("source"), "left")
-      .join(packStats, Seq("source"), "left")
-      .select(col("source"), col("n_docs_raw"),
-        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
-        coalesce(col("threshold"), lit(0L)).as("threshold"),
-        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
-        coalesce(col("share_ppm"), lit(0L)).as("share_ppm"),
-        coalesce(col("mix_ppm"), lit(0L)).as("mix_ppm"),
-        coalesce(col("keep_ppm"), lit(0L)).as("keep_ppm"),
-        coalesce(col("n_released"), lit(0L)).as("n_released"),
-        coalesce(col("released_tokens"), lit(0L)).as("released_tokens"),
-        coalesce(col("scrub_removed_ppm"), lit(0L)).as("scrub_removed_ppm"),
-        coalesce(col("avg_quality_released"), lit(0L)).as("avg_quality_released"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("n_packs_touched"), lit(0L)).as("n_packs_touched"))
+    // card assembly (r16): ONE pivot aggregate over the bounded
+    // per-source frames replaces the raw ⟕ survStats ⟕ thr ⟕ rates ⟕
+    // relStats ⟕ packStats broadcast-join cascade (6 joins → 1
+    // exchange over a few dozen rows; see [[pivotBySource]]). The
+    // zeroed-columns rule is unchanged: a source whose docs are all
+    // removed by a stage (or that is missing from the mixture table)
+    // still appears with its n_docs_raw and zeroed stage columns —
+    // n_gated is surfaced only when the mixture knows the source,
+    // exactly the rows the pre-r16 inner-join rates dropped.
+    val decision = rates.select(col("source"),
+      col("n_rows").as("n_survivors"), col("threshold"),
+      when(col("mix_ppm").isNotNull, col("n_gated")).as("n_gated"),
+      col("share_ppm"), col("mix_ppm"), col("keep_ppm"))
+    val cardCols = Seq("n_docs_raw", "n_survivors", "threshold", "n_gated",
+      "share_ppm", "mix_ppm", "keep_ppm", "n_released", "released_tokens",
+      "scrub_removed_ppm", "avg_quality_released", "n_chunks", "n_packs_touched")
+    pivotBySource(Seq(raw, decision, relStats, packStats), cardCols)
+      // the LEFT-join-from-raw contract: only raw's sources appear
+      .where(col("n_docs_raw").isNotNull)
+      .select(col("source") +: cardCols.map(c =>
+        if (c == "n_docs_raw") col(c)
+        else coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy("source")
   }
 }

@@ -63,6 +63,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** [[curate]] over the MATERIALIZED duplicate-graph edge list
+    * (warehouse `neardup_pairs` = rep-level verified pairs ∪ exact star
+    * edges — [[graft.warehouse.Warehouse.buildNearDupPairs]]): the
+    * near-dup stage reads corpus state exactly like the graph analytics
+    * (q35/q105/q107 read the same table) instead of re-running
+    * exact-group → shingle → minhash → band → verify per query.
+    * Decisions identical by construction — the artifact IS
+    * [[graft.text.TextDedup.minhashLshPairs]]' pair set at the default
+    * threshold, so `losers` (the doc_b sides) match the fresh
+    * derivation row-for-row. r16: removes the three heaviest per-query
+    * corpus passes (exact-group md5, shingle+minhash signatures, the
+    * band self-join) from the composed pipeline's plan. */
+  def curateFromPairs(docs: DataFrame, pairs: DataFrame,
+                      minQuality: Double = 0.5,
+                      lang: String = "en"): DataFrame = {
+    val keepers = TextDedup.normalized(docs).select(col("doc_id"))
+    val nearDupLosers = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))
+    docs.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .where(col("quality_score") >= lit(minQuality) && col("lang_guess") === lit(lang))
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** Per-stage YIELD REPORT for the same pipeline — the one-row summary
     * every curation run ships with its dataset: how many documents
     * survive each successive stage (raw → exact/normalized dedup →
@@ -81,6 +110,35 @@ object Curation {
     val losers = TextDedup.minhashLshPairsFromShingles(sh, jaccardThreshold)
       .unionByName(TextDedup.exactStarEdges(g))
       .select(col("doc_b").as("doc_id")).distinct().withColumn("lzf", lit(1))
+    val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))
+    docs.select(col("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .join(langs, Seq("doc_id"))
+      .select(
+        coalesce(col("kf"), lit(0)).as("kf"),
+        (lit(1) - coalesce(col("lzf"), lit(0))).as("nlf"),
+        coalesce((col("quality_score") >= lit(minQuality)).cast("int"), lit(0)).as("qf"),
+        coalesce((col("lang_guess") === lit(lang)).cast("int"), lit(0)).as("lf"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("kf")).as("n_after_dedup"),
+        sum(col("kf") * col("nlf")).as("n_after_neardup"),
+        sum(col("kf") * col("nlf") * col("qf")).as("n_after_quality"),
+        sum(col("kf") * col("nlf") * col("qf") * col("lf")).as("n_after_lang"))
+  }
+
+  /** [[funnel]] over the materialized duplicate-graph edge list — the
+    * artifact-path twin of [[curateFromPairs]] (same `neardup_pairs`
+    * table, same identical-decisions argument). */
+  def funnelFromPairs(docs: DataFrame, pairs: DataFrame,
+                      minQuality: Double = 0.5,
+                      lang: String = "en"): DataFrame = {
+    val keepers = TextDedup.normalized(docs).select(col("doc_id")).withColumn("kf", lit(1))
+    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("lzf", lit(1))
     val quality = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
     val langs = TextAnalysis.langGuess(docs).select(col("doc_id"), col("lang_guess"))
     docs.select(col("doc_id"))
@@ -132,6 +190,15 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  /** The default gate fraction (top `TopFractionNum/TopFractionDen` =
+    * top quartile) — ONE definition read by both spellings of the gate
+    * ([[topFractionThresholds]] and
+    * [[graft.pipeline.Release.decisionTable]]'s windowed fold), so a
+    * fraction change cannot silently diverge the card/diff gate from
+    * the standalone gate operators (r15 ADVICE). */
+  val TopFractionNum = 1
+  val TopFractionDen = 4
+
   /** Per-group exact top-fraction thresholds: for each `group`, the
     * smallest `score` value such that the rows scoring ≥ it are the
     * group's top `num/den` fraction (at least one row; ties at the
@@ -145,7 +212,8 @@ object Curation {
     * within a partition, RANGE/ROWS framing peers are identical, so
     * any SQL engine replays it exactly. */
   def topFractionThresholds(scored: DataFrame, group: String, score: String,
-                            num: Int = 1, den: Int = 4): DataFrame = {
+                            num: Int = TopFractionNum,
+                            den: Int = TopFractionDen): DataFrame = {
     require(num > 0 && den >= num, s"top fraction must be in (0,1]: $num/$den")
     import org.apache.spark.sql.expressions.Window
     val n = scored.groupBy(col(group)).agg(count(lit(1)).as("n_rows"))
