@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
 /** Benchmark harness — one JSON line on stdout AND written to
   * `BENCH.json` (path overridable via SPARK_GRAFT_BENCH_OUT), so the
   * driver can parse it even if a logger decorates stdout.
@@ -53,6 +55,21 @@ object Bench {
     // binary); the second pass costs ~30 s of untimed wall once.
     warmDir.foreach(w => (1 to 2).foreach(_ =>
       SparkEntry.queries.keys.foreach { n => cleanup(); run(w, n) }))
+
+    // Host-drift calibration sentinel (r16, per the r15 verdict): a
+    // FIXED synthetic workload — 150M xxhash64+sum in ONE task, so the
+    // number is a pure single-core-throughput probe independent of
+    // SPARK_GRAFT_CPUS and of the data directory — timed after warmup
+    // and reported as sentinel_sec in both the stdout line and
+    // BENCH.json. Two rounds running, the headline total moved for
+    // environmental reasons (r14 +17%, r15 0.86×) and needed manual
+    // same-host A/B re-runs of old binaries to exonerate the code;
+    // future rounds can normalize totals by the sentinel instead.
+    val tSen = System.nanoTime()
+    spark.range(0L, 150000000L, 1L, 1)
+      .select(xxhash64(col("id")).as("h")).agg(sum(col("h")))
+      .write.mode("overwrite").format("noop").save()
+    val senSec = (System.nanoTime() - tSen) / 1e9
 
     // The warehouse layer materializes dims/facts once per corpus and the
     // analytic queries read the parquet (mirrors the reference DAG: tables
@@ -107,7 +124,7 @@ object Bench {
     val totalSteady = results.map(_._3).sum
     val totalMedian = results.map(_._4).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"queries_steady_median":$qsMedian,"total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"errors":$errs,"warehouse_build_sec":$whSec,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"queries_steady_median":$qsMedian,"total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"errors":$errs,"warehouse_build_sec":$whSec,"sentinel_sec":$senSec,"sf":${q(sfDir)}}"""
     Files.writeString(Paths.get(benchOut), fullJson + "\n")
     // The stdout line MUST stay short: the driver captures only the last
     // ~2000 chars of output, and the round-5 line (72-query cold+steady
@@ -120,8 +137,19 @@ object Bench {
         whErr.map(("warehouse_build", _)))
       .take(8).map { case (k, e) => s"${q(k)}:${q(e.take(40))}" }
       .mkString("{", ",", "}")
+    // r16: restore per-query driver visibility (the r15 PERF gate had
+    // per_query:{} because only this truncated line survives) — the
+    // TOP-20 steady-medians ride the summary line, 3-decimal, ~800
+    // bytes; the full map stays in BENCH.json. Everything still ONE
+    // JSON line, sized inside the driver's ~2000-char tail capture
+    // even alongside the capped errors map.
+    val top = results.sortBy(-_._4).take(20)
+      // Locale.ROOT: a comma decimal separator would break the JSON
+      .map { case (k, _, _, m, _) =>
+        s"${q(k)}:" + "%.3f".formatLocal(java.util.Locale.ROOT, m) }
+      .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sentinel_sec":$senSec,"top_steady_median":$top,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
     println(summary)
     spark.stop()
   }
