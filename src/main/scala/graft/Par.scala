@@ -41,11 +41,11 @@ object Par {
       (charged + maxSplit - 1) / maxSplit
     }
     val analyzed = df.queryExecution.analyzed
-    val est: Option[Long] = analyzed.collectLeaves() match {
+    val parts: Long = analyzed.collectLeaves() match {
       case Seq(l: LogicalRelation) if l.relation.isInstanceOf[HadoopFsRelation] =>
         val r = l.relation.asInstanceOf[HadoopFsRelation]
-        Some(splitEstimate(r.location.sizeInBytes,
-          math.max(1L, r.location.inputFiles.length.toLong)))
+        splitEstimate(r.location.sizeInBytes,
+          math.max(1L, r.location.inputFiles.length.toLong))
       case _ =>
         // Derived shape (joins/projections over caches and scans): the
         // pre-r15 fallback was `df.rdd.getNumPartitions` — an EXACT
@@ -56,10 +56,10 @@ object Par {
         // query, so the probe's work is pure double-pay (measured: the
         // q140 release chain spent ~2-3 s/run here at sf0.1). Estimate
         // instead from the optimized plan's LEAF sizes with the same
-        // split arithmetic — leaf stats never inflate through join
-        // estimates, the probe stays driver-side with no jobs, and the
-        // decision is identical in both regimes: bench-scale MBs →
-        // repartition, 100 TB leaf sets (thousands of splits) → no-op.
+        // split arithmetic — the probe stays driver-side with no jobs,
+        // and the decision is identical in both regimes: bench-scale
+        // MBs → repartition, 100 TB leaf sets (thousands of splits) →
+        // no-op.
         val leaves = df.queryExecution.optimizedPlan.collectLeaves()
         val capped = BigInt(Long.MaxValue / 4)
         val (bytes, files) = leaves.foldLeft((0L, 0L)) { case ((b, f), leaf) =>
@@ -68,13 +68,31 @@ object Par {
               val r = l.relation.asInstanceOf[HadoopFsRelation]
               (b + math.max(1L, r.location.sizeInBytes),
                 f + math.max(1L, r.location.inputFiles.length.toLong))
+            case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+              // r16 (r15 ADVICE): a MATERIALIZED cache reports its true
+              // byte size through stats; an unmaterialized one reports
+              // its child PLAN estimate, which for a cached join
+              // subtree can be an inflated product estimate — size that
+              // case from the cached plan's own file scans instead (the
+              // partition count of a cache is its build plan's, i.e.
+              // the scans' splits), falling back to the estimate only
+              // when the cached plan has no file leaves.
+              val fileScans = imr.cachedPlan.collect {
+                case fs: org.apache.spark.sql.execution.FileSourceScanExec =>
+                  fs.relation
+              }
+              if (!imr.cacheBuilder.isCachedColumnBuffersLoaded && fileScans.nonEmpty)
+                (b + fileScans.map(r => math.max(1L, r.location.sizeInBytes)).sum,
+                  f + fileScans.map(r =>
+                    math.max(1L, r.location.inputFiles.length.toLong)).sum)
+              else
+                (b + imr.stats.sizeInBytes.min(capped).toLong, f + 1L)
             case other =>
               (b + other.stats.sizeInBytes.min(capped).toLong, f + 1L)
           }
         }
-        Some(splitEstimate(bytes, files))
+        splitEstimate(bytes, files)
     }
-    val parts = est.getOrElse(target.toLong)
     if (parts < target) df.repartition(target) else df
   }
 }
