@@ -61,6 +61,18 @@ object Par {
         // MBs → repartition, 100 TB leaf sets (thousands of splits) →
         // no-op.
         val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        // CACHE-FED frames are already placed: widening one re-ships
+        // its rows (payload included) through an exchange, which r15
+        // measured 2× worse than the narrow cache scans it replaced
+        // (q140 6.1 → 11.0 s when the release survivor text was
+        // repartitioned; re-confirmed r16 when an eager cache fill made
+        // the estimate exact and re-fired the repartition: three
+        // 14–24 s-run stages appeared in the q140 profile). At 100 TB a
+        // materialized corpus cache already carries thousands of
+        // partitions, so skipping is a no-op there too.
+        if (leaves.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]))
+          return df
         val capped = BigInt(Long.MaxValue / 4)
         val (bytes, files) = leaves.foldLeft((0L, 0L)) { case ((b, f), leaf) =>
           leaf match {

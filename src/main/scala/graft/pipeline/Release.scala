@@ -168,30 +168,6 @@ object Release {
       .withColumn("keep_ppm", when(col("mix_ppm").isNotNull, least(lit(1000000L),
         expr("(mix_ppm * 1000000) div greatest(1L, share_ppm)"))))
 
-  /** r16 — the card/diff ASSEMBLY pivot: the pre-r16 assemblies left-
-    * joined 5–8 bounded per-source frames (one BroadcastExchange build
-    * + join stage each — the dominant AQE job count of q140/q147 after
-    * the r15 decision-table fold). Each input frame carries ≤1 row per
-    * source, so the joins are equivalently ONE union of null-padded
-    * projections + ONE per-source max aggregate: a single exchange over
-    * a few dozen bounded rows replaces the broadcast-join cascade.
-    * `max` over a ≤1-row group IS the value (or NULL when the frame
-    * lacks the source — exactly the left-join NULL the callers coalesce
-    * away). Missing columns are null-padded; all card scalars are
-    * BIGINT (the callers' coalesce(x, 0L) pinned that schema long
-    * before r16, so the cast is a no-op on present values). */
-  private def pivotBySource(frames: Seq[DataFrame], cols: Seq[String]): DataFrame = {
-    val branches = frames.map { f =>
-      val have = f.columns.toSet
-      f.select(col("source") +: cols.map(c =>
-        (if (have(c)) col(c).cast("long") else lit(null).cast("long")).as(c)): _*)
-    }
-    val aggs = cols.map(c => max(col(c)).as(c))
-    branches.reduce(_ unionByName _)
-      .groupBy(col("source"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
-
   /** Stage 4a — mixture realization rates on released token mass. */
   def mixtureRates(gatedDf: DataFrame, mixture: DataFrame): DataFrame = {
     val mass = gatedDf.groupBy(col("source"))
@@ -269,22 +245,24 @@ object Release {
     // reference — unleased, the whole threshold→gate→rate→sample tree
     // re-executed per consumer (~12 s of re-run stages at sf0.1 for
     // zero new information); leased, each fills once
-    def decide(s: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    def decide(s: DataFrame): (DataFrame, DataFrame) = {
       // one leased bounded decision table per layer (r15): thresholds,
       // rates and the released set all derive from it — the pre-r15
       // shape leased four frames and re-ran the aggregate→join-back
-      // chain per layer (see decisionTable's scaladoc)
+      // chain per layer (see decisionTable's scaladoc). r16: the rates
+      // frame carries the dec columns (left-join rewrite), so it is the
+      // layer's single decision output — threshold and keep rate both
+      // read from it downstream.
       val dec = graft.Graft.lease(decisionTable(s))
-      val thr = dec.select(col("source"), col("n_rows"), col("threshold"))
       // leased: rates carries the mixture subtree (a corpus scan) and
       // is probed by the released filter AND the assembly join
       val rates = graft.Graft.lease(ratesFromDecision(dec, mixture))
-      val g = gatedBy(s, thr)
-      (thr, rates, graft.Graft.lease(releasedDocs(g, rates)
+      val g = gatedBy(s, dec.select(col("source"), col("threshold")))
+      (rates, graft.Graft.lease(releasedDocs(g, rates)
         .select(col("doc_id"), col("source"), col("kept_tokens"))))
     }
-    val (thrP, ratesP, relP) = decide(surv.where(!isNew))
-    val (thrC, ratesC, relC) = decide(surv)
+    val (ratesP, relP) = decide(surv.where(!isNew))
+    val (ratesC, relC) = decide(surv)
     val churn = relC.select(col("doc_id"), col("source"), lit(1L).as("in_cur"))
       .join(relP.select(col("doc_id"), lit(1L).as("in_prev")), Seq("doc_id"), "full_outer")
       // source rides the cur side; a prev-only doc re-reads it from surv
@@ -298,25 +276,31 @@ object Release {
       rel.groupBy(col("source"))
         .agg(count(lit(1)).as(s"n_released_$suffix"),
           sum(col("kept_tokens")).as(s"released_tokens_$suffix"))
-    // diff assembly (r16): the 7-way LEFT-join cascade from the source
-    // dim folds into one [[pivotBySource]] exchange — the
-    // card-completeness rule is kept by the `__dim` marker: a source
-    // absent from one release still appears zeroed, a source outside
-    // the dim never appears.
-    val diffCols = Seq("n_released_prev", "n_released_cur", "n_added",
-      "n_removed", "released_tokens_prev", "released_tokens_cur",
-      "threshold_prev", "threshold_cur", "keep_ppm_prev", "keep_ppm_cur")
-    pivotBySource(Seq(
-        sourceDim.withColumn("__dim", lit(1L)),
-        relStats(relP, "prev"), relStats(relC, "cur"), churn,
-        thrP.select(col("source"), col("threshold").as("threshold_prev")),
-        thrC.select(col("source"), col("threshold").as("threshold_cur")),
-        ratesP.select(col("source"), col("keep_ppm").as("keep_ppm_prev")),
-        ratesC.select(col("source"), col("keep_ppm").as("keep_ppm_cur"))),
-      "__dim" +: diffCols)
-      .where(col("__dim").isNotNull)
-      .select(col("source") +: diffCols.map(c =>
-        coalesce(col(c), lit(0L)).as(c)): _*)
+    // diff assembly (r16): each layer's threshold AND keep rate ride
+    // the one leased rates frame (it carries the dec columns since the
+    // left-join rewrite), folding the pre-r16 7-join cascade to 5 LEFT
+    // joins of bounded frames. The card-completeness rule is unchanged:
+    // a source absent from one release still appears, zeroed.
+    def decCols(r: DataFrame, suffix: String): DataFrame =
+      r.select(col("source"), col("threshold").as(s"threshold_$suffix"),
+        col("keep_ppm").as(s"keep_ppm_$suffix"))
+    sourceDim
+      .join(relStats(relP, "prev"), Seq("source"), "left")
+      .join(relStats(relC, "cur"), Seq("source"), "left")
+      .join(churn, Seq("source"), "left")
+      .join(decCols(ratesP, "prev"), Seq("source"), "left")
+      .join(decCols(ratesC, "cur"), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_released_prev"), lit(0L)).as("n_released_prev"),
+        coalesce(col("n_released_cur"), lit(0L)).as("n_released_cur"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("released_tokens_prev"), lit(0L)).as("released_tokens_prev"),
+        coalesce(col("released_tokens_cur"), lit(0L)).as("released_tokens_cur"),
+        coalesce(col("threshold_prev"), lit(0L)).as("threshold_prev"),
+        coalesce(col("threshold_cur"), lit(0L)).as("threshold_cur"),
+        coalesce(col("keep_ppm_prev"), lit(0L)).as("keep_ppm_prev"),
+        coalesce(col("keep_ppm_cur"), lit(0L)).as("keep_ppm_cur"))
       .orderBy("source")
   }
 
@@ -392,10 +376,14 @@ object Release {
         expr("((pre_scrub_tokens - released_tokens) * 1000000) div " +
           "greatest(1L, pre_scrub_tokens)").as("scrub_removed_ppm"),
         expr("sq div n_released").as("avg_quality_released"))
-    // card assembly (r16): ONE pivot aggregate over the bounded
-    // per-source frames replaces the raw ⟕ survStats ⟕ thr ⟕ rates ⟕
-    // relStats ⟕ packStats broadcast-join cascade (6 joins → 1
-    // exchange over a few dozen rows; see [[pivotBySource]]). The
+    // card assembly (r16): every decision scalar rides the ONE leased
+    // rates frame (it carries the dec columns since the left-join
+    // rewrite), so the pre-r16 raw ⟕ survStats ⟕ thr ⟕ rates ⟕
+    // relStats ⟕ packStats cascade is now 3 LEFT joins of bounded
+    // frames. (A union+pivot single-exchange assembly was measured and
+    // REVERTED: fusing every branch into one stage built a plan/codegen
+    // unit 4× the size, whose per-task setup cost more than the
+    // broadcast builds it removed — see OPTIMIZATION_r16.md.) The
     // zeroed-columns rule is unchanged: a source whose docs are all
     // removed by a stage (or that is missing from the mixture table)
     // still appears with its n_docs_raw and zeroed stage columns —
@@ -405,15 +393,23 @@ object Release {
       col("n_rows").as("n_survivors"), col("threshold"),
       when(col("mix_ppm").isNotNull, col("n_gated")).as("n_gated"),
       col("share_ppm"), col("mix_ppm"), col("keep_ppm"))
-    val cardCols = Seq("n_docs_raw", "n_survivors", "threshold", "n_gated",
-      "share_ppm", "mix_ppm", "keep_ppm", "n_released", "released_tokens",
-      "scrub_removed_ppm", "avg_quality_released", "n_chunks", "n_packs_touched")
-    pivotBySource(Seq(raw, decision, relStats, packStats), cardCols)
-      // the LEFT-join-from-raw contract: only raw's sources appear
-      .where(col("n_docs_raw").isNotNull)
-      .select(col("source") +: cardCols.map(c =>
-        if (c == "n_docs_raw") col(c)
-        else coalesce(col(c), lit(0L)).as(c)): _*)
+    raw
+      .join(decision, Seq("source"), "left")
+      .join(relStats, Seq("source"), "left")
+      .join(packStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs_raw"),
+        coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+        coalesce(col("threshold"), lit(0L)).as("threshold"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("share_ppm"), lit(0L)).as("share_ppm"),
+        coalesce(col("mix_ppm"), lit(0L)).as("mix_ppm"),
+        coalesce(col("keep_ppm"), lit(0L)).as("keep_ppm"),
+        coalesce(col("n_released"), lit(0L)).as("n_released"),
+        coalesce(col("released_tokens"), lit(0L)).as("released_tokens"),
+        coalesce(col("scrub_removed_ppm"), lit(0L)).as("scrub_removed_ppm"),
+        coalesce(col("avg_quality_released"), lit(0L)).as("avg_quality_released"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_packs_touched"), lit(0L)).as("n_packs_touched"))
       .orderBy("source")
   }
 }
