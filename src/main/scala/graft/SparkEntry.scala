@@ -87,7 +87,13 @@ object SparkEntry {
       Tables.embeddings(s, d), graft.warehouse.Warehouse.ivfAssign(s, d))),
     "q25_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     "q26_dim_orders_two_batches" -> ((s, d) => Metrics.dimOrdersTwoBatches(s, d)),
-    "q27_winnow_fingerprints" -> ((s, d) => TextAnalysis.winnow(docs(s, d)).orderBy("doc_id")),
+    // r16: leased before the global sort — rangepartitioning SAMPLES the
+    // child by executing it, so an expensive map-only upstream with no
+    // shuffle to reuse runs twice (q27's profile: twin 7.3 s + 2.5 s-run
+    // winnow stages). Cached, the sampler and the sort both read the
+    // fingerprint rows, and winnow_fps runs once.
+    "q27_winnow_fingerprints" -> ((s, d) =>
+      graft.Graft.lease(TextAnalysis.winnow(docs(s, d))).orderBy("doc_id")),
     // r16: the near-dup stage reads the materialized duplicate-graph
     // edge list (neardup_pairs — what q35/q105/q107 already do) instead
     // of re-running exact-group → shingle → minhash → band → verify
@@ -107,7 +113,9 @@ object SparkEntry {
     // ncells literal-centroid dots per vector (the r6 cold-path cost).
     "q29_ann_ivf_trained" -> ((s, d) =>
       graft.warehouse.Warehouse.annIvfTopk(s, d).orderBy("qid", "rank")),
-    "q30_lang_cjk" -> ((s, d) => TextAnalysis.langGuessCjk(docs(s, d)).orderBy("doc_id")),
+    // r16: same lease-before-sort rule as q27 (regex-count map pass)
+    "q30_lang_cjk" -> ((s, d) =>
+      graft.Graft.lease(TextAnalysis.langGuessCjk(docs(s, d))).orderBy("doc_id")),
     // IVF-PQ with exact re-rank (FAISS recipe): codes are the only
     // per-vector state in the candidate shuffle. Codebook TRAINING stays
     // spec-gated (exhaustive-params equality vs knnBruteForce, recall
@@ -990,7 +998,11 @@ object SparkEntry {
     // Map-only (one projection of codegen'd builtins; the only
     // exchange is the output sort) — the deployment shape of a
     // fasttext-style classifier at corpus scale.
-    "q106_model_filter" -> ((s, d) => graft.text.HashedLinearModel.score(docs(s, d))),
+    // r16: the sort lives here now (score() is unordered) and the
+    // scored rows are leased first — same lease-before-sort rule as q27
+    "q106_model_filter" -> ((s, d) =>
+      graft.Graft.lease(graft.text.HashedLinearModel.score(docs(s, d)))
+        .orderBy("doc_id")),
     "q105_pagerank" -> ((s, d) => {
       val pairs = graft.warehouse.Warehouse.nearDupPairs(s, d)
       graft.operators.PageRank.ranks(
@@ -2320,17 +2332,26 @@ object SparkEntry {
         .select(pmod(col("l_partkey"), lit(1024)).cast("long").as("p"),
           pmod(col("l_orderkey"), lit(1024)).cast("long").as("s"))
         .dropDuplicates("p", "s")
-      val z = t
+      // r16: z leased — the box-scalar aggregate AND the window input
+      // both probe it (unleased, the lineitem dedup exchange ran twice:
+      // twin 4 MB-shuffle stages in the profile); bounded by the ≤1024²
+      // key grid. The ntiles run over the NARROW (p, s, zv, rk) cache
+      // and the box scalars attach AFTER them — the windowed-expression
+      // payload rule: the single-partition window sorter materializes
+      // every column it carries (10 longs → 4 through the 13 MB
+      // single-task sort).
+      val z = graft.Graft.lease(t
         .withColumn("zv", graft.operators.ZOrder.zValue(col("p"), col("s"), 10))
-        .withColumn("rk", expr("p * 1024 + s"))
+        .withColumn("rk", expr("p * 1024 + s")))
       val st = z.agg(max("p").as("pmax"), max("s").as("smax"))
-      val zz = z.crossJoin(broadcast(st))
+      val zz = z
+        .withColumn("bz", ntile(64).over(Window.orderBy(col("zv"), col("p"), col("s"))))
+        .withColumn("br", ntile(64).over(Window.orderBy(col("rk"))))
+        .crossJoin(broadcast(st))
         .withColumn("p_lo", expr("(pmax + 1) div 4"))
         .withColumn("p_hi", expr("(pmax + 1) div 4 + greatest((pmax + 1) div 8, 1)"))
         .withColumn("s_lo", expr("(smax + 1) div 4"))
         .withColumn("s_hi", expr("(smax + 1) div 4 + greatest((smax + 1) div 8, 1)"))
-        .withColumn("bz", ntile(64).over(Window.orderBy(col("zv"), col("p"), col("s"))))
-        .withColumn("br", ntile(64).over(Window.orderBy(col("rk"))))
       val boxCols = Seq("p_lo", "p_hi", "s_lo", "s_hi").map(col)
       val layouts = zz.select(lit("zorder").as("layout") +: col("bz").as("bucket") +:
           col("p") +: col("s") +: boxCols: _*)

@@ -56,7 +56,11 @@ object HashedLinearModel {
     s"element_at(__wt, CAST(${h28(x)} % $NBuckets AS INT) + 1)"
 
   /** Per-document score: (doc_id, n_feats, logit_milli, keep).
-    * `docs` needs columns doc_id, text. */
+    * `docs` needs columns doc_id, text. Output is UNORDERED (r16 — the
+    * trailing global sort moved to the one caller that needs it, q106:
+    * rangepartitioning samples its child by executing it, so the sort
+    * re-ran this whole map-only scoring pass; consumers like
+    * [[calibrationAudit]] never needed the order). */
   def score(docs: DataFrame): DataFrame =
     docs
       .withColumn("__wt", typedLit(weightTable))
@@ -75,7 +79,6 @@ object HashedLinearModel {
         (size(col("ws")) + size(col("bis"))).cast("long").as("n_feats"),
         col("logit_milli"),
         (col("logit_milli") >= 0).cast("int").as("keep"))
-      .orderBy("doc_id")
 
   /** Model-vs-heuristic calibration audit (reliability table): the
     * [[score]] logits bucketed into 10 score deciles, each reporting how
