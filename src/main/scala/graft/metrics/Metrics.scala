@@ -135,13 +135,20 @@ object Metrics {
         col("l_partkey").as("entity"),
         slot.as("snap_date"),
         col("l_quantity").cast("decimal(18,2)").as("value"),
-        col("l_shipdate").as("tb_ts"),
-        col("l_orderkey").as("tb_ok"),
-        col("l_linenumber").as("tb_ln"))
+        // r16: the (ship date, orderkey, linenumber) tiebreak packed
+        // into ONE orderable BIGINT so ForwardFill's slot-collapse
+        // keeps a fixed-width aggregation buffer and plans as a HASH
+        // aggregate — max_by over a struct falls back to SortAggregate,
+        // whose map-side sort was the query's dominant stage. Packed ≡
+        // lexicographic: epoch-day ≥ 0 (TPC-H ship dates start 1992)
+        // in the top 15 bits' span, orderkey < 2^45 (6M·SF — safe past
+        // sf1000), linenumber ∈ [1,7] in the low 3 bits.
+        (datediff(obs, to_date(lit("1970-01-01"))).cast("long") * lit(1L << 48) +
+          col("l_orderkey") * lit(8L) + col("l_linenumber")).as("tb"))
     val dates = DimDates.build(spark).where(col("datum") >= fromD && col("datum") <= untilD)
     val days = (if (monthEnd) dates.where(col("datum") === col("last_day_of_month")) else dates)
       .select(col("datum"))
-    val filled = ForwardFill.fill(snaps, days, Seq("tb_ts", "tb_ok", "tb_ln"))
+    val filled = ForwardFill.fill(snaps, days, Seq("tb"))
     val cats = Tables.part(spark, sfDir)
       .select(col("p_partkey").as("entity"), col("p_type").as("category"))
     filled.join(broadcast(cats), Seq("entity"))

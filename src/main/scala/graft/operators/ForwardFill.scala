@@ -43,9 +43,18 @@ object ForwardFill {
     // aggregate with map-side partials, rather than a rank window whose
     // sort pays O(n log n) per group and shuffles every input row (the
     // dominant cost of the fill at fact scale).
+    // A SINGLE tiebreak column is used bare: max_by over a primitive
+    // keeps a fixed-width aggregation buffer, so the collapse plans as
+    // a HashAggregate; a struct ordering key (the multi-column case)
+    // falls back to SortAggregate, whose per-partition sort was the
+    // dominant stage of the stock metrics (r16) — callers with several
+    // tiebreaks can pack them into one orderable value when the domain
+    // allows (see Metrics.stockByCategory).
+    val tbKey = if (tiebreaks.size == 1) col(tiebreaks.head)
+                else struct(tiebreaks.map(col): _*)
     val daily = snapshots
       .groupBy(col("entity"), col("snap_date"))
-      .agg(max_by(col("value"), struct(tiebreaks.map(col): _*)).as("value"))
+      .agg(max_by(col("value"), tbKey).as("value"))
 
     // Each snapshot is valid on scaffold days in [snap_date, next_snap);
     // the last snapshot carries forward indefinitely (null next_snap).
