@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
 
 /** Benchmark harness — one JSON line on stdout AND written to
   * `BENCH.json` (path overridable via SPARK_GRAFT_BENCH_OUT), so the
@@ -65,9 +65,13 @@ object Bench {
     // environmental reasons (r14 +17%, r15 0.86×) and needed manual
     // same-host A/B re-runs of old binaries to exonerate the code;
     // future rounds can normalize totals by the sentinel instead.
+    // bit_xor, not sum: summing 150M full-range 64-bit hashes overflows
+    // a BIGINT under ANSI mode (measured: the first sentinel crashed the
+    // bench); xor folds the same per-row work with no overflow.
     val tSen = System.nanoTime()
     spark.range(0L, 150000000L, 1L, 1)
-      .select(xxhash64(col("id")).as("h")).agg(sum(col("h")))
+      .select(xxhash64(col("id")).as("h"))
+      .agg(expr("bit_xor(h)"))
       .write.mode("overwrite").format("noop").save()
     val senSec = (System.nanoTime() - tSen) / 1e9
 
