@@ -74,6 +74,19 @@ object Bench {
       .agg(expr("bit_xor(h)"))
       .write.mode("overwrite").format("noop").save()
     val senSec = (System.nanoTime() - tSen) / 1e9
+    // PARALLEL twin (one partition per core): this round's mid-bench
+    // read ~1.5× on untouched queries while the single-task sentinel
+    // stayed flat — the host throttles multi-core work independently of
+    // single-core speed, so drift needs both probes. Comparable across
+    // runs at the SAME SPARK_GRAFT_CPUS only (per-core work is fixed at
+    // 20M hashes).
+    val par = spark.sparkContext.defaultParallelism
+    val tSenP = System.nanoTime()
+    spark.range(0L, 20000000L * par, 1L, par)
+      .select(xxhash64(col("id")).as("h"))
+      .agg(expr("bit_xor(h)"))
+      .write.mode("overwrite").format("noop").save()
+    val senParSec = (System.nanoTime() - tSenP) / 1e9
 
     // The warehouse layer materializes dims/facts once per corpus and the
     // analytic queries read the parquet (mirrors the reference DAG: tables
@@ -128,7 +141,7 @@ object Bench {
     val totalSteady = results.map(_._3).sum
     val totalMedian = results.map(_._4).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"queries_steady_median":$qsMedian,"total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"errors":$errs,"warehouse_build_sec":$whSec,"sentinel_sec":$senSec,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steady":$qsSteady,"queries_steady_median":$qsMedian,"total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"errors":$errs,"warehouse_build_sec":$whSec,"sentinel_sec":$senSec,"sentinel_par_sec":$senParSec,"sf":${q(sfDir)}}"""
     Files.writeString(Paths.get(benchOut), fullJson + "\n")
     // The stdout line MUST stay short: the driver captures only the last
     // ~2000 chars of output, and the round-5 line (72-query cold+steady
@@ -153,7 +166,7 @@ object Bench {
         s"${q(k)}:" + "%.3f".formatLocal(java.util.Locale.ROOT, m) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sentinel_sec":$senSec,"top_steady_median":$top,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady_sec":$totalSteady,"total_steady_median_sec":$totalMedian,"n_queries":${results.size},"n_errors":$nErrors,"errors":$errsShort,"warehouse_build_sec":$whSec,"sentinel_sec":$senSec,"sentinel_par_sec":$senParSec,"top_steady_median":$top,"sf":${q(sfDir)},"detail":"per-query times in BENCH.json"}"""
     println(summary)
     spark.stop()
   }
