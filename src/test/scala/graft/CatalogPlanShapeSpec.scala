@@ -47,13 +47,17 @@ class CatalogPlanShapeSpec extends SparkSpec {
     "q44_ann_ivfpq" -> "pq_codes",
     "q111_jl_distortion" -> "ivf_assign",
     "q116_source_overlap" -> "neardup_pairs",
-    "q125_margin_mining" -> "ivf_assign")
+    "q125_margin_mining" -> "ivf_assign",
+    // r16: the demo reads the CAPPED band table (the ≤256 bucket bound
+    // now lives in the artifact build, exactly like the other landed
+    // index state) and the leakage audit reads the pair table the graph
+    // analytics already consume
+    "q14_dedup_minhash_lsh" -> "band_signatures",
+    "q70_split_leakage" -> "neardup_pairs")
 
   /** query → substring that must appear in the optimized plan (the
     * in-plan bounding construct). */
   private val planEvidence: Map[String, String] = Map(
-    "q14_dedup_minhash_lsh" -> "<= 256",   // LSH band-bucket cap filter
-    "q70_split_leakage" -> "<= 256",
     "q109_minhash_calibration" -> "<= 256",
     "q16_simhash_neardup" -> "chunk_val",  // hamming chunk blocking
     "q68_payload_neardup" -> "chunk_val",

@@ -158,16 +158,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q128: the quantile window runs over the distinct-value table, not the corpus") {
-    // group-then-window: the cumulative runs over the (source, quality)
-    // aggregate. The threshold table feeds two consumers (the kept
-    // rollup and the output row); Spark today duplicates the unpersisted
-    // subtree (2 instances of the SAME distinct-value window) but a
-    // planner that caches the subtree would legitimately emit 1 — accept
-    // either, reject a THIRD window (a data-sized rank window slipping
-    // in) or zero (the quantile logic vanished).
+    // group-then-window: every window must run over the (source,
+    // quality) DISTINCT-VALUE aggregate. r16: q128 rides
+    // Release.decisionTable's single windowed pass — up to four windows
+    // (n_rows, cum, threshold, gated sums), ALL over the
+    // value-compressed frame; the pre-r16 cascade had 1–2. Reject a
+    // FIFTH window (a data-sized rank window slipping in) or zero, and
+    // require the value-compressing aggregate BELOW them — the actual
+    // guarantee this pin exists for.
     val p = plan("q128_quality_percentile_gate")
-    assert(countWindows(p) >= 1 && countWindows(p) <= 2,
-      s"q128 window count drifted (want 1..2, got ${countWindows(p)}):\n$p")
+    assert(countWindows(p) >= 1 && countWindows(p) <= 4,
+      s"q128 window count drifted (want 1..4, got ${countWindows(p)}):\n$p")
+    assert("HashAggregate\\(keys=\\[source#\\d+L?, quality#\\d+L?\\]".r
+        .findFirstIn(p).isDefined,
+      s"q128 lost the distinct-value aggregate below its windows:\n$p")
     assert(!p.contains("CartesianProduct"), s"q128 gained a cross join:\n$p")
   }
 
