@@ -1145,16 +1145,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val lsh = graft.warehouse.Warehouse.annLshTopk(s, d)
       val ivf = graft.warehouse.Warehouse.annIvfTopk(s, d)
-      // r16: ONE fusion instead of two — the fused top-3 is the
-      // rank ≤ 3 prefix of the fused top-6 (top_k_pairs is a
-      // deterministic total order, score DESC then nid ASC, so the
-      // prefix property is exact). Leased: the fused list feeds the
-      // plain-recall branch AND the rerank; the reranked top-3 is
-      // probed once per truth table.
-      val fused6 = graft.Graft.lease(Similarity.rrfFuse(Seq(lsh, ivf), k = 6))
-      val fused3 = fused6.where(col("rank") <= 3).select(col("qid"), col("nid"))
-      val rer3 = graft.Graft.lease(Similarity.rerankExact(emb, fused6)
-        .where(col("rr_rank") <= 3).select(col("qid"), col("nid")))
+      // (r16 note: a fuse-once + leased variant — one k=6 fusion, the
+      // top-3 as its prefix, both method frames leased for the two
+      // truth probes — measured 0.64× in the interleaved final A/B:
+      // the cache fills serialize what the unleased plan runs as
+      // concurrent subtrees, and the saved recompute is small on these
+      // artifact-fed bounded lists. Reverted; see OPTIMIZATION_r16.md.)
+      val fused3 = Similarity.rrfFuse(Seq(lsh, ivf)).select(col("qid"), col("nid"))
+      val rer3 = Similarity.rerankExact(emb, Similarity.rrfFuse(Seq(lsh, ivf), k = 6))
+        .where(col("rr_rank") <= 3).select(col("qid"), col("nid"))
       (for {
         (mn, m) <- Seq(("ens_rrf", fused3), ("rrf_rerank", rer3))
         (tn, truth) <- recallTruths(s, d)
@@ -1316,10 +1315,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val lsh = graft.warehouse.Warehouse.annLshTopk(s, d)
       val ivf = graft.warehouse.Warehouse.annIvfTopk(s, d)
-      // r16: leased — the fused list is evaluated against BOTH truth
-      // tables (unleased, the union+top-k fusion re-ran per truth; the
-      // lsh/ivf sides are plain artifact parquet reads and stay bare)
-      val fused = graft.Graft.lease(Similarity.rrfFuse(Seq(lsh, ivf)))
+      // (r16 note: leasing the fused list for its two truth probes
+      // measured 0.67× in the interleaved final A/B — same lesson as
+      // q117: on a bounded artifact-fed subtree the fill serializes
+      // more than the recompute costs. Kept unleased.)
+      val fused = Similarity.rrfFuse(Seq(lsh, ivf))
       (for {
         (mn, m) <- Seq(("lsh", lsh), ("ivf", ivf), ("ens_rrf", fused))
         (tn, truth) <- recallTruths(s, d)

@@ -122,4 +122,46 @@ class ReleaseSpec extends SparkSpec {
     assert(row.getAs[Long]("n_added") == 1L)
     assert(row.getAs[Long]("n_removed") == 1L, "the de-release branch never fired")
   }
+
+  test("decisionTable: single dominant source — windows run over the " +
+      "distinct-quality table, values match the brute-force gate") {
+    // r16 skew fix: a planted ONE-source frame with many rows but FEW
+    // distinct qualities. The cumulative window's input must be the
+    // value-compressed (source, quality) aggregate — bounded by score
+    // cardinality, never document count (the r15 shape sorted every
+    // survivor row of a source in one window partition) — and the
+    // scalars must equal a from-scratch replay of the top-quartile
+    // gate over the raw rows.
+    val n = 4000
+    // data-backed rows (not selectExpr over literals — Catalyst would
+    // constant-fold the source key out of the aggregate we assert on)
+    val surv = (1 to n)
+      .map(i => ("mega", i.toLong, i.toLong % 7, i.toLong % 13))
+      .toDF("source", "doc_id", "quality", "kept_tokens")
+    val dec = Release.decisionTable(surv)
+    // boundedness evidence: the value-compressing aggregate sits BELOW
+    // every window (group-then-window)
+    val plan = dec.queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[source#\\d+L?, quality#\\d+L?\\]".r
+        .findFirstIn(plan).isDefined,
+      s"decisionTable lost the distinct-quality aggregate below its windows:\n$plan")
+    // semantic replay over the raw rows
+    val rows = (1 to n).map(i => (i.toLong % 7, i.toLong % 13))
+    val nRows = rows.size.toLong
+    val need = math.max(1L, nRows * graft.text.Curation.TopFractionNum /
+      graft.text.Curation.TopFractionDen)
+    val threshold = (0L to 6L).sortBy(-_)
+      .scanLeft((Long.MaxValue, 0L)) { case ((_, cum), q) =>
+        (q, cum + rows.count(_._1 == q)) }
+      .drop(1).filter(_._2 >= need).map(_._1).max
+    val gated = rows.filter(_._1 >= threshold)
+    val got = dec.collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_rows") == nRows)
+    assert(r.getAs[Long]("threshold") == threshold)
+    assert(r.getAs[Long]("n_gated") == gated.size.toLong)
+    assert(r.getAs[Long]("gated_tokens") == gated.map(_._2).sum)
+    assert(r.getAs[Long]("all_tokens") == gated.map(_._2).sum)
+  }
 }
